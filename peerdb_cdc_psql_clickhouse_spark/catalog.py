@@ -1,0 +1,232 @@
+"""Explicit-schema catalog.
+
+The reference uses fixed DDL up front (quickstart_prepare_peers.sh:25-49)
+and validates an expected-tables list (peerdb_config.yaml:47-53); we
+mirror that with explicit StructType registration — never inference.
+
+Two table groups:
+- TESTDATA: the driver's TPC-H-ish parquet tables (TESTDATA.md).
+- REFERENCE: the reference's OLTP schemas (customers/products/orders,
+  quickstart_prepare_peers.sh:25-49) plus the engine-side CDC event
+  and metrics schemas (FIXTURES.md A4-A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# --- driver testdata (read from parquet; schemas documented for checks) ---
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+TESTDATA_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+# --- reference OLTP schemas (quickstart_prepare_peers.sh:25-49) ---
+
+CUSTOMERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("email", T.StringType()),
+    ]
+)
+
+PRODUCTS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("weight", T.DecimalType(10, 2)),
+    ]
+)
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("order_date", T.DateType()),
+        T.StructField("purchaser", T.IntegerType()),
+        T.StructField("quantity", T.IntegerType()),
+        T.StructField("product_id", T.IntegerType()),
+    ]
+)
+
+# FK metadata (quickstart_prepare_peers.sh:47-48) — informational; used
+# for join planning (broadcast dimension side) and synthetic generation.
+FOREIGN_KEYS = {
+    ("orders", "purchaser"): ("customers", "id"),
+    ("orders", "product_id"): ("products", "id"),
+}
+
+# CDC change-event envelope we attach to any row schema (SURVEY §1.1;
+# ops enumerated monitor.ps1:833-835, LSN ordering from logical WAL).
+CDC_META_FIELDS = [
+    T.StructField("_op", T.StringType(), False),  # insert|update|delete
+    T.StructField("_version", T.LongType(), False),  # total order (LSN analog)
+    T.StructField("_ts", T.TimestampType(), False),
+]
+
+
+def change_event_schema(row_schema: T.StructType) -> T.StructType:
+    """Schema of an ordered change stream for a table (FIXTURES.md A4)."""
+    return T.StructType(CDC_META_FIELDS + list(row_schema.fields))
+
+
+# batch_metrics: structured stand-in for the stress/resource logs
+# (FIXTURES.md A5; shape of testing-results/*.log per monitor.ps1:1167-1180).
+BATCH_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("test_id", T.StringType()),
+        T.StructField("batch", T.IntegerType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("cpu_pct", T.DoubleType()),
+        T.StructField("mem", T.StringType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rows_ok", T.IntegerType()),
+        T.StructField("rows_failed", T.IntegerType()),
+    ]
+)
+
+# table_stats: engine catalog stats (FIXTURES.md A6; stand-in for
+# ClickHouse system.parts / pg_*_size, monitor.ps1:664,1057,1074).
+TABLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("database", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("part", T.StringType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table. Parquet scan → Catalyst gets
+    column pruning + predicate pushdown for free.
+
+    events.ts is physically TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as long nanos and rebuild the timestamp
+    (exact: source values are microsecond-precision).
+    """
+    if name not in TESTDATA_TABLES:
+        raise KeyError(f"unknown testdata table {name!r}")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all testdata tables as temp views for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

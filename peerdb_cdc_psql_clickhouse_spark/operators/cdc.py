@@ -1,0 +1,212 @@
+"""CDC semantics re-implemented natively in Spark (SURVEY.md §2.3).
+
+The reference configures PeerDB to do: initial snapshot
+(docker-compose.yml:167-175), continuous ordered capture of
+INSERT/UPDATE/DELETE from logical WAL (docker-compose.yml:66-67,
+monitor.ps1:833-835), ordered apply with table-rename mapping
+public.orders -> public_orders (monitor.ps1:648-651), and
+ReplacingMergeTree-style convergence on the target (monitor.ps1:722-763).
+
+Spark re-expression:
+- a change stream is a DataFrame with envelope (_op, _version, _ts) +
+  the row columns (catalog.change_event_schema);
+- ordered apply NEVER relies on arrival order (Spark shuffles are
+  unordered) — convergence is max-version-wins: row_number() over
+  (partition by pk order by _version desc) = 1, drop _op='delete';
+- this is shuffle-minimal: one hash partition by pk, which at 100 TB
+  is the unavoidable minimum for keyed upsert. AQE handles pk skew.
+
+The streaming wrapper (foreachBatch incremental merge) lives in
+streaming/mirror.py; this module is the batch core it calls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import dsum, dsum_sql
+from ..registry import declare
+
+CDC_OPS = ("insert", "update", "delete")
+
+
+def target_table_name(schema: str, table: str) -> str:
+    """O-C3 rename mapping: public.orders -> public_orders
+    (monitor.ps1:648-651)."""
+    return f"{schema}_{table}"
+
+
+def snapshot(source: DataFrame, path: str) -> None:
+    """O-C1 initial snapshot (flow-snapshot-worker analog,
+    docker-compose.yml:167-175): full batch copy to the target dir.
+    Overwrite = idempotent re-snapshot."""
+    source.write.mode("overwrite").parquet(path)
+
+
+def latest_state(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str = "_version",
+    op_col: str = "_op",
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """O-C3/O-C4 ordered apply + ReplacingMergeTree-style dedup view:
+    max-version-wins per key, deletes dropped (soft-delete filter).
+
+    Equivalent SQL (the DuckDB oracle uses exactly this):
+      SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+      ORDER BY _version DESC) rn) WHERE rn = 1 AND _op <> 'delete'
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    ranked = changes.withColumn("_rn", F.row_number().over(w))
+    out = ranked.filter(F.col("_rn") == 1).drop("_rn")
+    if not keep_deletes:
+        out = out.filter(F.col(op_col) != "delete")
+    return out
+
+
+def apply_changes(
+    current: DataFrame | None,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str = "_version",
+) -> DataFrame:
+    """Incremental merge of a change batch into the current target
+    state (the foreachBatch body). current rows are treated as
+    version -infinity relative to any change touching the same key:
+    union + max-version-wins. Returns the new target state WITHOUT
+    CDC metadata columns (like the ClickHouse target table).
+    """
+    meta = ["_op", version_col, "_ts"]
+    data_cols = [c for c in changes.columns if c not in meta]
+    if current is None:
+        merged = changes
+    else:
+        cur_as_changes = current.select(
+            F.lit("insert").alias("_op"),
+            F.lit(-1).cast("long").alias(version_col),
+            F.lit(None).cast("timestamp").alias("_ts"),
+            *[F.col(c) for c in data_cols],
+        )
+        merged = cur_as_changes.unionByName(
+            changes.select("_op", version_col, "_ts", *data_cols)
+        )
+    return latest_state(merged, key_cols, version_col).select(*data_cols)
+
+
+# ---------------------------------------------------------------------------
+# Declared queries: the change stream is derived deterministically from
+# the driver's `events` table (FIXTURES.md A4 recipe):
+#   entity_id = event_id % 257          (keyed entity with many versions)
+#   _op       = error->delete, signup->insert, else update
+#   _version  = event_id                (total order; LSN analog)
+# ---------------------------------------------------------------------------
+
+_CHANGES_SQL_CTE = """
+WITH changes AS (
+  SELECT event_id % 257 AS entity_id,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'signup' THEN 'insert'
+              ELSE 'update' END AS _op,
+         event_id AS _version,
+         ts AS _ts,
+         value
+  FROM events
+)
+"""
+
+
+def events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    return ev.select(
+        (F.col("event_id") % 257).alias("entity_id"),
+        op.alias("_op"),
+        F.col("event_id").alias("_version"),
+        F.col("ts").alias("_ts"),
+        F.col("value"),
+    )
+
+
+@declare(
+    "c4_cdc_apply_latest",
+    _CHANGES_SQL_CTE
+    + """
+SELECT entity_id, _version AS version, value FROM (
+  SELECT entity_id, _op, _version, value,
+         ROW_NUMBER() OVER (PARTITION BY entity_id
+                            ORDER BY _version DESC) AS rn
+  FROM changes
+) WHERE rn = 1 AND _op <> 'delete'
+""",
+    doc="O-C3/O-C4 ordered apply + key/version dedup (max-version-wins, "
+    "delete drops the key) — ReplacingMergeTree convergence "
+    "(monitor.ps1:722-763)",
+)
+def c4_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = events_as_changes(spark, sf_dir)
+    return latest_state(changes, ["entity_id"]).select(
+        "entity_id", F.col("_version").alias("version"), "value"
+    )
+
+
+@declare(
+    "c5_microbatch_sizes",
+    _CHANGES_SQL_CTE
+    + """
+SELECT _version // 500 AS batch_id,
+       COUNT(*) AS batch_rows,
+       CAST(SUM(CASE WHEN _op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(SUM(CASE WHEN _op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(SUM(CASE WHEN _op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+FROM changes GROUP BY batch_id
+""",
+    doc="O-C5 micro-batching with bounded batch size (insert.ps1:11-13 "
+    "BatchSize=500; peerdb_config.yaml:34-35) + per-op I/U/D counts "
+    "(monitor.ps1:833-835)",
+)
+def c5_microbatch_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changes = events_as_changes(spark, sf_dir)
+    return changes.groupBy(
+        F.expr("_version div 500").alias("batch_id")
+    ).agg(
+        F.count(F.lit(1)).alias("batch_rows"),
+        F.sum(F.when(F.col("_op") == "insert", 1).otherwise(0)).alias("n_insert"),
+        F.sum(F.when(F.col("_op") == "update", 1).otherwise(0)).alias("n_update"),
+        F.sum(F.when(F.col("_op") == "delete", 1).otherwise(0)).alias("n_delete"),
+    )
+
+
+@declare(
+    "c10_tumbling_window",
+    f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql('value')} AS total_value
+FROM events GROUP BY window_start, event_type
+""",
+    doc="O-C10 tumbling event-time window aggregation — the idiomatic "
+    "Spark carrier for lag/catch-up analytics (peerdb_config.yaml:36-37); "
+    "streaming variant with watermark in streaming/mirror.py",
+)
+def c10_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value").alias("total_value"),
+        )
+    )

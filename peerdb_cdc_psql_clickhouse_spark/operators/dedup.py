@@ -1,0 +1,376 @@
+"""Deduplication operators for training-data pipelines (O-X1 + brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design:
+- exact dedup = hash-groupBy on a content digest: one shuffle keyed by
+  a uniform 256-bit hash — no skew by construction;
+- near-dup never compares all pairs: LSH banding turns O(n^2) into a
+  self-join on band buckets (candidate pairs only), which Spark executes
+  as a shuffle join on the band key. At 100 TB the band key is uniform
+  enough that AQE skew-split covers pathological buckets.
+- all hashes are md5-derived (functions.hashing) so the DuckDB oracle
+  reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import content_sha256, hash64, hash64_sql
+from ..registry import declare
+
+# ---------------------------------------------------------------------------
+# O-X1 exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical content (hash-groupBy)."""
+    return (
+        df.withColumn("content_hash", content_sha256(F.col(content_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+        )
+    )
+
+
+@declare(
+    "x1_exact_dedup",
+    """
+SELECT sha256(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS dup_cnt
+FROM documents GROUP BY content_hash
+""",
+    doc="O-X1 exact dedup by content hash: sha256 group, keep min id. "
+    "Single shuffle on a uniform key",
+)
+def x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+#
+# shingles: w-word shingles from whitespace tokens;
+# signature: K independent min-hashes h_k(s) = hash64(k || ':' || s);
+# bands: B bands of R rows (K = B*R); candidate pair = same value in
+# any band; estimated Jaccard = fraction of equal signature slots.
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
+SHINGLE_W = 5
+
+
+def _shingles(text: F.Column, w: int = SHINGLE_W) -> F.Column:
+    """w-word shingles as an array<string> (empty-safe)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, w), " ")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, k: int = MINHASH_K
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) — one row per doc, signature as columns.
+
+    Computed by exploding shingles once and taking k mins in a single
+    grouped aggregation (one shuffle on id), not k passes.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
+    )
+    aggs = [
+        F.min(
+            hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+        ).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Self-join on band keys -> candidate pairs (id_a < id_b) with
+    estimated Jaccard = matching signature slots / k."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    with_bands = sig.select(F.col(id_col), *[F.col(f"sig_{i}") for i in range(k)], *band_cols)
+    # explode bands to (id, band_idx, band_key); pair docs sharing a key
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
+            for b in range(bands)
+        ]
+    )
+    keyed = with_bands.select(
+        F.col(id_col), *[F.col(f"sig_{i}") for i in range(k)],
+        F.explode(band_arr).alias("bk"),
+    ).select(
+        F.col(id_col),
+        *[F.col(f"sig_{i}") for i in range(k)],
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(k)],
+        "band_idx",
+        "band_key",
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(k)],
+        "band_idx",
+        "band_key",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[f"a_sig_{i}" for i in range(k)], *[f"b_sig_{i}" for i in range(k)])
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    from ..functions.numeric import fround
+
+    matches = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        fround(matches / F.lit(float(k)), 4).alias("est_jaccard"),
+    )
+
+
+def _minhash_oracle_sql(k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W) -> str:
+    rows = k // bands
+    sig_aggs = ",\n         ".join(
+        "MIN(" + hash64_sql(f"CONCAT('{i}:', shingle)") + f") AS sig_{i}"
+        for i in range(k)
+    )
+    band_keys = ",\n         ".join(
+        "CONCAT_WS('_', "
+        + ", ".join(f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        + f") AS band_{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key, "
+        + ", ".join(f"sig_{i}" for i in range(k))
+        + " FROM banded"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tokens) - {w} + 1, 1)),
+           i -> array_to_string(tokens[i:i+{w - 1}], ' '))) AS shingle
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {sig_aggs}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT *,
+         {band_keys}
+  FROM sig
+), keyed AS (
+  {band_union}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         {matches} AS n_match
+  FROM keyed a JOIN keyed b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       FLOOR((CAST(n_match AS BIGINT) / {float(k)}) * 10000.0 + 0.5) / 10000.0
+       AS est_jaccard
+FROM pairs
+"""
+
+
+@declare(
+    "x1b_minhash_lsh",
+    _minhash_oracle_sql(),
+    doc="O-X1 MinHash+LSH near-dup: 5-word shingles, 16 md5-derived "
+    "min-hashes, 4x4 banding, candidate pairs via band self-join. "
+    "No O(n^2): the only join is on band keys",
+)
+def x1b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    return lsh_candidate_pairs(sig, "doc_id").select(
+        F.col("id_a"), F.col("id_b"), F.col("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit signature; per-token hash votes per bit position,
+# signature bit = majority. Near-dups = small Hamming distance.
+# SQL-oracle-able because hash64 is portable.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # 16 bits keeps the oracle SQL tractable; API allows 64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash) — weighted-bit-vote signature over whitespace tokens."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    h = hash64(F.col("token"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = sum(
+        F.when(F.col(f"v_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        for i in range(bits)
+    )
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def _simhash_oracle_sql(bits: int = SIMHASH_BITS) -> str:
+    h = hash64_sql("token")
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ({h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN {2**i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@declare(
+    "x1c_simhash",
+    _simhash_oracle_sql(),
+    doc="O-X1 SimHash document signatures: per-token md5-derived hash, "
+    "majority vote per bit. One shuffle (groupBy doc)",
+)
+def x1c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: exact Jaccard over distinct word 3-grams for pairs
+# that share at least one 3-gram (inverted-index join — never all pairs).
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.8
+
+
+@declare(
+    "x1d_ngram_jaccard",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tokens) - {NGRAM_N} + 1, 1)),
+           i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS gram
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       FLOOR((CAST(n_common AS DOUBLE) /
+              (sa.n_grams + sb.n_grams - n_common)) * 10000.0 + 0.5) / 10000.0
+       AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+      >= {JACCARD_THRESHOLD}
+""",
+    doc="O-X1 n-gram Jaccard near-dup: distinct 3-gram inverted-index "
+    "join (only docs sharing a gram are compared), exact Jaccard, "
+    "threshold 0.8",
+)
+def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), NGRAM_N)).alias("gram")
+    ).dropDuplicates(["doc_id", "gram"])
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
+    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    from ..functions.numeric import fround
+
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            fround(jac, 4).alias("jaccard"),
+        )
+    )

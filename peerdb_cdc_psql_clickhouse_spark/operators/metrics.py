@@ -1,0 +1,630 @@
+"""Dataflow analytics the reference computes client-side in PowerShell
+(SURVEY.md §2.2) — re-expressed as distributed DataFrame computations.
+
+The reference parses psql/docker stdout with regexes and loops over the
+rows in PowerShell (monitor.ps1 §§1-10, insert.ps1 Show-Results); here
+the same computations run inside Spark: joins instead of dict lookups,
+window functions instead of array slicing, F.when chains instead of
+if/else ladders. All declared queries run on the driver's testdata —
+`events` plays the per-batch metrics log, `documents` plays file/log
+inventories, `nation`/`customer` play expected-vs-actual inventories.
+
+Determinism: doubles are aggregated via decimal casts (functions.numeric),
+every LIMIT has a total ORDER BY, ratios are rounded then cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import davg, davg_sql, dsum, dsum_sql, fround, fround_sql, isum_sql
+from ..registry import declare
+
+# ---------------------------------------------------------------------------
+# O-D1..O-D4 — parity / sync-status / sync-% / efficiency banding
+# (monitor.ps1:743,745-755,691,770,775-786)
+#
+# Source/target pair simulated deterministically from `events`: the
+# "target" replica is missing every row whose event_id % 97 == 0
+# (a fixed, reproducible lag). Per-group counts by event_type stand in
+# for per-table counts.
+# ---------------------------------------------------------------------------
+
+_PARITY_SQL_CTE = """
+WITH src AS (
+  SELECT event_type AS table_name, COUNT(*) AS src_cnt
+  FROM events GROUP BY event_type
+), tgt AS (
+  SELECT event_type AS table_name, COUNT(*) AS tgt_cnt
+  FROM events WHERE event_id % 97 <> 0 GROUP BY event_type
+), parity AS (
+  SELECT src.table_name,
+         src.src_cnt,
+         COALESCE(tgt.tgt_cnt, 0) AS tgt_cnt,
+         src.src_cnt - COALESCE(tgt.tgt_cnt, 0) AS lag
+  FROM src LEFT JOIN tgt ON src.table_name = tgt.table_name
+)
+"""
+
+
+def _parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.groupBy(F.col("event_type").alias("table_name")).agg(
+        F.count(F.lit(1)).alias("src_cnt")
+    )
+    tgt = (
+        ev.filter(F.col("event_id") % 97 != 0)
+        .groupBy(F.col("event_type").alias("table_name"))
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+    # per-table counts are tiny aggregates; the join after them is
+    # broadcast-able by AQE regardless of source size
+    return (
+        src.join(tgt, "table_name", "left")
+        .withColumn("tgt_cnt", F.coalesce("tgt_cnt", F.lit(0)))
+        .withColumn("lag", F.col("src_cnt") - F.col("tgt_cnt"))
+    )
+
+
+@declare(
+    "d1_parity_lag",
+    _PARITY_SQL_CTE + "SELECT table_name, src_cnt, tgt_cnt, lag FROM parity",
+    doc="O-D1 row-count parity lag = source - target (monitor.ps1:743)",
+)
+def d1_parity_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parity(spark, sf_dir).select("table_name", "src_cnt", "tgt_cnt", "lag")
+
+
+@declare(
+    "d2_sync_status",
+    _PARITY_SQL_CTE
+    + """
+SELECT table_name, lag,
+       CASE WHEN lag = 0 THEN 'SYNCED'
+            WHEN ABS(lag) <= 5 THEN 'NEAR_SYNC'
+            ELSE 'LAG' END AS status
+FROM parity
+""",
+    doc="O-D2 sync-status thresholds SYNCED/NEAR_SYNC<=5/LAG "
+    "(monitor.ps1:745-755)",
+)
+def d2_sync_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parity(spark, sf_dir).select(
+        "table_name",
+        "lag",
+        F.when(F.col("lag") == 0, "SYNCED")
+        .when(F.abs("lag") <= 5, "NEAR_SYNC")
+        .otherwise("LAG")
+        .alias("status"),
+    )
+
+
+@declare(
+    "d3_sync_pct",
+    _PARITY_SQL_CTE
+    + f"""
+SELECT table_name,
+       CASE WHEN src_cnt > 0
+            THEN {fround_sql('CAST(tgt_cnt AS DOUBLE) / src_cnt * 100', 1)}
+            ELSE 0.0 END AS sync_pct
+FROM parity
+""",
+    doc="O-D3 sync percentage target/source*100, divide-by-zero guarded "
+    "(monitor.ps1:691,770)",
+)
+def d3_sync_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parity(spark, sf_dir).select(
+        "table_name",
+        F.when(
+            F.col("src_cnt") > 0,
+            fround(F.col("tgt_cnt").cast("double") / F.col("src_cnt") * 100, 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sync_pct"),
+    )
+
+
+@declare(
+    "d4_efficiency_band",
+    _PARITY_SQL_CTE
+    + """
+SELECT table_name,
+       CASE WHEN pct >= 95 THEN 'green'
+            WHEN pct >= 80 THEN 'yellow'
+            ELSE 'red' END AS band
+FROM (SELECT table_name,
+             CASE WHEN src_cnt > 0
+                  THEN CAST(tgt_cnt AS DOUBLE) / src_cnt * 100
+                  ELSE 0 END AS pct
+      FROM parity)
+""",
+    doc="O-D4 efficiency banding >=95 green / >=80 yellow / red "
+    "(monitor.ps1:775-786,911-912)",
+)
+def d4_efficiency_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct = F.when(
+        F.col("src_cnt") > 0,
+        F.col("tgt_cnt").cast("double") / F.col("src_cnt") * 100,
+    ).otherwise(F.lit(0.0))
+    return _parity(spark, sf_dir).select(
+        "table_name",
+        F.when(pct >= 95, "green")
+        .when(pct >= 80, "yellow")
+        .otherwise("red")
+        .alias("band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-D5..O-D7 — throughput / success rate / batch-duration stats
+# (insert.ps1:359-372)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "d5_throughput",
+    f"""
+SELECT {fround_sql(
+        "CAST(COUNT(*) AS DOUBLE) / "
+        "NULLIF(date_diff('second', MIN(ts), MAX(ts)), 0)", 2)}
+       AS ops_per_sec
+FROM events
+""",
+    doc="O-D5 throughput = successful_ops / duration_seconds "
+    "(insert.ps1:364-366)",
+)
+def d5_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    return ev.agg(
+        fround(
+            F.count(F.lit(1)).cast("double") / F.nullif(secs, F.lit(0)), 2
+        ).alias("ops_per_sec")
+    )
+
+
+@declare(
+    "d6_success_rate",
+    f"""
+SELECT {fround_sql(
+        "100.0 * CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)"
+        " AS BIGINT) / NULLIF(COUNT(*), 0)", 2)} AS success_pct
+FROM events
+""",
+    doc="O-D6 success rate success/total*100 with zero-guard "
+    "(insert.ps1:359-362); 'error' events play failures",
+)
+def d6_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ok = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+    return ev.agg(
+        fround(
+            100.0 * ok / F.nullif(F.count(F.lit(1)), F.lit(0)), 2
+        ).alias("success_pct")
+    )
+
+
+@declare(
+    "d7_batch_stats",
+    f"""
+SELECT event_type,
+       {davg_sql('value')} AS avg_val,
+       MAX(value) AS max_val,
+       MIN(value) AS min_val
+FROM events GROUP BY event_type
+""",
+    doc="O-D7 AVG/MAX/MIN of batch durations (insert.ps1:370-372); "
+    "decimal-sum average for cross-engine determinism",
+)
+def d7_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        davg("value").alias("avg_val"),
+        F.max("value").alias("max_val"),
+        F.min("value").alias("min_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-D8..O-D11 — rankings, trends, rollups, running aggregates
+# (monitor.ps1:1203-1224,1153-1197; insert.ps1:328-334)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "d8_peak_batch",
+    "SELECT event_id, event_type, value FROM events "
+    "ORDER BY value DESC, event_id ASC LIMIT 1",
+    doc="O-D8 top-1 by metric (peak-CPU batch, monitor.ps1:1203-1204); "
+    "unique event_id tiebreak makes the limit deterministic",
+)
+def d8_peak_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(1)
+    )
+
+
+@declare(
+    "d9_thirds_trend",
+    f"""
+WITH tiled AS (
+  SELECT value, NTILE(3) OVER (ORDER BY event_id) AS tile FROM events
+), thirds AS (
+  SELECT
+    {davg_sql('CASE WHEN tile = 1 THEN value END')} AS early_avg,
+    {davg_sql('CASE WHEN tile = 3 THEN value END')} AS late_avg
+  FROM tiled
+)
+SELECT early_avg, late_avg,
+       late_avg - early_avg AS trend
+FROM thirds
+""",
+    doc="O-D9 early-vs-late thirds trend avg(first 1/3) vs avg(last 1/3) "
+    "(monitor.ps1:1215-1224) via NTILE window",
+)
+def d9_thirds_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tiled = ev.select(
+        "value", F.ntile(3).over(Window.orderBy("event_id")).alias("tile")
+    )
+    thirds = tiled.agg(
+        davg(F.when(F.col("tile") == 1, F.col("value"))).alias("early_avg"),
+        davg(F.when(F.col("tile") == 3, F.col("value"))).alias("late_avg"),
+    )
+    return thirds.select(
+        "early_avg",
+        "late_avg",
+        (F.col("late_avg") - F.col("early_avg")).alias("trend"),
+    )
+
+
+@declare(
+    "d10_batch_rollup",
+    f"""
+SELECT event_id // 100 AS batch,
+       {dsum_sql('value')} AS total_cpu,
+       COUNT(*) AS n_containers,
+       {davg_sql('value')} AS avg_cpu
+FROM events GROUP BY batch
+""",
+    doc="O-D10 per-batch grouped resource rollup: sum CPU / count / avg "
+    "per container (monitor.ps1:1153-1197); batch = event_id div 100",
+)
+def d10_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.expr("event_id div 100").alias("batch"))
+        .agg(
+            dsum("value").alias("total_cpu"),
+            F.count(F.lit(1)).alias("n_containers"),
+            davg("value").alias("avg_cpu"),
+        )
+    )
+
+
+@declare(
+    "d11_running_avg",
+    f"""
+SELECT event_id, user_id,
+       {fround_sql(
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+        " / ROW_NUMBER() OVER w", 4)} AS running_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="O-D11 running average every batch (insert.ps1:328-334). "
+    "Decimal running sum / row_number keeps it order-insensitive; "
+    "partitioned by user so the window parallelizes at scale",
+)
+def d11_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        fround(running_sum.cast("double") / rn, 4).alias("running_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-D12..O-D15 — synthetic generation, date arithmetic, regex parsing,
+# unit normalization (insert.ps1:281-284; monitor.ps1:15-64,1167-1180)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "d12_synth_orders",
+    None,  # generator shape checked rows-only; determinism via hash, not rand
+    doc="O-D12 synthetic workload generator: random FK sampling + random "
+    "quantity 1-99 (insert.ps1:281-283), made deterministic via md5-based "
+    "indexing instead of Get-Random",
+)
+def d12_synth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64
+
+    n = 1000
+    base = spark.range(n).withColumnRenamed("id", "seq")
+    h = hash64(F.concat(F.lit("synth:"), F.col("seq").cast("string")))
+    return base.select(
+        (F.col("seq") + 10001).alias("id"),
+        F.date_format(
+            F.date_sub(F.to_date(F.lit("2026-01-01")), (h % 30).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("order_date"),
+        (F.pmod(h, 4) + 1001).cast("int").alias("purchaser"),
+        (F.pmod(h, 9) + 101).cast("int").alias("product_id"),
+        (F.pmod(h, 99) + 1).cast("int").alias("quantity"),
+    )
+
+
+@declare(
+    "d13_date_arith",
+    """
+SELECT o_orderkey,
+       strftime(CAST(CAST(o_orderdate AS DATE)
+                     - (o_orderkey % 30) * INTERVAL 1 DAY AS DATE),
+                '%Y-%m-%d') AS back_date
+FROM orders
+""",
+    doc="O-D13 date arithmetic today - rand(0..30) days formatted "
+    "yyyy-MM-dd (insert.ps1:284); offset made deterministic (key % 30)",
+)
+def d13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.date_sub(
+                F.to_date("o_orderdate"), (F.col("o_orderkey") % 30).cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("back_date"),
+    )
+
+
+@declare(
+    "d14_regex_extract",
+    r"""
+SELECT event_id,
+       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k_val
+FROM events
+""",
+    doc="O-D14 regex extraction from log-ish text (insert.ps1:98-99,296; "
+    "monitor.ps1:354,395,811-818): parse the props JSON-ish string with "
+    "a capture group, log-as-table pattern",
+)
+def d14_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return ev.select(
+        "event_id",
+        F.nullif(k, F.lit("")).cast("int").alias("k_val"),
+    )
+
+
+# Unit-normalization CASE ladder (monitor.ps1:15-49 Convert-ToKiB).
+# Factors are exact powers of two so double arithmetic is exact.
+_UNIT_FACTORS = {"B": 1.0 / 1024, "KiB": 1.0, "MiB": 1024.0, "GiB": 1048576.0}
+
+
+def to_kib(num: F.Column, unit: F.Column) -> F.Column:
+    """Normalize (numeric, unit-string) to KiB — engine analog of
+    Convert-ToKiB (monitor.ps1:15-49)."""
+    expr = F.lit(None).cast("double")
+    chain = None
+    for u, f in _UNIT_FACTORS.items():
+        cond = unit == u
+        chain = F.when(cond, num * f) if chain is None else chain.when(cond, num * f)
+    return chain.otherwise(expr)
+
+
+@declare(
+    "d15_unit_normalize",
+    f"""
+WITH mem AS (
+  SELECT doc_id,
+         CONCAT(CAST(n_chars AS VARCHAR),
+                CASE WHEN lang = 'es' THEN 'MiB'
+                     WHEN lang = 'de' THEN 'KiB'
+                     WHEN lang = 'zh' THEN 'GiB'
+                     ELSE 'B' END) AS mem_str
+  FROM documents
+)
+SELECT doc_id, mem_str,
+       {fround_sql('''CAST(regexp_extract(mem_str, '([0-9.]+)', 1) AS DOUBLE) *
+            CASE regexp_extract(mem_str, '[0-9.]+([A-Za-z]+)', 1)
+                 WHEN 'B'   THEN 1.0/1024
+                 WHEN 'KiB' THEN 1.0
+                 WHEN 'MiB' THEN 1024.0
+                 WHEN 'GiB' THEN 1048576.0
+            END''', 3)} AS mem_kib
+FROM mem
+""",
+    doc="O-D15 unit normalization to KiB: string parse + CASE ladder "
+    "(monitor.ps1:15-64,1175-1180). mem strings synthesized "
+    "deterministically from documents(n_chars, lang), then parsed back",
+)
+def d15_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    unit = (
+        F.when(F.col("lang") == "es", "MiB")
+        .when(F.col("lang") == "de", "KiB")
+        .when(F.col("lang") == "zh", "GiB")
+        .otherwise("B")
+    )
+    mem = docs.select(
+        "doc_id",
+        F.concat(F.col("n_chars").cast("string"), unit).alias("mem_str"),
+    )
+    num = F.regexp_extract("mem_str", r"([0-9.]+)", 1).cast("double")
+    parsed_unit = F.regexp_extract("mem_str", r"[0-9.]+([A-Za-z]+)", 1)
+    return mem.select(
+        "doc_id",
+        "mem_str",
+        fround(to_kib(num, parsed_unit), 3).alias("mem_kib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O-D16..O-D20 — dedup-first-seen, latest-by-rank, head/tail sampling,
+# expected-vs-actual classification, error top-N
+# (monitor.ps1:449-450,141-145,375-379,867-913; insert.ps1:379-384)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "d16_first_seen",
+    """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="O-D16 dedup by first-seen key (processed-containers set, "
+    "monitor.ps1:449-450,487-490) — deterministic dropDuplicates via "
+    "row_number over an explicit order",
+)
+def d16_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("event_id"))
+    return (
+        ev.select("user_id", "event_id", "event_type", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@declare(
+    "d17_latest_file",
+    "SELECT doc_id, n_chars FROM documents "
+    "ORDER BY n_chars DESC, doc_id ASC LIMIT 1",
+    doc="O-D17 file ranking by mtime desc, head-1 auto-select-latest "
+    "(monitor.ps1:141-145,215-216); n_chars plays mtime",
+)
+def d17_latest_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(1)
+    )
+
+
+@declare(
+    "d18_head_tail",
+    """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (ORDER BY event_id ASC) AS rn_head,
+         ROW_NUMBER() OVER (ORDER BY event_id DESC) AS rn_tail
+  FROM events
+) WHERE rn_head <= 5 OR rn_tail <= 5
+""",
+    doc="O-D18 head-and-tail sampling: first 5 + last 5 batches "
+    "(monitor.ps1:375-379)",
+)
+def d18_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rn_head = F.row_number().over(Window.orderBy(F.asc("event_id")))
+    rn_tail = F.row_number().over(Window.orderBy(F.desc("event_id")))
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            rn_head.alias("rn_head"),
+            rn_tail.alias("rn_tail"),
+        )
+        .filter((F.col("rn_head") <= 5) | (F.col("rn_tail") <= 5))
+        .select("event_id", "event_type")
+    )
+
+
+@declare(
+    "d19_container_status",
+    """
+SELECT n.n_name AS container,
+       CASE WHEN c.c_nationkey IS NULL THEN 'DOWN' ELSE 'RUNNING' END AS status
+FROM nation n
+LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
+  ON n.n_nationkey = c.c_nationkey
+""",
+    doc="O-D19 expected-vs-actual existence check: container "
+    "RUNNING/DOWN classification (monitor.ps1:867-913). nation = "
+    "expected list, customer nationkeys = actually-running set",
+)
+def d19_container_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    present = (
+        load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    )
+    return (
+        nation.join(
+            F.broadcast(present),
+            nation.n_nationkey == present.c_nationkey,
+            "left",
+        )
+        .select(
+            F.col("n_name").alias("container"),
+            F.when(F.col("c_nationkey").isNull(), "DOWN")
+            .otherwise("RUNNING")
+            .alias("status"),
+        )
+    )
+
+
+@declare(
+    "d19b_health_pct",
+    f"""
+SELECT {fround_sql('100.0 * COUNT(c.c_nationkey) / COUNT(*)', 1)} AS health_pct
+FROM nation n
+LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
+  ON n.n_nationkey = c.c_nationkey
+""",
+    doc="O-D19 health percentage = running/expected*100 (monitor.ps1:905-913)",
+)
+def d19b_health_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    present = (
+        load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    )
+    joined = nation.join(
+        F.broadcast(present),
+        nation.n_nationkey == present.c_nationkey,
+        "left",
+    )
+    return joined.agg(
+        fround(
+            100.0 * F.count("c_nationkey") / F.count(F.lit(1)), 1
+        ).alias("health_pct")
+    )
+
+
+@declare(
+    "d20_error_top3",
+    "SELECT event_id, event_type, value FROM events "
+    "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 3",
+    doc="O-D20 error top-N: first 3 errors shown (insert.ps1:379-384)",
+)
+def d20_error_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "event_type", "value")
+        .orderBy(F.asc("event_id"))
+        .limit(3)
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (O-X2 + brief: ANN).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query-vector set against the full embedding table, dot products folded
+JVM-side with F.aggregate over zip_with (sequential fold => the exact
+same summation order as the DuckDB oracle's list fold, so results
+hash-match bit-for-bit before rounding).
+
+Scale path: LSH bucketing via random-hyperplane signs (SimHash for
+vectors) — candidates share a bucket, so the join is keyed instead of
+cross. Hyperplanes are derived deterministically from md5 hashes so the
+plan needs no random state and no driver-side numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.numeric import fround
+from ..registry import declare
+
+TOP_K = 3
+N_QUERY_VECS = 5  # vec_id 0..4 are the query set in declared queries
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product of two float arrays, in double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = TOP_K,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x corpus, rank per
+    query. Scales as one scan of the corpus regardless of |queries|
+    (queries are broadcast; no corpus shuffle until the tiny top-k)."""
+    from pyspark.sql import Window
+
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    sim = _dot(F.col(q_vec), F.col(c_vec)) / (
+        F.nullif(_norm(F.col(q_vec)) * _norm(F.col(c_vec)), F.lit(0.0))
+    )
+    scored = joined.select(
+        F.col(q_id),
+        F.col(c_id),
+        fround(sim, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(
+        F.desc("cosine_sim"), F.asc(c_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine_sim", "rank")
+    )
+
+
+_COSINE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+         FLOOR((
+           list_sum(list_transform(list_zip(q.q_vec, e.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / NULLIF(
+             sqrt(list_sum(list_transform(q.q_vec,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+         ) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@declare(
+    "x2_cosine_topk",
+    _COSINE_ORACLE,
+    doc="O-X2 brute-force cosine top-k over embeddings: broadcast the "
+    "query set, fold dot products JVM-side, window top-k per query",
+)
+def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(queries, emb)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path): random-hyperplane sign buckets.
+# Each hyperplane h is a deterministic ±1 vector derived from md5 of
+# (plane_idx, dim_idx); bucket = bits of sign(dot(v, h)). Neighbors are
+# searched only within the query's bucket — turns the cross join into
+# an equi-join on bucket at the cost of recall (standard LSH tradeoff).
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+
+
+def _plane_sign(plane: int, dim: F.Column) -> F.Column:
+    """Deterministic ±1 from md5(plane:dim) parity — no RNG, no numpy."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"p{plane}:"), dim.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_bucket(vec: F.Column, n_planes: int = N_PLANES) -> F.Column:
+    """LSH bucket id: n_planes sign bits of deterministic hyperplanes."""
+    def _mul(p: int):
+        return lambda x, i: x.cast("double") * _plane_sign(p, i)
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _mul(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    return sum(bits).cast("long")
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = TOP_K,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the same hyperplane bucket.
+    query_ids: DataFrame with a vec_id column selecting query vectors."""
+    from pyspark.sql import Window
+
+    bucketed = emb.withColumn("bucket", hyperplane_bucket(F.col("embedding"), n_planes))
+    q = (
+        bucketed.join(F.broadcast(query_ids), "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("bucket"),
+        )
+    )
+    cand = bucketed.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
+        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        fround(sim, 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@declare(
+    "x2b_ann_lsh",
+    None,  # approximate by construction; driver rows-only check
+    doc="O-X2 LSH-bucketed approximate nearest neighbors: deterministic "
+    "random-hyperplane sign buckets turn the cross join into an "
+    "equi-join on bucket (the 100 TB path; recall < 1 by design)",
+)
+def x2b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_topk_lsh(emb, qids)

@@ -1,0 +1,155 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.4
+O-X3 + build brief: language-ID, quality scoring, token counting,
+document fingerprinting). All hot-path logic is built-in JVM functions
+(split/explode/regexp) — no Python UDFs — so it whole-stage-codegens
+and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import hash64, hash64_sql
+from ..registry import declare
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Real corpora would use a larger table; the
+# mechanism (score = marker hits per language, argmax) is what scales.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# BPE-ish token pattern: runs of letters, runs of digits, or any single
+# non-space symbol — a cheap proxy for subword tokenizers.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text: F.Column) -> F.Column:
+    """Whitespace tokenization with empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: count marker-word hits per language,
+    pick the argmax (ties -> lexicographically first lang). Pure
+    column expressions, no UDF."""
+    toks = tokens_col(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on (score, lang) structs gives max score with
+    # lexicographic tiebreak on lang; we want smallest lang on ties,
+    # so compare (score, reversed-rank) — simplest: sort_array desc on
+    # (score asc, lang desc) inverted is fiddly; use aggregate fold.
+    best = F.aggregate(
+        F.array(*scores[1:]),
+        scores[0],
+        lambda acc, x: F.when(x.getField("score") > acc.getField("score"), x).otherwise(acc),
+    )
+    return df.withColumn("detected_lang", best.getField("lang"))
+
+
+@declare(
+    "x3_top_terms",
+    """
+SELECT term, COUNT(*) AS cnt FROM (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+) WHERE term <> ''
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+""",
+    doc="O-X3 tokenize + explode + top-terms (training-data term stats); "
+    "map-side partial aggregation keeps the shuffle tiny",
+)
+def x3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@declare(
+    "x3b_text_quality",
+    f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS token_cnt,
+       FLOOR((CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN {STOPWORDS!r})) AS DOUBLE) /
+            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
+       AS stopword_ratio,
+       FLOOR((CAST(length(text) AS DOUBLE) /
+            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
+       AS avg_token_len
+FROM documents
+""",
+    doc="O-X3 quality scoring: token count, stopword ratio, mean token "
+    "length — per-document row-local expressions, no shuffle at all",
+)
+def x3b_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    from ..functions.numeric import fround
+
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("token_cnt"),
+        fround(
+            n_stop.cast("double") / F.nullif(n_tok, F.lit(0)), 4
+        ).alias("stopword_ratio"),
+        fround(
+            F.length("text").cast("double") / F.nullif(n_tok, F.lit(0)), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@declare(
+    "x3c_token_count",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bpe_ish_tokens
+FROM documents
+""",
+    doc="O-X3 token counting with a BPE-ish regex (letters/digits/symbol "
+    "runs) — subword-count proxy for context-length budgeting",
+)
+def x3c_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@declare(
+    "x3d_fingerprint",
+    f"""
+SELECT doc_id, {hash64_sql('text')} AS fingerprint
+FROM documents
+""",
+    doc="O-X3 document fingerprinting: 60-bit md5-derived content hash "
+    "(engine-portable; see functions.hashing)",
+)
+def x3d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", hash64(F.col("text")).alias("fingerprint"))
