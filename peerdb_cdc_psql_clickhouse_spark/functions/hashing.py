@@ -25,3 +25,30 @@ def hash64_sql(expr: str) -> str:
 def content_sha256(col: Column) -> Column:
     """Hex sha256 of a string column; DuckDB: sha256(x)."""
     return F.sha2(col, 256)
+
+
+# Double hashing (Kirsch-Mitzenmacher): derive K hash functions from ONE
+# md5 as h_i = a + i*b, where a/b come from the two md5 halves. Cuts
+# MinHash cost by ~K vs K independent md5 calls. Values bounded by
+# 2^58 so a + 15*b stays far below int64 overflow (ANSI mode throws
+# on overflow).
+HASH_PAIR_LIM = 2**58
+
+
+def hash_pair(col: Column) -> tuple[Column, Column]:
+    m = F.md5(col)
+    a = F.conv(F.substring(m, 1, 15), 16, 10).cast("long") % HASH_PAIR_LIM
+    b = F.conv(F.substring(m, 17, 15), 16, 10).cast("long") % HASH_PAIR_LIM
+    return a, b
+
+
+def hash_pair_sql(expr: str) -> tuple[str, str]:
+    a = (
+        f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 15)) AS BIGINT)"
+        f" % {HASH_PAIR_LIM}"
+    )
+    b = (
+        f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 17, 15)) AS BIGINT)"
+        f" % {HASH_PAIR_LIM}"
+    )
+    return a, b

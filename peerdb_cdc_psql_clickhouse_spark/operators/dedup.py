@@ -83,19 +83,25 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) — one row per doc, signature as columns.
 
-    Computed by exploding shingles once and taking k mins in a single
-    grouped aggregation (one shuffle on id), not k passes.
+    One md5 per shingle, k hash functions by double hashing
+    (h_i = a + i*b, functions.hashing.hash_pair), k mins in a single
+    grouped aggregation — one shuffle on id, not k passes.
     """
-    exploded = df.select(
+    from ..functions.hashing import hash_pair
+    from ..plans.layout import fan_out
+
+    exploded = fan_out(df).select(
         F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
     )
+    a, b = hash_pair(F.col("shingle"))
+    hashed = exploded.select(
+        F.col(id_col), a.alias("_ha"), b.alias("_hb")
+    )
     aggs = [
-        F.min(
-            hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-        ).alias(f"sig_{i}")
+        F.min(F.col("_ha") + i * F.col("_hb")).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -162,10 +168,12 @@ def lsh_candidate_pairs(
 
 
 def _minhash_oracle_sql(k: int = MINHASH_K, bands: int = LSH_BANDS, w: int = SHINGLE_W) -> str:
+    from ..functions.hashing import hash_pair_sql
+
     rows = k // bands
+    ha, hb = hash_pair_sql("shingle")
     sig_aggs = ",\n         ".join(
-        "MIN(" + hash64_sql(f"CONCAT('{i}:', shingle)") + f") AS sig_{i}"
-        for i in range(k)
+        f"MIN(ha + {i} * hb) AS sig_{i}" for i in range(k)
     )
     band_keys = ",\n         ".join(
         "CONCAT_WS('_', "
@@ -194,10 +202,12 @@ WITH toks AS (
            generate_series(1, greatest(len(tokens) - {w} + 1, 1)),
            i -> array_to_string(tokens[i:i+{w - 1}], ' '))) AS shingle
   FROM toks
+), hashed AS (
+  SELECT doc_id, {ha} AS ha, {hb} AS hb FROM sh
 ), sig AS (
   SELECT doc_id,
          {sig_aggs}
-  FROM sh GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ), banded AS (
   SELECT *,
          {band_keys}
@@ -226,8 +236,12 @@ FROM pairs
     "No O(n^2): the only join is on band keys",
 )
 def x1b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import reuse
+
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(docs, "doc_id", "text")
+    # reuse(): both sides of the band self-join read the signature
+    # once instead of recomputing the shingle+hash subtree twice
+    sig = reuse(minhash_signature(docs, "doc_id", "text"))
     return lsh_candidate_pairs(sig, "doc_id").select(
         F.col("id_a"), F.col("id_b"), F.col("est_jaccard")
     )
@@ -244,7 +258,9 @@ SIMHASH_BITS = 16  # 16 bits keeps the oracle SQL tractable; API allows 64
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
     """(id, simhash) — weighted-bit-vote signature over whitespace tokens."""
-    toks = df.select(
+    from ..plans.layout import fan_out
+
+    toks = fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -344,10 +360,16 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
     "threshold 0.8",
 )
 def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import fan_out, reuse
+
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_shingles(F.col("text"), NGRAM_N)).alias("gram")
-    ).dropDuplicates(["doc_id", "gram"])
+    grams = reuse(
+        fan_out(docs)
+        .select(
+            "doc_id", F.explode(_shingles(F.col("text"), NGRAM_N)).alias("gram")
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col("doc_id").alias("id_a"), "gram")
     b = grams.select(F.col("doc_id").alias("id_b"), "gram")

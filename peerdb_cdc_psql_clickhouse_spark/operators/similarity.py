@@ -129,27 +129,33 @@ def x2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PLANES = 8
 
 
-def _plane_sign(plane: int, dim: F.Column) -> F.Column:
-    """Deterministic ±1 from md5(plane:dim) parity — no RNG, no numpy."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"p{plane}:"), dim.cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+EMB_DIM = 64
 
 
-def hyperplane_bucket(vec: F.Column, n_planes: int = N_PLANES) -> F.Column:
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5(plane:dim) parity —
+    computed once at plan-build time (md5 is the same everywhere) and
+    shipped as literals, so executors do zero hashing per row."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"p{plane}:{i}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def hyperplane_bucket(
+    vec: F.Column, n_planes: int = N_PLANES, dim: int = EMB_DIM
+) -> F.Column:
     """LSH bucket id: n_planes sign bits of deterministic hyperplanes."""
-    def _mul(p: int):
-        return lambda x, i: x.cast("double") * _plane_sign(p, i)
-
     bits = []
     for p in range(n_planes):
+        plane = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), _mul(p)),
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
