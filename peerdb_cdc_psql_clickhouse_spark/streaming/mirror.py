@@ -1,0 +1,236 @@
+"""The Mirror: snapshot + continuous change apply, natively in Spark.
+
+Collapses the reference's 10-container pipeline (UI → flow-api →
+Temporal → flow-snapshot-worker → flow-worker → MinIO staging →
+ClickHouse, SURVEY §3.3; docker-compose.yml:98-238) into one API:
+
+    m = Mirror(spark, name="mirror_orders", schema="public",
+               table="orders", key_cols=["id"],
+               row_schema=ORDERS_SCHEMA, target_root=..., checkpoint_root=...)
+    m.snapshot(source_df)                  # O-C1 initial load
+    q = m.start(changes_dir)               # O-C2/C3/C5 streaming apply
+    q.awaitTermination(); m.read_target()  # converged state
+
+Target layout is ClickHouse-ReplacingMergeTree-shaped (monitor.ps1:664
+system.parts; convergence :722-763) and is the right shape at 100 TB
+because apply never does read-modify-write:
+
+    <target_root>/<schema>_<table>/base/            snapshot parquet
+    <target_root>/<schema>_<table>/delta/_batch=N/  appended change parts
+
+- foreachBatch APPENDS each micro-batch to its own delta part dir,
+  overwriting that dir alone → re-running a failed batch is idempotent
+  (exactly-once per batch on top of checkpointed offsets, O-C8).
+- read_target() merges on read: base-as-oldest-version ∪ delta →
+  max-version-wins, deletes filtered (operators.cdc.latest_state) —
+  the FINAL-query analog. One shuffle on the key, the unavoidable
+  minimum for keyed upsert; AQE handles key skew.
+- compact() folds delta into a new base (the MergeTree background
+  merge analog) so read amplification stays bounded.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import change_event_schema
+from ..operators.cdc import latest_state, target_table_name
+from ..sources.changes import read_changes_stream
+
+
+class Mirror:
+    """One named CDC mirror for one table (README.md:85-121 create-mirror)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: str,
+        table: str,
+        key_cols: Sequence[str],
+        row_schema: T.StructType,
+        target_root: str,
+        checkpoint_root: str,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.key_cols = list(key_cols)
+        self.row_schema = row_schema
+        self.target_table = target_table_name(schema, table)
+        self.target_dir = f"{target_root}/{self.target_table}"
+        self.checkpoint = f"{checkpoint_root}/{name}"
+        self._data_cols = [f.name for f in row_schema.fields]
+
+    # -- O-C1 snapshot -----------------------------------------------------
+    def snapshot(self, source: DataFrame) -> None:
+        """Initial full copy (flow-snapshot-worker analog). Overwrite =
+        idempotent re-snapshot; goes to base/, leaving delta intact-free."""
+        source.select(*self._data_cols).write.mode("overwrite").parquet(
+            f"{self.target_dir}/base"
+        )
+
+    # -- O-C2/C3/C5/C7/C8 streaming apply ---------------------------------
+    def start(
+        self,
+        changes_dir: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+        max_files_per_trigger: int | None = 1,
+    ):
+        """Start the named streaming apply query. availableNow drains
+        the backlog then stops (test/batch-catchup mode); a
+        processing_time trigger gives the reference's paced continuous
+        mode (insert.ps1:13 1 s delay)."""
+        stream = read_changes_stream(
+            self.spark,
+            changes_dir,
+            change_event_schema(self.row_schema),
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        writer = (
+            stream.writeStream.queryName(self.name)
+            .option("checkpointLocation", self.checkpoint)
+            .foreachBatch(self._apply_batch)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: append this micro-batch as one delta part.
+        Deterministic per-batch path + per-dir overwrite = idempotent
+        replay after failure. The batch itself may contain several
+        versions of a key; thin it map-side before writing (partial
+        dedup — fewer delta bytes, same merge-on-read answer)."""
+        thinned = latest_state(
+            batch, self.key_cols, keep_deletes=True
+        )
+        (
+            thinned.write.mode("overwrite").parquet(
+                f"{self.target_dir}/delta/_batch={batch_id}"
+            )
+        )
+
+    # -- merged view (FINAL analog) ---------------------------------------
+    def read_target(self, keep_deletes: bool = False) -> DataFrame:
+        """Current converged state: base ∪ delta, max-version-wins."""
+        base = self._read_base()
+        delta = self._read_delta()
+        if base is None and delta is None:
+            return self.spark.createDataFrame([], self.row_schema)
+        if delta is None:
+            return base.select(*self._data_cols)  # type: ignore[union-attr]
+        parts = delta
+        if base is not None:
+            base_as_changes = base.select(
+                F.lit("insert").alias("_op"),
+                F.lit(-1).cast("long").alias("_version"),
+                F.lit(None).cast("timestamp").alias("_ts"),
+                *self._data_cols,
+            )
+            parts = base_as_changes.unionByName(delta)
+        merged = latest_state(parts, self.key_cols, keep_deletes=keep_deletes)
+        return merged.select(*self._data_cols)
+
+    def compact(self) -> None:
+        """Fold delta into base (MergeTree background-merge analog).
+        Writes the merged state to a fresh dir then swaps — readers
+        never see a half-merged base."""
+        tmp = f"{self.target_dir}/base_compacting"
+        self.read_target().write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(f"{self.target_dir}/base", ignore_errors=True)
+        shutil.rmtree(f"{self.target_dir}/delta", ignore_errors=True)
+        shutil.move(tmp, f"{self.target_dir}/base")
+
+    # -- O-D1 parity (monitor.ps1:743) -------------------------------------
+    def parity(self, source: DataFrame) -> DataFrame:
+        src = source.agg(F.count(F.lit(1)).alias("src_cnt"))
+        tgt = self.read_target().agg(F.count(F.lit(1)).alias("tgt_cnt"))
+        return (
+            src.crossJoin(tgt)
+            .select(
+                F.lit(self.target_table).alias("table_name"),
+                "src_cnt",
+                "tgt_cnt",
+                (F.col("src_cnt") - F.col("tgt_cnt")).alias("lag"),
+            )
+        )
+
+    def _read_base(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema(self.row_schema).parquet(
+                f"{self.target_dir}/base"
+            )
+        except Exception:
+            return None
+
+    def _read_delta(self) -> DataFrame | None:
+        try:
+            return self.spark.read.schema(
+                change_event_schema(self.row_schema)
+            ).parquet(f"{self.target_dir}/delta/_batch=*")
+        except Exception:
+            return None
+
+
+# -- O-C9 stream status introspection (README.md:238-241; monitor §4) ------
+
+STATUS_SCHEMA = T.StructType(
+    [
+        T.StructField("slot_name", T.StringType()),
+        T.StructField("query_id", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("last_batch_id", T.LongType()),
+        T.StructField("input_rows", T.LongType()),
+        T.StructField("batches_seen", T.LongType()),
+    ]
+)
+
+
+def stream_status(spark: SparkSession, queries=None) -> DataFrame:
+    """pg_replication_slots analog (README.md:240, O-R14/O-C9): one row
+    per streaming query with its durable progress. Pass explicit query
+    handles to include finished (drained availableNow) queries."""
+    qs = list(queries) if queries is not None else list(spark.streams.active)
+    rows = []
+    for q in qs:
+        prog = q.recentProgress
+        last = prog[-1] if prog else None
+        rows.append(
+            (
+                q.name,
+                str(q.id),
+                q.isActive,
+                int(last["batchId"]) if last else -1,
+                int(sum(p["numInputRows"] for p in prog)),
+                len(prog),
+            )
+        )
+    return spark.createDataFrame(rows, STATUS_SCHEMA)
+
+
+# -- O-C10 watermarked windowed aggregation over the change stream ---------
+
+def windowed_op_counts(
+    stream: DataFrame,
+    ts_col: str = "_ts",
+    watermark: str = "10 seconds",
+    window: str = "1 minute",
+) -> DataFrame:
+    """Late-data-tolerant per-op throughput over event time — the
+    streaming carrier for the monitor's lag/catch-up analytics
+    (peerdb_config.yaml:36-37). Watermark bounds state (SURVEY §4 WAL
+    bound analog)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("_op"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "_op", "cnt")
+    )

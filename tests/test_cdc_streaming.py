@@ -1,0 +1,200 @@
+"""CDC end-to-end + Structured Streaming tests (SURVEY §5 plan):
+snapshot + ordered change apply converges to a naive replay oracle,
+through both the batch core and the streaming Mirror; checkpoint
+restart does not double-apply; parity report lands at lag=0.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from peerdb_cdc_psql_clickhouse_spark.catalog import change_event_schema
+from peerdb_cdc_psql_clickhouse_spark.operators.cdc import (
+    apply_changes,
+    latest_state,
+    target_table_name,
+)
+from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
+    read_changes,
+    write_change_batches,
+)
+from peerdb_cdc_psql_clickhouse_spark.streaming.mirror import (
+    Mirror,
+    stream_status,
+    windowed_op_counts,
+)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _mk_changes(spark, events):
+    """events: list of (op, version, id, val) tuples."""
+    rows = [
+        (op, ver, __import__("datetime").datetime(2026, 1, 1, 0, 0, ver % 60), i, v)
+        for (op, ver, i, v) in events
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("_op", T.StringType()),
+            T.StructField("_version", T.LongType()),
+            T.StructField("_ts", T.TimestampType()),
+        ]
+        + list(ROW_SCHEMA.fields)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _naive_replay(events, base=None):
+    """Driver-side oracle: apply ordered events one by one to a dict."""
+    state = dict(base or {})
+    for op, ver, i, v in sorted(events, key=lambda e: e[1]):
+        if op == "delete":
+            state.pop(i, None)
+        else:
+            state[i] = v
+    return state
+
+
+EVENTS = [
+    ("insert", 1, 1, "a"),
+    ("insert", 2, 2, "b"),
+    ("update", 3, 1, "a2"),
+    ("insert", 4, 3, "c"),
+    ("delete", 5, 2, None),
+    ("update", 6, 3, "c2"),
+    ("insert", 7, 2, "b-re"),
+    ("update", 8, 1, "a3"),
+    ("delete", 9, 3, None),
+]
+
+
+def _as_dict(df):
+    return {r["id"]: r["val"] for r in df.collect()}
+
+
+def test_latest_state_matches_naive_replay(spark):
+    changes = _mk_changes(spark, EVENTS)
+    got = _as_dict(latest_state(changes, ["id"]).select("id", "val"))
+    assert got == _naive_replay(EVENTS)
+
+
+def test_latest_state_shuffled_input_order(spark):
+    """Apply must not depend on arrival order (Spark shuffles are
+    unordered) — feed events reversed."""
+    changes = _mk_changes(spark, list(reversed(EVENTS)))
+    got = _as_dict(latest_state(changes, ["id"]).select("id", "val"))
+    assert got == _naive_replay(EVENTS)
+
+
+def test_apply_changes_incremental_merge(spark):
+    base = _mk_changes(spark, EVENTS[:4])
+    current = latest_state(base, ["id"]).select("id", "val")
+    batch2 = _mk_changes(spark, EVENTS[4:])
+    merged = apply_changes(current, batch2, ["id"])
+    assert _as_dict(merged) == _naive_replay(EVENTS)
+    assert set(merged.columns) == {"id", "val"}
+
+
+def test_target_rename_mapping():
+    assert target_table_name("public", "orders") == "public_orders"
+
+
+def test_change_batch_spool_roundtrip(spark, tmp_path):
+    changes = _mk_changes(spark, EVENTS)
+    path = str(tmp_path / "changes")
+    write_change_batches(changes, path, rows_per_batch=3)
+    back = read_changes(spark, path, change_event_schema(ROW_SCHEMA))
+    assert back.count() == len(EVENTS)
+    assert _as_dict(latest_state(back, ["id"]).select("id", "val")) == (
+        _naive_replay(EVENTS)
+    )
+
+
+@pytest.fixture()
+def mirror(spark, tmp_path):
+    return Mirror(
+        spark,
+        name="mirror_t",
+        schema="public",
+        table="t",
+        key_cols=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "warehouse"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+
+
+def test_mirror_snapshot_stream_converges(spark, tmp_path, mirror):
+    # snapshot holds keys 10/11; stream then applies EVENTS
+    snap = spark.createDataFrame([(10, "s10"), (11, "s11")], ROW_SCHEMA)
+    mirror.snapshot(snap)
+
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+
+    q = mirror.start(changes_dir, available_now=True)
+    q.awaitTermination(120)
+
+    expect = _naive_replay(EVENTS, base={10: "s10", 11: "s11"})
+    assert _as_dict(mirror.read_target()) == expect
+
+    # O-D1 parity vs an equivalent source state
+    src = spark.createDataFrame(
+        sorted(expect.items()), ROW_SCHEMA
+    )
+    row = mirror.parity(src).collect()[0]
+    assert row["lag"] == 0 and row["table_name"] == "public_t"
+
+    # O-C9 status introspection over the finished query
+    st = stream_status(spark, [q]).collect()[0]
+    assert st["slot_name"] == "mirror_t"
+    assert st["input_rows"] == len(EVENTS)
+    assert st["last_batch_id"] >= 0
+
+
+def test_mirror_restart_is_exactly_once(spark, tmp_path, mirror):
+    """Restarting from the checkpoint after a drain must not re-apply
+    old batches; new batches still apply."""
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS[:5]), changes_dir, 3)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    first = _as_dict(mirror.read_target())
+    assert first == _naive_replay(EVENTS[:5])
+
+    # append the remaining events as later batch dirs, restart
+    more = _mk_changes(spark, EVENTS[5:]).withColumn(
+        "_batch", F.expr("_version div 3")
+    )
+    more.repartition("_batch").write.partitionBy("_batch").mode(
+        "append"
+    ).parquet(changes_dir)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    assert _as_dict(mirror.read_target()) == _naive_replay(EVENTS)
+
+
+def test_mirror_compact_preserves_state(spark, tmp_path, mirror):
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    before = _as_dict(mirror.read_target())
+    mirror.compact()
+    assert _as_dict(mirror.read_target()) == before
+    # delta is folded away; target is pure base now
+    assert mirror._read_delta() is None
+
+
+def test_windowed_op_counts_batch_semantics(spark):
+    """O-C10: same aggregation runs on a static frame (streaming uses
+    identical expressions; watermark only bounds state)."""
+    changes = _mk_changes(spark, EVENTS)
+    out = windowed_op_counts(changes, window="1 minute")
+    got = {(r["_op"]): r["cnt"] for r in out.collect()}
+    assert got == {"insert": 4, "update": 3, "delete": 2}
