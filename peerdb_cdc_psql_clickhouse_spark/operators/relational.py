@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hashing import hash64_sql
 from ..registry import declare
 
 
@@ -163,3 +164,287 @@ def r10_version_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1).select(
         F.lit("spark").alias("engine"), F.lit(spark.version).alias("version")
     )
+
+
+# -- O-R11: the batched VALUES INSERT workload (insert.ps1:280-292) --------
+#
+# The reference builds 500-row VALUES batches with Get-Random FK picks;
+# we derive the same shape deterministically (registry determinism
+# rules) from a 60-bit md5 hash so the DuckDB oracle reproduces it
+# bit-for-bit. At scale this is the synthetic-load generator: a
+# spark.range over N partitions, zero input I/O, append to the sink.
+
+_R11_N = 500
+_R11_H = hash64_sql("CONCAT('ins:', CAST(i AS VARCHAR))")
+
+
+@declare(
+    "r11_batched_insert",
+    f"""
+WITH seq AS (SELECT unnest(generate_series(0, {_R11_N - 1})) AS i),
+hashed AS (
+  SELECT i, {_R11_H} AS h FROM seq
+)
+SELECT CAST(i + 20001 AS INT) AS id,
+       strftime(DATE '2026-01-01' - CAST(h % 30 AS INT), '%Y-%m-%d')
+         AS order_date,
+       CAST(h % 4 + 1001 AS INT) AS purchaser,
+       CAST(h % 9 + 101 AS INT) AS product_id,
+       CAST(h % 99 + 1 AS INT) AS quantity
+FROM hashed
+""",
+    doc="O-R11 multi-row batched INSERT: the 500-row VALUES batch "
+    "(insert.ps1:289-292, built :280-287) as a deterministic generated "
+    "DataFrame ready for .write.mode('append')",
+)
+def r11_batched_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash64
+
+    base = spark.range(_R11_N).withColumnRenamed("id", "i")
+    h = hash64(F.concat(F.lit("ins:"), F.col("i").cast("string")))
+    return base.select(
+        (F.col("i") + 20001).cast("int").alias("id"),
+        F.date_format(
+            F.date_sub(
+                F.to_date(F.lit("2026-01-01")), F.pmod(h, 30).cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("order_date"),
+        (F.pmod(h, 4) + 1001).cast("int").alias("purchaser"),
+        (F.pmod(h, 9) + 101).cast("int").alias("product_id"),
+        (F.pmod(h, 99) + 1).cast("int").alias("quantity"),
+    )
+
+
+# -- O-R12/O-R13: DDL catalog + seed rows (quickstart_prepare_peers.sh) ----
+
+# Literal seed rows from quickstart_prepare_peers.sh:54-77 (weights
+# pre-rounded to the NUMERIC(10,2) values Postgres stores).
+SEED_CUSTOMERS = [
+    (1001, "Sally", "Thomas", "sally.thomas@acme.com"),
+    (1002, "George", "Bailey", "gbailey@foobar.com"),
+    (1003, "Edward", "Walker", "ed@walker.com"),
+    (1004, "Anne", "Kretchmar", "annek@noanswer.org"),
+]
+SEED_PRODUCTS = [
+    (101, "scooter", "Small 2-wheel scooter", "3.14"),
+    (102, "car battery", "12V car battery", "8.10"),
+    (103, "12-pack drill bits",
+     "12-pack of drill bits with sizes ranging from #40 to #3", "0.80"),
+    (104, "hammer", "12oz carpenter's hammer", "0.75"),
+    (105, "hammer", "14oz carpenter's hammer", "0.88"),
+    (106, "hammer", "16oz carpenter's hammer", "1.00"),
+    (107, "rocks", "box of assorted rocks", "5.30"),
+    (108, "jacket", "water resistent black wind breaker", "0.10"),
+    (109, "spare tire", "24 inch sparetire", "22.20"),
+]
+SEED_ORDERS = [
+    (10001, "2016-01-16", 1001, 1, 102),
+    (10002, "2016-01-17", 1002, 2, 105),
+    (10003, "2016-02-19", 1002, 2, 106),
+    (10004, "2016-02-21", 1003, 1, 107),
+    (10005, "2025-07-25", 1001, 99, 101),
+]
+
+
+def seed_frames(spark: SparkSession):
+    """The reference's seed data as typed DataFrames (O-R13,
+    quickstart_prepare_peers.sh:54-77), schemas from the catalog."""
+    from ..catalog import CUSTOMERS_SCHEMA, ORDERS_SCHEMA, PRODUCTS_SCHEMA
+    from datetime import date
+    from decimal import Decimal
+
+    customers = spark.createDataFrame(SEED_CUSTOMERS, CUSTOMERS_SCHEMA)
+    products = spark.createDataFrame(
+        [(i, n, d, Decimal(w)) for i, n, d, w in SEED_PRODUCTS],
+        PRODUCTS_SCHEMA,
+    )
+    orders = spark.createDataFrame(
+        [
+            (i, date.fromisoformat(d), p, q, pid)
+            for i, d, p, q, pid in SEED_ORDERS
+        ],
+        ORDERS_SCHEMA,
+    )
+    return customers, products, orders
+
+
+def _ddl_rows():
+    """information_schema-style rows for the reference DDL
+    (quickstart_prepare_peers.sh:25-49), from the explicit catalog."""
+    from ..catalog import (
+        CUSTOMERS_SCHEMA,
+        FOREIGN_KEYS,
+        ORDERS_SCHEMA,
+        PRODUCTS_SCHEMA,
+    )
+
+    ddl_types = {
+        ("customers", "id"): "integer",
+        ("customers", "first_name"): "varchar(50)",
+        ("customers", "last_name"): "varchar(50)",
+        ("customers", "email"): "varchar(100)",
+        ("products", "id"): "integer",
+        ("products", "name"): "varchar(100)",
+        ("products", "description"): "text",
+        ("products", "weight"): "numeric(10,2)",
+        ("orders", "id"): "integer",
+        ("orders", "order_date"): "date",
+        ("orders", "purchaser"): "integer",
+        ("orders", "quantity"): "integer",
+        ("orders", "product_id"): "integer",
+    }
+    rows = []
+    for tname, schema in (
+        ("customers", CUSTOMERS_SCHEMA),
+        ("orders", ORDERS_SCHEMA),
+        ("products", PRODUCTS_SCHEMA),
+    ):
+        for ordinal, field in enumerate(schema.fields, start=1):
+            fk = FOREIGN_KEYS.get((tname, field.name))
+            rows.append(
+                (
+                    tname,
+                    ordinal,
+                    field.name,
+                    ddl_types[(tname, field.name)],
+                    field.name == "id",
+                    fk[0] if fk else None,
+                )
+            )
+    return rows
+
+
+@declare(
+    "r12_ddl_catalog",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        "('{0}', {1}, '{2}', '{3}', {4}, {5})".format(
+            t, o, c, d, str(pk).lower(), f"'{fk}'" if fk else "CAST(NULL AS VARCHAR)"
+        )
+        for (t, o, c, d, pk, fk) in _ddl_rows()
+    )
+    + ") AS t(table_name, ordinal, column_name, data_type, is_pk, fk_table)",
+    doc="O-R12 DDL: CREATE TABLE with PK/FK constraints "
+    "(quickstart_prepare_peers.sh:25-49) — constraints live as catalog "
+    "metadata (Spark doesn't enforce them; used for broadcast-join "
+    "planning and synthetic generation)",
+)
+def r12_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("table_name", T.StringType()),
+            T.StructField("ordinal", T.IntegerType()),
+            T.StructField("column_name", T.StringType()),
+            T.StructField("data_type", T.StringType()),
+            T.StructField("is_pk", T.BooleanType()),
+            T.StructField("fk_table", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(_ddl_rows(), schema)
+
+
+@declare(
+    "r13_seed_join",
+    """
+WITH c(id, first_name, last_name, email) AS (VALUES
+  (1001, 'Sally', 'Thomas', 'sally.thomas@acme.com'),
+  (1002, 'George', 'Bailey', 'gbailey@foobar.com'),
+  (1003, 'Edward', 'Walker', 'ed@walker.com'),
+  (1004, 'Anne', 'Kretchmar', 'annek@noanswer.org')),
+p(id, name, weight) AS (VALUES
+  (101, 'scooter', CAST(3.14 AS DECIMAL(10,2))),
+  (102, 'car battery', CAST(8.10 AS DECIMAL(10,2))),
+  (103, '12-pack drill bits', CAST(0.80 AS DECIMAL(10,2))),
+  (104, 'hammer', CAST(0.75 AS DECIMAL(10,2))),
+  (105, 'hammer', CAST(0.88 AS DECIMAL(10,2))),
+  (106, 'hammer', CAST(1.00 AS DECIMAL(10,2))),
+  (107, 'rocks', CAST(5.30 AS DECIMAL(10,2))),
+  (108, 'jacket', CAST(0.10 AS DECIMAL(10,2))),
+  (109, 'spare tire', CAST(22.20 AS DECIMAL(10,2)))),
+o(id, order_date, purchaser, quantity, product_id) AS (VALUES
+  (10001, DATE '2016-01-16', 1001, 1, 102),
+  (10002, DATE '2016-01-17', 1002, 2, 105),
+  (10003, DATE '2016-02-19', 1002, 2, 106),
+  (10004, DATE '2016-02-21', 1003, 1, 107),
+  (10005, DATE '2025-07-25', 1001, 99, 101))
+SELECT o.id AS order_id, strftime(o.order_date, '%Y-%m-%d') AS order_date,
+       o.quantity, c.email AS customer_email, p.name AS product_name,
+       CAST(p.weight AS DOUBLE) AS weight
+FROM o JOIN c ON o.purchaser = c.id JOIN p ON o.product_id = p.id
+""",
+    doc="O-R13 seed rows (quickstart_prepare_peers.sh:54-77) + FK "
+    "broadcast equi-joins (:47-48): fact orders joined to both "
+    "dimensions — the star-schema lookup pattern; dims broadcast, no "
+    "shuffle on the fact side",
+)
+def r13_seed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers, products, orders = seed_frames(spark)
+    return (
+        orders.join(
+            F.broadcast(customers), orders.purchaser == customers.id
+        )
+        .join(F.broadcast(products), orders.product_id == products.id)
+        .select(
+            orders.id.alias("order_id"),
+            F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+            "quantity",
+            F.col("email").alias("customer_email"),
+            F.col("name").alias("product_name"),
+            F.col("weight").cast("double").alias("weight"),
+        )
+    )
+
+
+@declare(
+    "r14_replication_slots",
+    None,  # live stream state; rows-only check
+    doc="O-R14 SELECT * FROM pg_replication_slots (README.md:240) / "
+    "O-C9 flow status: runs a real miniature streaming mirror "
+    "(availableNow drain over a spooled change feed) and returns its "
+    "durable progress as the slots DataFrame",
+)
+def r14_replication_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..catalog import change_event_schema
+    from ..operators.cdc import events_as_changes
+    from ..sources.changes import write_change_batches
+    from ..streaming.mirror import Mirror, stream_status
+    from pyspark.sql import types as T
+
+    row_schema = T.StructType(
+        [
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="slots_probe_")
+    try:
+        changes = events_as_changes(spark, sf_dir).filter(
+            F.col("_version") < 500
+        )
+        write_change_batches(changes, f"{work}/changes", rows_per_batch=250)
+        mirror = Mirror(
+            spark,
+            name="slots_probe",
+            schema="public",
+            table="events_mirror",
+            key_cols=["entity_id"],
+            row_schema=row_schema,
+            target_root=f"{work}/warehouse",
+            checkpoint_root=f"{work}/ckpt",
+        )
+        q = mirror.start(
+            f"{work}/changes", available_now=True, max_files_per_trigger=None
+        )
+        q.awaitTermination(120)
+        # collect() before the temp dirs vanish
+        out = stream_status(spark, [q])
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

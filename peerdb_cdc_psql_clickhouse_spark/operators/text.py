@@ -141,6 +141,43 @@ def x3c_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_score_sql(lang: str) -> str:
+    markers = tuple(LANG_MARKERS[lang])
+    return (
+        "len(list_filter(list_filter(string_split_regex(lower(text), "
+        f"'\\s+'), t -> t <> ''), t -> t IN {markers!r}))"
+    )
+
+
+@declare(
+    "x3e_lang_id",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS detected_lang
+FROM scored
+""",
+    doc="O-X3/brief language-ID: stopword-marker n-gram heuristic, "
+    "argmax over per-language hit counts (earliest lang wins ties) — "
+    "pure column expressions, row-local, zero shuffle",
+)
+def x3e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return detect_language(docs, "text").select(
+        "doc_id", "lang", "detected_lang"
+    )
+
+
 @declare(
     "x3d_fingerprint",
     f"""
