@@ -22,6 +22,72 @@ from peerdb_cdc_psql_clickhouse_spark.registry import all_queries
 from peerdb_cdc_psql_clickhouse_spark.session import get_spark
 
 
+def cdc_stress(spark, sf_dir: str, n_rows: int = 5000, batch: int = 500) -> dict:
+    """The reference's headline benchmark (BASELINE.md): N ordered
+    changes applied through the CDC mirror in batches of `batch`.
+    Reference numbers at the same workload shape: 41.82 ops/s
+    end-to-end (incl. 1 s/batch sleeps), ~1190 rows/s raw. We report
+    raw apply throughput (no artificial sleeps) over the same 10x500
+    micro-batch structure, snapshot -> stream-drain -> parity-checked.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.cdc import (
+        events_as_changes,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
+        write_change_batches,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.streaming.mirror import Mirror
+
+    row_schema = T.StructType(
+        [
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="cdc_stress_")
+    try:
+        changes = events_as_changes(spark, sf_dir).filter(
+            F.col("_version") < n_rows
+        )
+        write_change_batches(changes, f"{work}/changes", rows_per_batch=batch)
+        mirror = Mirror(
+            spark,
+            name="bench_stress",
+            schema="public",
+            table="orders_bench",
+            key_cols=["entity_id"],
+            row_schema=row_schema,
+            target_root=f"{work}/wh",
+            checkpoint_root=f"{work}/ckpt",
+        )
+        t0 = time.perf_counter()
+        q = mirror.start(
+            f"{work}/changes", available_now=True, max_files_per_trigger=1
+        )
+        q.awaitTermination(300)
+        drain_s = time.perf_counter() - t0
+        applied = mirror.read_target().count()
+        n_batches = len(q.recentProgress)
+        return {
+            "rows": n_rows,
+            "batch_size": batch,
+            "batches": n_batches,
+            "drain_sec": round(drain_s, 3),
+            "ops_per_sec": round(n_rows / drain_s, 2),
+            "target_keys": applied,
+            "baseline_ops_per_sec": 41.82,
+            "baseline_raw_rows_per_sec": 1190,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -46,6 +112,8 @@ def main() -> None:
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    stress = cdc_stress(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -55,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "cdc_stress": stress,
             }
         )
     )

@@ -83,25 +83,42 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) — one row per doc, signature as columns.
 
-    One md5 per shingle, k hash functions by double hashing
-    (h_i = a + i*b, functions.hashing.hash_pair), k mins in a single
-    grouped aggregation — one shuffle on id, not k passes.
+    Fully row-local: shingle array → one md5 per shingle → k hash
+    functions by double hashing (h_i = a + i*b,
+    functions.hashing.hash_pair) → array_min per function. ZERO
+    shuffle and zero row expansion — at 100 TB the signature stage is
+    a map-only pass that scales with input splits; the only shuffle in
+    the whole dedup is the LSH band self-join.
     """
-    from ..functions.hashing import hash_pair
+    from ..functions.hashing import HASH_PAIR_LIM
     from ..plans.layout import fan_out
 
-    exploded = fan_out(df).select(
-        F.col(id_col), F.explode(_shingles(F.col(text_col))).alias("shingle")
+    def _half(m: F.Column, start: int) -> F.Column:
+        return (
+            F.conv(F.substring(m, start, 15), 16, 10).cast("long")
+            % HASH_PAIR_LIM
+        )
+
+    sh = fan_out(df).select(
+        F.col(id_col), _shingles(F.col(text_col)).alias("_sh")
     )
-    a, b = hash_pair(F.col("shingle"))
-    hashed = exploded.select(
-        F.col(id_col), a.alias("_ha"), b.alias("_hb")
+    # one md5 per shingle, shared by all k functions
+    withm = sh.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: F.md5(s)).alias("_m"),
     )
-    aggs = [
-        F.min(F.col("_ha") + i * F.col("_hb")).alias(f"sig_{i}")
+    pairs = withm.select(
+        F.col(id_col),
+        F.transform(F.col("_m"), lambda m: _half(m, 1)).alias("_ha"),
+        F.transform(F.col("_m"), lambda m: _half(m, 17)).alias("_hb"),
+    )
+    sigs = [
+        F.array_min(
+            F.zip_with(F.col("_ha"), F.col("_hb"), lambda a, b: a + i * b)
+        ).alias(f"sig_{i}")
         for i in range(k)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return pairs.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
@@ -257,23 +274,35 @@ SIMHASH_BITS = 16  # 16 bits keeps the oracle SQL tractable; API allows 64
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, simhash) — weighted-bit-vote signature over whitespace tokens."""
+    """(id, simhash) — weighted-bit-vote signature over whitespace
+    tokens. Row-local: token array → one hash64 per token → per-bit
+    vote sums via array folds. Zero shuffle, zero row expansion — a
+    map-only pass at any scale (same rewrite as minhash_signature)."""
     from ..plans.layout import fan_out
 
-    toks = fan_out(df).select(
-        F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token"),
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
     )
-    h = hash64(F.col("token"))
+    # size>0 filter keeps oracle semantics: the unnest+groupBy form
+    # drops token-less docs entirely
+    hashed = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.transform(toks, lambda t: hash64(t)).alias("_h"),
+        )
+        .filter(F.size("_h") > 0)
+    )
     votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"v_{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = hashed.select(F.col(id_col), *votes)
     sig = sum(
         F.when(F.col(f"v_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         for i in range(bits)
