@@ -186,6 +186,49 @@ def c5_microbatch_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "c11_session_window",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, user_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sess_id
+""",
+    doc="O-C10 session windows (gap 10 min) per user — Spark "
+    "session_window vs a gaps-and-islands SQL oracle; the stateful "
+    "streaming carrier for per-entity activity sessions",
+)
+def c11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "10 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@declare(
     "c10_tumbling_window",
     f"""
 SELECT date_trunc('hour', ts) AS window_start,

@@ -112,6 +112,80 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """STUB image resize over mapInPandas. Real resampling needs an
+    image lib absent from this container; the deterministic fake
+    truncates/pads the payload to target_w*target_h/64 bytes so output
+    size tracks target dims. Plumbing (Arrow batches, schema, metadata
+    rewrite, zero shuffle) is real."""
+    n_bytes = max(1, target_w * target_h // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                bytes(p[:n_bytes]).ljust(n_bytes, b"\0")
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.filter(
+        F.col("meta.mime") == "image/png"
+    ).mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """STUB video frame sampling: row-expanding mapInPandas emitting
+    every Nth 1024-byte 'frame' of the payload. Real decoders would
+    replace the slicing; the batch-expansion shape (1 video row ->
+    many frame rows, still shuffle-free) is the part that matters at
+    scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // 1024)
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * 1024 : (i + 1) * 1024]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.filter(
+        F.col("meta.mime") == "video/mp4"
+    ).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 @declare(
     "x4_multimodal_meta",
     """
@@ -137,6 +211,33 @@ def x4_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+@declare(
+    "x4b_frame_sample",
+    """
+-- text is ASCII in the testdata, so char slicing == byte slicing
+-- (DuckDB can't slice BLOBs directly)
+WITH media AS (
+  SELECT doc_id AS media_id, text
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(
+           0, greatest(length(text) // 1024, 1) - 1, 4)) AS fi
+  FROM media
+)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       encode(substring(text, CAST(fi * 1024 + 1 AS INT), 1024)) AS frame
+FROM frames
+""",
+    doc="brief: video frame sampling (every 4th 1 KiB 'frame') through "
+    "row-expanding mapInPandas — the decode is a stub, the Arrow batch "
+    "expansion and binary-column handling are real and hash-checked",
+)
+def x4b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=4)
 
 
 @declare(

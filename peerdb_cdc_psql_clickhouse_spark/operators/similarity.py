@@ -201,6 +201,101 @@ def ann_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (brief: near-dup dedup family member).
+# Candidates restricted to one hyperplane bucket (equi-join, never all
+# pairs); a pair counts as near-dup when cosine >= threshold. The
+# DuckDB oracle reproduces the buckets exactly because the hyperplane
+# sign vectors are plan-time literals.
+# ---------------------------------------------------------------------------
+
+# testdata embeddings are unclustered (max in-bucket cosine ~0.4);
+# 0.35 selects the genuine top tail. Real corpora would use ~0.9.
+NEARDUP_COS = 0.35
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COS,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within LSH buckets (id_a < id_b)."""
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), n_planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        "bucket",
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        "bucket",
+    )
+    sim = _dot(F.col("vec_a"), F.col("vec_b")) / F.nullif(
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b")), F.lit(0.0)
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", fround(sim, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _bucket_sql(vec_expr: str, n_planes: int = N_PLANES) -> str:
+    """DuckDB expression for hyperplane_bucket — same literal planes."""
+    bits = []
+    for p in range(n_planes):
+        signs = ", ".join(str(s) for s in _plane_signs(p, EMB_DIM))
+        proj = (
+            f"list_sum(list_transform(list_zip({vec_expr}, [{signs}]), "
+            "pr -> CAST(pr[1] AS DOUBLE) * pr[2]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {2 ** p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+_NEARDUP_ORACLE = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         FLOOR((
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / NULLIF(
+             sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(b.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0)
+         ) * 1000000.0 + 0.5) / 1000000.0 AS cosine_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b, cosine_sim
+FROM pairs WHERE cosine_sim >= {NEARDUP_COS}
+"""
+
+
+@declare(
+    "x2c_cosine_neardup",
+    _NEARDUP_ORACLE,
+    doc="brief: embedding-cosine near-dup detection — LSH-bucket "
+    "equi-join (never all pairs) + cosine threshold; oracle reproduces "
+    "buckets from the same literal hyperplanes",
+)
+def x2c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb)
+
+
 @declare(
     "x2b_ann_lsh",
     None,  # approximate by construction; driver rows-only check
