@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (SURVEY §4; the 100 TB discipline).
+
+Each assertion encodes a plan property that must survive refactors:
+pushdown reaching the parquet scan, column pruning, broadcast joins
+for dims, map-side window pruning for CDC apply, and the absence of
+cartesian products in the near-dup family. A failure here means a
+change made the plan worse even if results are still correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from peerdb_cdc_psql_clickhouse_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = all_queries()
+
+    def get(name: str) -> str:
+        df = qs[name].build(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    return get
+
+
+def test_projection_scan_prunes_columns(plans):
+    p = plans("r2_projection_scan")
+    assert "ReadSchema: struct<c_custkey:bigint>" in p
+
+
+def test_filter_pushed_to_parquet(plans):
+    p = plans("r7_filtered_sum")
+    assert "EqualTo(l_returnflag,A)" in p  # predicate reached the scan
+    # column pruning: only the two referenced columns are read
+    assert "struct<l_extendedprice:double,l_returnflag:string>" in p
+
+
+def test_dim_joins_broadcast(plans):
+    for q in ("r8_cross_join_group", "r13_seed_join"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_cdc_apply_single_shuffle_with_group_limit(plans):
+    p = plans("c4_cdc_apply_latest")
+    # exactly one exchange (hash on entity_id) for the keyed dedup
+    assert p.count("(\n") == 0  # formatted output sanity
+    exchanges = [l for l in p.splitlines() if l.strip().startswith("Exchange")]
+    assert len(exchanges) <= 2  # data exchange (+AQE read); no extra
+    # WindowGroupLimit = rank-limit pushdown thins versions map-side
+    assert "WindowGroupLimit" in p
+
+
+def test_minhash_has_no_cartesian_and_no_groupby_shuffle(plans):
+    p = plans("x1b_minhash_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # signature is row-local now: no hashpartitioning on doc_id before
+    # the band join (only the band-key join + dedup shuffles remain)
+    assert "Generate explode" not in p or "hashpartitioning(doc_id" not in p
+
+
+def test_simhash_is_map_only(plans):
+    p = plans("x1c_simhash")
+    # row-local rewrite: no aggregate exchange at all; the only
+    # exchange is the explicit fan_out round-robin
+    exchanges = [
+        l for l in p.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert not exchanges
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    p = plans("x2_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p  # tiny query set x corpus
+    assert "WindowGroupLimit" in p  # top-k pruned map-side
+
+
+def test_neardup_joins_on_bucket(plans):
+    p = plans("x2c_cosine_neardup")
+    assert "CartesianProduct" not in p
