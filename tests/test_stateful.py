@@ -1,0 +1,81 @@
+"""applyInPandasWithState: per-entity progress over a real stream
+converges to the batch groupBy answer across micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from peerdb_cdc_psql_clickhouse_spark.catalog import change_event_schema
+from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
+    read_changes_stream,
+    write_change_batches,
+)
+from peerdb_cdc_psql_clickhouse_spark.streaming.stateful import (
+    entity_progress,
+)
+
+ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_entity_progress_converges(spark, tmp_path):
+    import datetime as dt
+
+    rows = []
+    ops = ["insert", "update", "update", "delete"]
+    for v in range(40):
+        rows.append(
+            (
+                ops[v % 4],
+                v,
+                dt.datetime(2026, 1, 1, 0, 0, v % 60),
+                v % 7,
+                float(v),
+            )
+        )
+    changes = spark.createDataFrame(rows, change_event_schema(ROW_SCHEMA))
+    path = str(tmp_path / "changes")
+    write_change_batches(changes, path, rows_per_batch=10)
+
+    stream = read_changes_stream(
+        spark, path, change_event_schema(ROW_SCHEMA), max_files_per_trigger=1
+    )
+    seen: dict[int, dict] = {}
+
+    def capture(batch, batch_id):
+        for r in batch.collect():
+            seen[r["entity_id"]] = r.asDict()
+
+    q = (
+        entity_progress(stream)
+        .writeStream.outputMode("update")
+        .queryName("progress_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        r["entity_id"]: r.asDict()
+        for r in changes.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.max("_version").alias("max_version"),
+            F.sum(F.when(F.col("_op") == "insert", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("_op") == "update", 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("_op") == "delete", 1).otherwise(0)).alias("n_delete"),
+        )
+        .collect()
+    }
+    assert len(seen) == 7
+    for eid, want in expect.items():
+        got = seen[eid]
+        for k in ("n_ops", "max_version", "n_insert", "n_update", "n_delete"):
+            assert got[k] == want[k], (eid, k, got, want)
