@@ -137,6 +137,75 @@ def events_as_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "c1_snapshot_parity",
+    "SELECT COUNT(*) AS src_cnt, COUNT(*) AS tgt_cnt, 0 AS lag FROM events",
+    doc="O-C1 initial snapshot (flow-snapshot-worker analog, "
+    "docker-compose.yml:167-175): full copy to a target dir, read "
+    "back, count parity — the reference's own verification "
+    "(monitor.ps1:722-763) against a live snapshot",
+)
+def c1_snapshot_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="snap_")
+    try:
+        src = events_as_changes(spark, sf_dir)
+        snapshot(src, f"{work}/target")
+        tgt = spark.read.parquet(f"{work}/target")
+        row = (
+            src.agg(F.count(F.lit(1)).alias("src_cnt"))
+            .crossJoin(tgt.agg(F.count(F.lit(1)).alias("tgt_cnt")))
+            .select(
+                "src_cnt",
+                "tgt_cnt",
+                (F.col("src_cnt") - F.col("tgt_cnt")).cast("int").alias("lag"),
+            )
+        )
+        # materialize before the temp dir is removed
+        rows = row.collect()
+        return spark.createDataFrame(rows, row.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@declare(
+    "c2_change_feed",
+    _CHANGES_SQL_CTE + "SELECT * FROM changes",
+    doc="O-C2 continuous capture feed: the ordered change envelope "
+    "(_op, _version, _ts, cols) as derived from the WAL analog "
+    "(wal_level=logical docker-compose.yml:66-67; ops "
+    "monitor.ps1:833-835)",
+)
+def c2_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_changes(spark, sf_dir)
+
+
+@declare(
+    "c3_rename_mapping",
+    """
+SELECT * FROM (VALUES
+  ('public', 'customers', 'target', 'public_customers'),
+  ('public', 'orders', 'target', 'public_orders'),
+  ('public', 'products', 'target', 'public_products')
+) AS t(src_schema, src_table, tgt_database, tgt_table)
+""",
+    doc="O-C3 table rename mapping public.orders -> target."
+    "public_orders (monitor.ps1:648-651; expected tables "
+    "peerdb_config.yaml:47-53)",
+)
+def c3_rename_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [
+        ("public", t, "target", target_table_name("public", t))
+        for t in ("customers", "orders", "products")
+    ]
+    return spark.createDataFrame(
+        rows, "src_schema string, src_table string, "
+        "tgt_database string, tgt_table string"
+    )
+
+
+@declare(
     "c4_cdc_apply_latest",
     _CHANGES_SQL_CTE
     + """

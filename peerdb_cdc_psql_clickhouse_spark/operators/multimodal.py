@@ -252,3 +252,22 @@ def x5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@declare(
+    "x5b_approx_quantiles",
+    None,  # sketch-based; rows-only check
+    doc="O-X5 quantile sketch at scale: percentile_approx "
+    "(single-pass, bounded memory) over event values — the monitor's "
+    "avg/max/min batch stats (insert.ps1:370-372) upgraded to "
+    "distribution shape",
+)
+def x5b_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias(
+            "value_p50_p90_p99"
+        ),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
