@@ -296,6 +296,114 @@ def x2c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb)
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer + inverted lists + probe.
+# Centroids are a deterministic subset of the corpus (vec_id <
+# N_CENTROIDS — a real system would k-means; the INDEX STRUCTURE is
+# what matters). Every vector is assigned to its nearest centroid
+# (broadcast join + map-side WindowGroupLimit argmin); queries probe
+# the NPROBE nearest lists only. At 100 TB the assignment table is
+# written bucketed by centroid_id, so a probe is a partition-pruned
+# scan of ~NPROBE/N_CENTROIDS of the data.
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+def _l2(a: F.Column, b: F.Column) -> F.Column:
+    d = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, n_nearest: int = 1
+) -> DataFrame:
+    """(vec_id, centroid_id[, rank]) nearest-centroid assignment."""
+    from pyspark.sql import Window
+
+    dist = _l2(F.col("embedding"), F.col("c_vec"))
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "embedding",
+        F.col("c_id").alias("centroid_id"),
+        dist.alias("l2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("l2"), F.asc("centroid_id")
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_nearest)
+        .select("vec_id", "embedding", "centroid_id", "crank")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF probe search: top-k cosine among vectors whose inverted
+    list is one of the query's nprobe nearest centroids."""
+    from pyspark.sql import Window
+
+    centroids = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    lists = ivf_assign(emb, centroids, 1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    probes = (
+        ivf_assign(
+            emb.join(F.broadcast(query_ids), "vec_id"), centroids, nprobe
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "centroid_id",
+        )
+    )
+    cand = lists.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
+        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
+    )
+    scored = cand.select(
+        "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "vec_id", "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@declare(
+    "x2d_ann_ivf",
+    None,  # approximate by construction; rows-only check
+    doc="O-X2/brief: IVF-style ANN — deterministic coarse centroids, "
+    "inverted lists via broadcast argmin assignment, nprobe-bounded "
+    "search (partition-prunable by centroid_id at scale)",
+)
+def x2d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_topk_ivf(emb, qids)
+
+
 @declare(
     "x2b_ann_lsh",
     None,  # approximate by construction; driver rows-only check

@@ -191,6 +191,36 @@ def test_mirror_compact_preserves_state(spark, tmp_path, mirror):
     assert mirror._read_delta() is None
 
 
+def test_windowed_op_counts_through_real_stream(spark, tmp_path):
+    """O-C10 streaming path: watermark + window over a file-source
+    stream, drained with availableNow, matches batch totals."""
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    stream = spark.readStream.schema(
+        change_event_schema(ROW_SCHEMA).add("_batch", "integer")
+    ).option("basePath", changes_dir).parquet(changes_dir).drop("_batch")
+    got = {}
+
+    def capture(batch, batch_id):
+        # update mode: last emission per (window, op) is the total
+        for r in batch.collect():
+            got[(r["window_start"], r["_op"])] = r["cnt"]
+
+    q = (
+        windowed_op_counts(stream, watermark="1 minute")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_op = {}
+    for (_, op), cnt in got.items():
+        by_op[op] = by_op.get(op, 0) + cnt
+    assert by_op == {"insert": 4, "update": 3, "delete": 2}
+
+
 def test_windowed_op_counts_batch_semantics(spark):
     """O-C10: same aggregation runs on a static frame (streaming uses
     identical expressions; watermark only bounds state)."""
