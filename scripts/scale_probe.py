@@ -1,0 +1,99 @@
+"""Scale probe: run the heavy operators on Nx self-unioned copies of
+the sf0.1 tables (ids offset per copy so keys stay distinct) and
+report wall time per scale. Linear-or-better growth here is the
+evidence that the operator graphs (row-local signatures, band/bucket
+equi-joins, single-shuffle apply) hold as data grows — the knob that
+matters at 100 TB, where parallelism comes from file splits instead
+of the fan_out rebalance used on this single-file testdata.
+
+Usage: python scripts/scale_probe.py [multipliers...]   (default 1 4 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+from peerdb_cdc_psql_clickhouse_spark.operators.cdc import latest_state
+from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+)
+from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+    cosine_neardup_pairs,
+)
+from peerdb_cdc_psql_clickhouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df: DataFrame, id_col: str, n: int, id_stride: int) -> DataFrame:
+    out = df
+    for i in range(1, n):
+        out = out.unionByName(
+            df.withColumn(id_col, F.col(id_col) + i * id_stride)
+        )
+    return out
+
+
+def probe(spark, mult: int) -> dict[str, float]:
+    docs = replicate(
+        load_table(spark, SF_DIR, "documents"), "doc_id", mult, 10_000_000
+    )
+    emb = replicate(
+        load_table(spark, SF_DIR, "embeddings"), "vec_id", mult, 10_000_000
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    changes = replicate(
+        ev.select(
+            (F.col("event_id") % 257).alias("entity_id"),
+            F.lit("update").alias("_op"),
+            F.col("event_id").alias("_version"),
+            F.col("ts").alias("_ts"),
+            F.col("value"),
+        ),
+        "_version",
+        mult,
+        10_000_000,
+    )
+    jobs = {
+        "minhash_lsh": lambda: lsh_candidate_pairs(
+            minhash_signature(docs, "doc_id", "text"), "doc_id"
+        ),
+        "simhash": lambda: simhash(docs, "doc_id", "text"),
+        "cosine_neardup": lambda: cosine_neardup_pairs(emb),
+        "cdc_apply": lambda: latest_state(changes, ["entity_id"]),
+    }
+    res = {}
+    for name, build in jobs.items():
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        res[name] = round(time.perf_counter() - t0, 2)
+    return res
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out = {}
+    for m in mults:
+        out[m] = probe(spark, m)
+        print(json.dumps({"mult": m, **out[m]}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
