@@ -74,6 +74,29 @@ def cdc_stress(spark, sf_dir: str, n_rows: int = 5000, batch: int = 500) -> dict
         drain_s = time.perf_counter() - t0
         applied = mirror.read_target().count()
         n_batches = len(q.recentProgress)
+
+        # bulk mode: ALL events in one micro-batch (the reference's
+        # batch-size knob turned up) — raw apply bandwidth
+        bulk = events_as_changes(spark, sf_dir)
+        n_bulk = bulk.count()
+        write_change_batches(bulk, f"{work}/bulk", rows_per_batch=n_bulk)
+        bulk_mirror = Mirror(
+            spark,
+            name="bench_bulk",
+            schema="public",
+            table="orders_bulk",
+            key_cols=["entity_id"],
+            row_schema=row_schema,
+            target_root=f"{work}/wh_bulk",
+            checkpoint_root=f"{work}/ckpt_bulk",
+        )
+        t1 = time.perf_counter()
+        qb = bulk_mirror.start(
+            f"{work}/bulk", available_now=True, max_files_per_trigger=None
+        )
+        qb.awaitTermination(300)
+        bulk_s = time.perf_counter() - t1
+
         return {
             "rows": n_rows,
             "batch_size": batch,
@@ -81,6 +104,9 @@ def cdc_stress(spark, sf_dir: str, n_rows: int = 5000, batch: int = 500) -> dict
             "drain_sec": round(drain_s, 3),
             "ops_per_sec": round(n_rows / drain_s, 2),
             "target_keys": applied,
+            "bulk_rows": n_bulk,
+            "bulk_sec": round(bulk_s, 3),
+            "bulk_rows_per_sec": round(n_bulk / bulk_s, 2),
             "baseline_ops_per_sec": 41.82,
             "baseline_raw_rows_per_sec": 1190,
         }
@@ -106,11 +132,17 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         q = queries[name]
         t0 = time.perf_counter()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            q.build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - isolate per-query faults
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
     stress = cdc_stress(spark, sf_dir)
 
@@ -124,6 +156,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cdc_stress": stress,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
