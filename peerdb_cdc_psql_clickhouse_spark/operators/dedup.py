@@ -345,12 +345,22 @@ def x1c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard: exact Jaccard over distinct word 3-grams for pairs
-# that share at least one 3-gram (inverted-index join — never all pairs).
+# n-gram Jaccard: exact Jaccard over distinct word 3-grams. Candidate
+# pairs come from an inverted-index join restricted to grams whose
+# document frequency is <= GRAM_DF_CAP — the skew guard: without it a
+# single ubiquitous gram produces df^2 join rows at scale. Jaccard
+# itself is then computed row-locally (array_intersect of the two
+# docs' full gram sets), so the cap only bounds candidate generation,
+# never distorts the similarity value. Pairs sharing ONLY
+# above-cap grams are dropped by design (such grams carry no near-dup
+# signal); the oracle mirrors the cap exactly.
 # ---------------------------------------------------------------------------
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.8
+# max docs a gram may appear in and still generate candidates; at
+# 100 TB tune so df_cap^2 stays a sane per-gram join fan-out
+GRAM_DF_CAP = 1000
 
 
 @declare(
@@ -361,67 +371,73 @@ WITH toks AS (
          list_filter(string_split_regex(lower(text), '\\s+'),
                      t -> t <> '') AS tokens
   FROM documents
-), grams AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(
+), gsets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
            generate_series(1, greatest(len(tokens) - {NGRAM_N} + 1, 1)),
-           i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS gram
+           i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS grams
   FROM toks
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+), inv AS (
+  SELECT doc_id, unnest(grams) AS gram FROM gsets
+), rare AS (
+  SELECT gram FROM inv GROUP BY gram HAVING COUNT(*) <= {GRAM_DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN rare USING (gram)
+  JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(ga.grams, gb.grams)) AS n_common,
+         len(ga.grams) + len(gb.grams)
+           - len(list_intersect(ga.grams, gb.grams)) AS n_union
+  FROM cand
+  JOIN gsets ga ON ga.doc_id = id_a
+  JOIN gsets gb ON gb.doc_id = id_b
 )
 SELECT id_a, id_b,
-       FLOOR((CAST(n_common AS DOUBLE) /
-              (sa.n_grams + sb.n_grams - n_common)) * 10000.0 + 0.5) / 10000.0
+       FLOOR((CAST(n_common AS DOUBLE) / n_union) * 10000.0 + 0.5) / 10000.0
        AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
-      >= {JACCARD_THRESHOLD}
+FROM scored
+WHERE CAST(n_common AS DOUBLE) / n_union >= {JACCARD_THRESHOLD}
 """,
-    doc="O-X1 n-gram Jaccard near-dup: distinct 3-gram inverted-index "
-    "join (only docs sharing a gram are compared), exact Jaccard, "
-    "threshold 0.8",
+    doc="O-X1 n-gram Jaccard near-dup: df-capped inverted-index "
+    "candidates (skew-safe), exact Jaccard via row-local gram-set "
+    "intersection, threshold 0.8",
 )
 def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import fround
     from ..plans.layout import fan_out, reuse
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = reuse(
-        fan_out(docs)
-        .select(
-            "doc_id", F.explode(_shingles(F.col("text"), NGRAM_N)).alias("gram")
+    gsets = reuse(
+        fan_out(docs).select(
+            "doc_id",
+            F.array_distinct(_shingles(F.col("text"), NGRAM_N)).alias("grams"),
         )
-        .dropDuplicates(["doc_id", "gram"])
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "gram")
-    b = grams.select(F.col("doc_id").alias("id_b"), "gram")
-    inter = (
-        a.join(b, "gram")
+    inv = gsets.select("doc_id", F.explode("grams").alias("gram"))
+    rare = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= GRAM_DF_CAP)
+        .select("gram")
+    )
+    inv_rare = inv.join(rare, "gram")
+    cand = (
+        inv_rare.select(F.col("doc_id").alias("id_a"), "gram")
+        .join(inv.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb"))
-    from ..functions.numeric import fround
-
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
+    ga = gsets.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    gb = gsets.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    n_common = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    n_union = F.size("ga") + F.size("gb") - n_common
+    jac = n_common.cast("double") / n_union
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            "id_a",
-            "id_b",
-            fround(jac, 4).alias("jaccard"),
-        )
+        .select("id_a", "id_b", fround(jac, 4).alias("jaccard"))
     )
