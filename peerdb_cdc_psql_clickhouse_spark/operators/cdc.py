@@ -298,6 +298,45 @@ def c11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "c12_sliding_window",
+    f"""
+WITH starts AS (
+  SELECT event_type, value, ts,
+         unnest([
+           CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+           CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+                AS TIMESTAMP)
+         ]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS cnt,
+       {dsum_sql('value')} AS total_value
+FROM starts
+WHERE ts < window_start + INTERVAL 1 HOUR
+GROUP BY window_start, event_type
+""",
+    doc="O-C10 sliding window (1 h window, 30 min slide): each event "
+    "lands in 2 overlapping windows — Spark's window() duplication "
+    "reproduced in SQL by unnesting the two candidate starts",
+)
+def c12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+@declare(
     "c10_tumbling_window",
     f"""
 SELECT date_trunc('hour', ts) AS window_start,

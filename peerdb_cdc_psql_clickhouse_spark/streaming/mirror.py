@@ -56,6 +56,7 @@ class Mirror:
         row_schema: T.StructType,
         target_root: str,
         checkpoint_root: str,
+        n_buckets: int = 0,
     ) -> None:
         self.spark = spark
         self.name = name
@@ -65,14 +66,71 @@ class Mirror:
         self.target_dir = f"{target_root}/{self.target_table}"
         self.checkpoint = f"{checkpoint_root}/{name}"
         self._data_cols = [f.name for f in row_schema.fields]
+        # n_buckets > 0: base/delta are dir-partitioned by a pk-hash
+        # bucket, so point lookups and the merge shuffle prune to one
+        # bucket's files (the SURVEY §4 pk-bucket layout)
+        self.n_buckets = n_buckets
+
+    def _bucket_col(self):
+        return F.pmod(
+            F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+        ).alias("_bucket")
 
     # -- O-C1 snapshot -----------------------------------------------------
     def snapshot(self, source: DataFrame) -> None:
         """Initial full copy (flow-snapshot-worker analog). Overwrite =
         idempotent re-snapshot; goes to base/, leaving delta intact-free."""
-        source.select(*self._data_cols).write.mode("overwrite").parquet(
-            f"{self.target_dir}/base"
+        self._write_base(
+            source.select(*self._data_cols), f"{self.target_dir}/base"
         )
+
+    def _write_base(self, df: DataFrame, path: str) -> None:
+        if self.n_buckets:
+            (
+                df.select("*", self._bucket_col())
+                .repartition("_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(path)
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def _typed_lit(self, col: str, value):
+        field = self.row_schema[col]
+        return F.lit(value).cast(field.dataType)
+
+    def bucket_of(self, **key_values) -> int:
+        """The pk-hash bucket a key lives in — evaluated through Spark
+        so it uses the same murmur hash, with literals cast to the
+        exact column types (hash(int32) != hash(int64))."""
+        expr = F.pmod(
+            F.hash(*[self._typed_lit(c, key_values[c]) for c in self.key_cols]),
+            F.lit(self.n_buckets),
+        ).alias("b")
+        return self.spark.range(1).select(expr).collect()[0]["b"]
+
+    # -- pruned point lookup over the bucketed base ------------------------
+    def lookup(self, **key_values) -> DataFrame:
+        """Point lookup on the converged state. With n_buckets set, the
+        base scan carries an explicit _bucket predicate, so it is
+        partition-pruned to one bucket dir (PartitionFilters in the
+        plan — verified by tests)."""
+        cond = None
+        for k, v in key_values.items():
+            c = F.col(k) == self._typed_lit(k, v)
+            cond = c if cond is None else cond & c
+        base = self._read_base()
+        if base is not None:
+            if self.n_buckets:
+                base = base.filter(
+                    F.col("_bucket") == F.lit(self.bucket_of(**key_values))
+                )
+            base = base.filter(cond).select(*self._data_cols)
+        delta = self._read_delta()
+        if delta is not None:
+            delta = delta.filter(cond)
+        return self._merge(base, delta, keep_deletes=False)
 
     # -- O-C2/C3/C5/C7/C8 streaming apply ---------------------------------
     def start(
@@ -122,11 +180,20 @@ class Mirror:
     def read_target(self, keep_deletes: bool = False) -> DataFrame:
         """Current converged state: base ∪ delta, max-version-wins."""
         base = self._read_base()
-        delta = self._read_delta()
+        if base is not None:
+            base = base.select(*self._data_cols)
+        return self._merge(base, self._read_delta(), keep_deletes)
+
+    def _merge(
+        self,
+        base: DataFrame | None,
+        delta: DataFrame | None,
+        keep_deletes: bool,
+    ) -> DataFrame:
         if base is None and delta is None:
             return self.spark.createDataFrame([], self.row_schema)
         if delta is None:
-            return base.select(*self._data_cols)  # type: ignore[union-attr]
+            return base  # type: ignore[return-value]
         parts = delta
         if base is not None:
             base_as_changes = base.select(
@@ -141,10 +208,11 @@ class Mirror:
 
     def compact(self) -> None:
         """Fold delta into base (MergeTree background-merge analog).
-        Writes the merged state to a fresh dir then swaps — readers
-        never see a half-merged base."""
+        Writes the merged state to a fresh dir (re-bucketed when the
+        mirror is bucketed) then swaps — readers never see a
+        half-merged base."""
         tmp = f"{self.target_dir}/base_compacting"
-        self.read_target().write.mode("overwrite").parquet(tmp)
+        self._write_base(self.read_target(), tmp)
         shutil.rmtree(f"{self.target_dir}/base", ignore_errors=True)
         shutil.rmtree(f"{self.target_dir}/delta", ignore_errors=True)
         shutil.move(tmp, f"{self.target_dir}/base")
@@ -164,8 +232,14 @@ class Mirror:
         )
 
     def _read_base(self) -> DataFrame | None:
+        schema = self.row_schema
+        if self.n_buckets:
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_bucket", T.IntegerType())]
+            )
         try:
-            return self.spark.read.schema(self.row_schema).parquet(
+            return self.spark.read.schema(schema).parquet(
                 f"{self.target_dir}/base"
             )
         except Exception:

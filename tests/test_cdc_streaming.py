@@ -191,6 +191,50 @@ def test_mirror_compact_preserves_state(spark, tmp_path, mirror):
     assert mirror._read_delta() is None
 
 
+def test_bucketed_mirror_lookup_prunes_partitions(spark, tmp_path):
+    """pk-bucketed base: point lookups carry an explicit _bucket
+    predicate and the parquet scan prunes to one bucket dir."""
+    import contextlib
+    import io
+
+    m = Mirror(
+        spark,
+        name="mirror_b",
+        schema="public",
+        table="tb",
+        key_cols=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "warehouse"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        n_buckets=8,
+    )
+    snap = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], ROW_SCHEMA
+    )
+    m.snapshot(snap)
+
+    # converged state intact after bucketed snapshot + apply + compact
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    m.start(changes_dir, available_now=True).awaitTermination(120)
+    got = m.lookup(id=1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(_bucket" in plan or (
+        "_bucket" in plan and "PartitionFilters" in plan
+    )
+    assert [r["val"] for r in got.collect()] == ["a3"]  # updated by stream
+
+    m.compact()
+    assert [r["val"] for r in m.lookup(id=1).collect()] == ["a3"]
+    assert m.lookup(id=3).count() == 0  # deleted key
+    # snapshot ids 0..99; stream applies EVENTS over ids 1,2,3
+    # (final: 1->a3, 2->b-re, 3 deleted)
+    assert m.read_target().count() == 99
+
+
 def test_windowed_op_counts_through_real_stream(spark, tmp_path):
     """O-C10 streaming path: watermark + window over a file-source
     stream, drained with availableNow, matches batch totals."""
