@@ -345,21 +345,21 @@ def x1c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard: exact Jaccard over distinct word 3-grams. Candidate
-# pairs come from an inverted-index join restricted to grams whose
-# document frequency is <= GRAM_DF_CAP — the skew guard: without it a
-# single ubiquitous gram produces df^2 join rows at scale. Jaccard
-# itself is then computed row-locally (array_intersect of the two
-# docs' full gram sets), so the cap only bounds candidate generation,
-# never distorts the similarity value. Pairs sharing ONLY
-# above-cap grams are dropped by design (such grams carry no near-dup
-# signal); the oracle mirrors the cap exactly.
+# n-gram Jaccard near-dup: Jaccard over each document's DISTINCT word
+# 3-grams, restricted to grams with document frequency <= GRAM_DF_CAP
+# (rare-gram Jaccard). The cap is the skew guard AND the semantics:
+# a ubiquitous gram produces df^2 candidate rows at scale while
+# carrying zero near-dup signal — an idf-style cutoff, applied to
+# numerator and denominator alike so the measure stays a true Jaccard
+# (of capped gram sets). Shared-gram counts come from per-gram
+# inverted lists (one groupBy shuffle + row-local pair combos), never
+# a string-keyed self-join.
 # ---------------------------------------------------------------------------
 
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.8
-# max docs a gram may appear in and still generate candidates; at
-# 100 TB tune so df_cap^2 stays a sane per-gram join fan-out
+# max docs a gram may appear in and still participate; at 100 TB tune
+# so df_cap^2 stays a sane per-gram pair fan-out
 GRAM_DF_CAP = 1000
 
 
@@ -371,73 +371,89 @@ WITH toks AS (
          list_filter(string_split_regex(lower(text), '\\s+'),
                      t -> t <> '') AS tokens
   FROM documents
-), gsets AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(tokens) - {NGRAM_N} + 1, 1)),
-           i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS grams
-  FROM toks
 ), inv AS (
-  SELECT doc_id, unnest(grams) AS gram FROM gsets
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tokens) - {NGRAM_N} + 1, 1)),
+           i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' ')))) AS gram
+  FROM toks
 ), rare AS (
-  SELECT gram FROM inv GROUP BY gram HAVING COUNT(*) <= {GRAM_DF_CAP}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM inv a JOIN rare USING (gram)
-  JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
-), scored AS (
-  SELECT id_a, id_b,
-         len(list_intersect(ga.grams, gb.grams)) AS n_common,
-         len(ga.grams) + len(gb.grams)
-           - len(list_intersect(ga.grams, gb.grams)) AS n_union
-  FROM cand
-  JOIN gsets ga ON ga.doc_id = id_a
-  JOIN gsets gb ON gb.doc_id = id_b
+  SELECT doc_id, gram FROM inv
+  QUALIFY COUNT(*) OVER (PARTITION BY gram) <= {GRAM_DF_CAP}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM rare GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
 SELECT id_a, id_b,
-       FLOOR((CAST(n_common AS DOUBLE) / n_union) * 10000.0 + 0.5) / 10000.0
-       AS jaccard
-FROM scored
-WHERE CAST(n_common AS DOUBLE) / n_union >= {JACCARD_THRESHOLD}
+       FLOOR((CAST(n_common AS DOUBLE) /
+              (sa.n_grams + sb.n_grams - n_common)) * 10000.0 + 0.5)
+         / 10000.0 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - n_common)
+      >= {JACCARD_THRESHOLD}
 """,
-    doc="O-X1 n-gram Jaccard near-dup: df-capped inverted-index "
-    "candidates (skew-safe), exact Jaccard via row-local gram-set "
-    "intersection, threshold 0.8",
+    doc="O-X1 n-gram Jaccard near-dup over df-capped distinct 3-grams "
+    "(idf-style skew guard); shared counts via per-gram inverted "
+    "lists + pair combos, threshold 0.8",
 )
 def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import fround
     from ..plans.layout import fan_out, reuse
 
     docs = load_table(spark, sf_dir, "documents")
-    gsets = reuse(
-        fan_out(docs).select(
-            "doc_id",
-            F.array_distinct(_shingles(F.col("text"), NGRAM_N)).alias("grams"),
+    inv = fan_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_shingles(F.col("text"), NGRAM_N))
+        ).alias("gram"),
+    )
+    # per-gram inverted lists: ONE shuffle keyed by gram; the df cap
+    # bounds each list, so pair generation is a row-local combo explode
+    lists = reuse(
+        inv.groupBy("gram")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") <= GRAM_DF_CAP)
+    )
+    sizes = (
+        lists.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    sorted_ids = F.array_sort("ids")
+    combos = F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
     )
-    inv = gsets.select("doc_id", F.explode("grams").alias("gram"))
-    rare = (
-        inv.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= GRAM_DF_CAP)
-        .select("gram")
+    inter = (
+        lists.filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    inv_rare = inv.join(rare, "gram")
-    cand = (
-        inv_rare.select(F.col("doc_id").alias("id_a"), "gram")
-        .join(inv.select(F.col("doc_id").alias("id_b"), "gram"), "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("n_grams").alias("na")
     )
-    ga = gsets.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    gb = gsets.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    n_common = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    n_union = F.size("ga") + F.size("gb") - n_common
-    jac = n_common.cast("double") / n_union
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("n_grams").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", fround(jac, 4).alias("jaccard"))
     )
