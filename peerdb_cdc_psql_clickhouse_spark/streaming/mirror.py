@@ -254,6 +254,63 @@ class Mirror:
             return None
 
 
+class MirrorSet:
+    """Multi-table mirror (README.md:120: table selection in one
+    mirror; the reference replicates customers/products/orders
+    together). One Mirror per table, shared warehouse/checkpoint
+    roots, combined parity report — the monitor's per-table flow
+    analysis (monitor.ps1:703-794)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        schema: str,
+        tables: dict[str, tuple[Sequence[str], T.StructType]],
+        target_root: str,
+        checkpoint_root: str,
+        n_buckets: int = 0,
+    ) -> None:
+        self.mirrors = {
+            table: Mirror(
+                spark,
+                name=f"{name}_{table}",
+                schema=schema,
+                table=table,
+                key_cols=key_cols,
+                row_schema=row_schema,
+                target_root=target_root,
+                checkpoint_root=checkpoint_root,
+                n_buckets=n_buckets,
+            )
+            for table, (key_cols, row_schema) in tables.items()
+        }
+
+    def snapshot_all(self, sources: dict[str, DataFrame]) -> None:
+        for table, df in sources.items():
+            self.mirrors[table].snapshot(df)
+
+    def start_all(self, changes_dirs: dict[str, str], **kw) -> list:
+        return [
+            self.mirrors[t].start(d, **kw) for t, d in changes_dirs.items()
+        ]
+
+    def parity_report(self, sources: dict[str, DataFrame]) -> DataFrame:
+        """Per-table lag + classification (monitor.ps1:743-755)."""
+        out = None
+        for table, src in sources.items():
+            p = self.mirrors[table].parity(src)
+            out = p if out is None else out.unionByName(p)
+        assert out is not None
+        return out.select(
+            "*",
+            F.when(F.col("lag") == 0, "SYNCED")
+            .when(F.abs("lag") <= 5, "NEAR_SYNC")
+            .otherwise("LAG")
+            .alias("status"),
+        )
+
+
 # -- O-C9 stream status introspection (README.md:238-241; monitor §4) ------
 
 STATUS_SCHEMA = T.StructType(

@@ -23,6 +23,7 @@ from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
 )
 from peerdb_cdc_psql_clickhouse_spark.streaming.mirror import (
     Mirror,
+    MirrorSet,
     stream_status,
     windowed_op_counts,
 )
@@ -233,6 +234,74 @@ def test_bucketed_mirror_lookup_prunes_partitions(spark, tmp_path):
     # snapshot ids 0..99; stream applies EVENTS over ids 1,2,3
     # (final: 1->a3, 2->b-re, 3 deleted)
     assert m.read_target().count() == 99
+
+
+def test_mirror_set_three_tables(spark, tmp_path):
+    """The reference's full mirror: customers/products/orders
+    replicated together, per-table parity all SYNCED
+    (quickstart_prepare_peers.sh tables; monitor §4 report)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.relational import (
+        seed_frames,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.catalog import (
+        CUSTOMERS_SCHEMA,
+        ORDERS_SCHEMA,
+        PRODUCTS_SCHEMA,
+    )
+
+    customers, products, orders = seed_frames(spark)
+    ms = MirrorSet(
+        spark,
+        name="ref_mirror",
+        schema="public",
+        tables={
+            "customers": (["id"], CUSTOMERS_SCHEMA),
+            "products": (["id"], PRODUCTS_SCHEMA),
+            "orders": (["id"], ORDERS_SCHEMA),
+        },
+        target_root=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    ms.snapshot_all(
+        {"customers": customers, "products": products, "orders": orders}
+    )
+
+    # stream a change feed for orders only: one insert, one delete
+    import datetime as dt
+
+    new_orders = spark.createDataFrame(
+        [
+            ("insert", 1, dt.datetime(2026, 1, 1), 10006,
+             dt.date(2026, 1, 1), 1004, 7, 103),
+            ("delete", 2, dt.datetime(2026, 1, 1), 10001,
+             None, None, None, None),
+        ],
+        change_event_schema(ORDERS_SCHEMA),
+    )
+    changes_dir = str(tmp_path / "orders_changes")
+    write_change_batches(new_orders, changes_dir, rows_per_batch=10)
+    for q in ms.start_all({"orders": changes_dir}, available_now=True):
+        q.awaitTermination(120)
+
+    final_orders = ms.mirrors["orders"].read_target()
+    assert final_orders.count() == 5  # 5 seed + 1 insert - 1 delete
+
+    # independent expected source state: seed -10001 +10006
+    expected_orders = orders.filter(F.col("id") != 10001).unionByName(
+        spark.createDataFrame(
+            [(10006, dt.date(2026, 1, 1), 1004, 7, 103)], ORDERS_SCHEMA
+        )
+    )
+    report = ms.parity_report(
+        {
+            "customers": customers,
+            "products": products,
+            "orders": expected_orders,
+        }
+    )
+    rows = {r["table_name"]: r for r in report.collect()}
+    assert set(rows) == {"public_customers", "public_products", "public_orders"}
+    assert all(r["status"] == "SYNCED" and r["lag"] == 0 for r in rows.values())
 
 
 def test_windowed_op_counts_through_real_stream(spark, tmp_path):
