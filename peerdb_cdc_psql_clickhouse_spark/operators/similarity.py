@@ -168,8 +168,16 @@ def ann_topk_lsh(
     query_ids: DataFrame,
     k: int = TOP_K,
     n_planes: int = N_PLANES,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the same hyperplane bucket.
+    """ANN top-k: candidates restricted to the query's hyperplane
+    bucket. multi_probe=1 additionally probes every bucket at Hamming
+    distance 1 (n_planes+1 buckets/query) — the standard recall knob:
+    the probe side is exploded (broadcast, tiny), the corpus is still
+    touched via a keyed equi-join only. Recall depends on neighbor
+    closeness: sign-LSH concentrates genuinely-near pairs (cos -> 1)
+    into shared buckets; for near-orthogonal 'neighbors' use IVF
+    (ann_topk_ivf) instead.
     query_ids: DataFrame with a vec_id column selecting query vectors."""
     from pyspark.sql import Window
 
@@ -182,6 +190,17 @@ def ann_topk_lsh(
             F.col("bucket"),
         )
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "q_id", "q_vec", F.explode(probes).alias("bucket")
+        )
     cand = bucketed.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
@@ -192,7 +211,7 @@ def ann_topk_lsh(
         "q_id",
         "vec_id",
         fround(sim, 6).alias("cosine_sim"),
-    )
+    ).dropDuplicates(["q_id", "vec_id"])  # multi-probe may re-find a pair
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

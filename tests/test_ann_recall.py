@@ -1,0 +1,83 @@
+"""ANN quality tests with planted near-duplicates.
+
+The driver testdata's embeddings are near-orthogonal (max cosine
+~0.4), which is the regime where sign-LSH buckets legitimately can't
+concentrate 'neighbors' — so recall is measured the way ANN systems
+are actually evaluated: plant true near-duplicates (tiny
+perturbations, cosine ~0.999) and require the index to find them.
+IVF recall is additionally checked on the natural data against brute
+force."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_lsh,
+    cosine_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+N_PLANTED = 20
+OFFSET = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus + near-dup copies of vec_id < N_PLANTED (deterministic
+    tiny perturbation: scale one coordinate by 1.01)."""
+    emb = load_table(spark, SF, "embeddings")
+    dups = (
+        emb.filter(F.col("vec_id") < N_PLANTED)
+        .select(
+            (F.col("vec_id") + OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x * 1.01).otherwise(x),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    return emb.unionByName(dups)
+
+
+def test_lsh_multiprobe_finds_planted_neardups(spark, planted):
+    qids = planted.select("vec_id").filter(F.col("vec_id") >= OFFSET)
+    got = ann_topk_lsh(planted, qids, k=1, multi_probe=1).collect()
+    hits = sum(
+        1 for r in got if r["vec_id"] == r["q_id"] - OFFSET and r["rank"] == 1
+    )
+    # a true near-dup (cos ~0.9999) agrees with every hyperplane with
+    # overwhelming probability -> same bucket -> must be found
+    assert hits >= int(N_PLANTED * 0.9)
+
+
+def test_ivf_finds_planted_neardups(spark, planted):
+    qids = planted.select("vec_id").filter(F.col("vec_id") >= OFFSET)
+    got = ann_topk_ivf(planted, qids, k=1).collect()
+    hits = sum(
+        1 for r in got if r["vec_id"] == r["q_id"] - OFFSET and r["rank"] == 1
+    )
+    assert hits >= int(N_PLANTED * 0.9)
+
+
+def test_ivf_recall_vs_brute_force_on_natural_data(spark):
+    emb = load_table(spark, SF, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    queries = emb.join(qids, "vec_id").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in cosine_topk(queries, emb).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"]) for r in ann_topk_ivf(emb, qids).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
