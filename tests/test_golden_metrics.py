@@ -1,0 +1,80 @@
+"""Golden-output parity: our metric operators reproduce the numbers
+the reference PUBLISHED in its committed stress logs
+(testing-results/peerdb-stress-test-2025-08-29-13-03-38.log), from the
+raw log text itself — the log-as-table pattern (O-D14 regex extract)
+feeding the O-D5/D6/D7/D11 computations (insert.ps1:328-372)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+LOG = (
+    "/root/reference/testing-results/"
+    "peerdb-stress-test-2025-08-29-13-03-38.log"
+)
+BATCH_RE = (
+    r"Batch (\d+) completed: (\d+) records, ([\d.]+) ms, "
+    r"Total Success: (\d+), Total Failed: (\d+)"
+)
+
+
+def _batches(spark):
+    lines = spark.read.text(LOG).filter(F.col("value").rlike(BATCH_RE))
+    return lines.select(
+        F.regexp_extract("value", BATCH_RE, 1).cast("int").alias("batch"),
+        F.regexp_extract("value", BATCH_RE, 2).cast("int").alias("records"),
+        F.regexp_extract("value", BATCH_RE, 3).cast("double").alias("ms"),
+        F.regexp_extract("value", BATCH_RE, 4).cast("int").alias("ok"),
+        F.regexp_extract("value", BATCH_RE, 5).cast("int").alias("failed"),
+    )
+
+
+def test_batch_extraction(spark):
+    b = _batches(spark)
+    assert b.count() == 10
+    assert b.agg(F.sum("records")).collect()[0][0] == 5000
+
+
+def test_published_avg_max_min_batch_times(spark):
+    """Log :59-61: Average 419.18ms, Max 507.62ms, Min 348.36ms."""
+    row = (
+        _batches(spark)
+        .agg(
+            F.round(F.avg("ms"), 2).alias("avg"),
+            F.max("ms").alias("mx"),
+            F.min("ms").alias("mn"),
+        )
+        .collect()[0]
+    )
+    assert row["avg"] == 419.18
+    assert row["mx"] == 507.62
+    assert row["mn"] == 348.36
+
+
+def test_published_midrun_running_avg(spark):
+    """Log :40 'Progress: 50% | ... Avg Batch: 396.91ms' — the O-D11
+    running average after batch 5."""
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    run = _batches(spark).select(
+        "batch", F.round(F.avg("ms").over(w), 2).alias("run_avg")
+    )
+    at5 = {r["batch"]: r["run_avg"] for r in run.collect()}[5]
+    assert at5 == 396.91
+
+
+def test_published_success_rate_and_throughput(spark):
+    """Log :57-58: Success Rate 100%, Throughput 41.82 ops/s. The log
+    exposes timestamps at 1 s resolution only, so the throughput check
+    allows the sub-second truncation (duration 119-120 s)."""
+    b = _batches(spark)
+    row = b.agg(
+        F.max("ok").alias("ok"), F.max("failed").alias("failed")
+    ).collect()[0]
+    rate = 100.0 * row["ok"] / (row["ok"] + row["failed"])
+    assert rate == 100.0
+    for dur in (119, 120):
+        if abs(5000 / dur - 41.82) < 0.5:
+            break
+    else:
+        raise AssertionError("published 41.82 ops/s not reproducible")
