@@ -19,6 +19,7 @@ from peerdb_cdc_psql_clickhouse_spark.operators.cdc import (
 )
 from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
     read_changes,
+    read_changes_stream,
     write_change_batches,
 )
 from peerdb_cdc_psql_clickhouse_spark.streaming.mirror import (
@@ -332,6 +333,60 @@ def test_windowed_op_counts_through_real_stream(spark, tmp_path):
     for (_, op), cnt in got.items():
         by_op[op] = by_op.get(op, 0) + cnt
     assert by_op == {"insert": 4, "update": 3, "delete": 2}
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    """CDC enrichment: the orders change stream joined to the static
+    customers dimension (broadcast) INSIDE the streaming query —
+    Structured Streaming's stream-static join, the 100 TB pattern for
+    denormalizing a change feed on the fly."""
+    from peerdb_cdc_psql_clickhouse_spark.catalog import ORDERS_SCHEMA
+    from peerdb_cdc_psql_clickhouse_spark.operators.relational import (
+        seed_frames,
+    )
+    import datetime as dt
+
+    customers, _, _ = seed_frames(spark)
+    changes = spark.createDataFrame(
+        [
+            ("insert", 1, dt.datetime(2026, 1, 1), 10010,
+             dt.date(2026, 1, 2), 1001, 3, 101),
+            ("insert", 2, dt.datetime(2026, 1, 1), 10011,
+             dt.date(2026, 1, 3), 1004, 5, 102),
+        ],
+        change_event_schema(ORDERS_SCHEMA),
+    )
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(changes, changes_dir, rows_per_batch=10)
+
+    stream = read_changes_stream(
+        spark, changes_dir, change_event_schema(ORDERS_SCHEMA),
+        max_files_per_trigger=None,
+    )
+    enriched = stream.join(
+        F.broadcast(customers), stream.purchaser == customers.id
+    ).select(
+        stream.id.alias("order_id"), "email", "_op", "_version"
+    )
+    got = []
+
+    def capture(batch, batch_id):
+        got.extend(r.asDict() for r in batch.collect())
+
+    q = (
+        enriched.writeStream.option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_order = {r["order_id"]: r["email"] for r in got}
+    assert by_order == {
+        10010: "sally.thomas@acme.com",
+        10011: "annek@noanswer.org",
+    }
 
 
 def test_windowed_op_counts_batch_semantics(spark):
