@@ -178,6 +178,57 @@ def x3e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_W = 4  # window of consecutive shingle hashes per fingerprint
+
+
+@declare(
+    "x3f_winnowing",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+), hashes AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(
+             generate_series(1, greatest(len(tokens) - 5 + 1, 1)),
+             i -> array_to_string(tokens[i:i+4], ' ')),
+           s -> CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT)
+         ) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       UNNEST(list_distinct(list_transform(
+         generate_series(1, greatest(len(hs) - {WINNOW_W} + 1, 1)),
+         i -> list_min(hs[i:i+{WINNOW_W - 1}])))) AS fingerprint
+FROM hashes
+""",
+    doc="O-X3/brief: winnowing document fingerprints (rolling scheme: "
+    "minimum shingle hash per sliding window of {w}) — the standard "
+    "robust fingerprint for near-dup/plagiarism detection. Fully "
+    "row-local (array folds + array_distinct before the explode, so "
+    "the per-doc set is deduped map-side); result is scalar rows "
+    "(doc_id, fingerprint), never array-typed columns, for "
+    "engine-portable hashing".format(w=WINNOW_W),
+)
+def x3f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.transform(_shingles(F.col("text"), 5), lambda s: hash64(s))
+    n = F.size(hs)
+    idx = F.sequence(F.lit(1), F.greatest(n - WINNOW_W + 1, F.lit(1)))
+    minima = F.transform(
+        idx, lambda i: F.array_min(F.slice(hs, i, WINNOW_W))
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(minima)).alias("fingerprint"),
+    )
+
+
 @declare(
     "x3d_fingerprint",
     f"""
