@@ -217,13 +217,22 @@ def x3f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    hs = F.transform(_shingles(F.col("text"), 5), lambda s: hash64(s))
+    # Stage the hash array as a real column before the windowed minima:
+    # inlining it into the window lambda makes Catalyst re-evaluate the
+    # whole O(n) md5 array per window position (O(n^2) per doc —
+    # measured 218 s vs <1 s at sf0.1). Multiple references to a
+    # non-cheap alias keep CollapseProject from re-inlining.
+    hashed = docs.select(
+        "doc_id",
+        F.transform(_shingles(F.col("text"), 5), hash64).alias("_hs"),
+    )
+    hs = F.col("_hs")
     n = F.size(hs)
     idx = F.sequence(F.lit(1), F.greatest(n - WINNOW_W + 1, F.lit(1)))
     minima = F.transform(
         idx, lambda i: F.array_min(F.slice(hs, i, WINNOW_W))
     )
-    return docs.select(
+    return hashed.select(
         "doc_id",
         F.explode(F.array_distinct(minima)).alias("fingerprint"),
     )

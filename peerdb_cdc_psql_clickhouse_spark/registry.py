@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and
     return the full registry."""
     from .operators import (  # noqa: F401
+        asof,
         cdc,
         dedup,
         metrics,
