@@ -1,0 +1,62 @@
+"""Stream-stream interval join.
+
+The reference correlates two concurrent event feeds client-side: the
+insert workload's per-batch timings (insert.ps1:315-317) and the
+`docker stats` resource samples taken alongside each batch
+(insert.ps1:320, rolled up per batch in monitor.ps1:1153-1197). The
+engine-native carrier is Structured Streaming's watermarked
+stream-stream join: both feeds are unbounded, and each left event
+pairs with right events of the same key whose event time falls within
+a tolerance band.
+
+Scale notes: both sides shuffle once on the join key; the watermark
+bounds the join state store (rows older than watermark + tolerance
+are evicted), so state is O(per-key event rate x tolerance), never
+O(stream length). Without a watermark Spark would keep both sides
+forever — this module makes the watermark mandatory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Inner join: left rows to right rows with the same `key` and
+    |right_ts - left_ts| <= tolerance. Works batch-to-batch too (same
+    plan minus state), which is how the unit oracle checks it.
+
+    Right columns other than the key are kept under their own names;
+    the right event time is exposed as `{right_ts}_r`. Both inputs
+    must be append streams; watermarks are applied here so state
+    eviction is never forgotten at call sites.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    r = r.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).alias(f"{right_ts}_r"),
+        *[
+            F.col(c)
+            for c in right.columns
+            if c not in (key, right_ts)
+        ],
+    )
+    rts = F.col(f"{right_ts}_r")
+    lts = F.col(left_ts)
+    tol = F.expr(f"INTERVAL {tolerance}")
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (rts >= lts - tol)
+        & (rts <= lts + tol)
+    )
+    return l.join(r, cond, "inner").drop("_rkey")

@@ -61,6 +61,67 @@ def _update(
     )
 
 
+try:  # Spark 4.x state API; fall back silently where absent
+    # the TWS runner speaks protobuf to the JVM — probe it up front,
+    # otherwise the query crashes at plan time, not import time
+    from google.protobuf import descriptor as _descriptor  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ProgressProcessor(StatefulProcessor):
+        """transformWithStateInPandas flavor of entity_progress: the
+        same per-key counters kept in a named ValueState on the
+        RocksDB state store (required by this API). Richer than
+        applyInPandasWithState: multiple named states, timers, and
+        TTL are available per key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("progress", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx, ni, nu, nd = (
+                self._state.get() if self._state.exists() else (0, -1, 0, 0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, int(pdf["_version"].max()))
+                ops = pdf["_op"].value_counts()
+                ni += int(ops.get("insert", 0))
+                nu += int(ops.get("update", 0))
+                nd += int(ops.get("delete", 0))
+            self._state.update((n, mx, ni, nu, nd))
+            yield pd.DataFrame(
+                {
+                    "entity_id": [key[0]],
+                    "n_ops": [n],
+                    "max_version": [mx],
+                    "n_insert": [ni],
+                    "n_update": [nu],
+                    "n_delete": [nd],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def entity_progress_tws(changes: DataFrame) -> DataFrame:
+        """entity_progress on the transformWithStateInPandas API.
+        Needs the RocksDB state store provider
+        (spark.sql.streaming.stateStore.providerClass)."""
+        return changes.groupBy("entity_id").transformWithStateInPandas(
+            statefulProcessor=_ProgressProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover
+    entity_progress_tws = None
+
+
 def entity_progress(changes: DataFrame) -> DataFrame:
     """Per-entity replication progress over a change stream. Emits the
     updated state row for every key touched in each micro-batch

@@ -79,3 +79,72 @@ def test_entity_progress_converges(spark, tmp_path):
         got = seen[eid]
         for k in ("n_ops", "max_version", "n_insert", "n_update", "n_delete"):
             assert got[k] == want[k], (eid, k, got, want)
+
+
+def test_entity_progress_tws_converges(spark, tmp_path):
+    """Same convergence through the Spark 4.x transformWithState API
+    (RocksDB state store)."""
+    import datetime as dt
+
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.streaming.stateful import (
+        entity_progress_tws,
+    )
+
+    if entity_progress_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable")
+
+    rows = []
+    ops = ["insert", "update", "update", "delete"]
+    for v in range(40):
+        rows.append(
+            (ops[v % 4], v, dt.datetime(2026, 1, 1, 0, 0, v % 60),
+             v % 7, float(v))
+        )
+    changes = spark.createDataFrame(rows, change_event_schema(ROW_SCHEMA))
+    path = str(tmp_path / "changes")
+    write_change_batches(changes, path, rows_per_batch=10)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_changes_stream(
+            spark, path, change_event_schema(ROW_SCHEMA),
+            max_files_per_trigger=1,
+        )
+        seen: dict[int, dict] = {}
+
+        def capture(batch, batch_id):
+            for r in batch.collect():
+                seen[r["entity_id"]] = r.asDict()
+
+        q = (
+            entity_progress_tws(stream)
+            .writeStream.outputMode("update")
+            .queryName("progress_tws_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .foreachBatch(capture)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    assert len(seen) == 7
+    assert seen[0]["n_ops"] == changes.filter(F.col("entity_id") == 0).count()
+    assert all(
+        r["max_version"]
+        == max(v for (_, v, _, e, _) in rows if e == r["entity_id"])
+        for r in seen.values()
+    )

@@ -1,0 +1,88 @@
+"""Stream-stream interval join: drain two real file-source streams
+(workload batches and resource samples, the reference's two feeds)
+through stream_interval_join and check the pairing against a
+hand-computed oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from peerdb_cdc_psql_clickhouse_spark.streaming.joins import (
+    stream_interval_join,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("batch_id", T.IntegerType()),
+    ]
+)
+SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("sts", T.TimestampType()),
+        T.StructField("cpu", T.DoubleType()),
+    ]
+)
+
+# batches at t=10s and t=100s on hostA; one batch on hostB at t=10s
+BATCHES = [
+    ("A", T0 + dt.timedelta(seconds=10), 1),
+    ("A", T0 + dt.timedelta(seconds=100), 2),
+    ("B", T0 + dt.timedelta(seconds=10), 3),
+]
+# samples: within 5s of batch 1 (t=8,12), far from any batch (t=50),
+# within 5s of batch 2 (t=104), hostB within tolerance but wrong key
+# pairing must not leak across hosts
+SAMPLES = [
+    ("A", T0 + dt.timedelta(seconds=8), 11.0),
+    ("A", T0 + dt.timedelta(seconds=12), 12.0),
+    ("A", T0 + dt.timedelta(seconds=50), 99.0),
+    ("A", T0 + dt.timedelta(seconds=104), 21.0),
+    ("B", T0 + dt.timedelta(seconds=12), 31.0),
+]
+EXPECTED = {(1, 11.0), (1, 12.0), (2, 21.0), (3, 31.0)}
+
+
+def _expected_of(joined_rows):
+    return {(r["batch_id"], r["cpu"]) for r in joined_rows}
+
+
+def test_interval_join_batch_semantics(spark):
+    """Same plan on static frames: the oracle for the pairing rule."""
+    out = stream_interval_join(
+        spark.createDataFrame(BATCHES, BATCH_SCHEMA),
+        spark.createDataFrame(SAMPLES, SAMPLE_SCHEMA),
+        key="host", left_ts="ts", right_ts="sts",
+        tolerance="5 seconds",
+    )
+    assert _expected_of(out.collect()) == EXPECTED
+
+
+def test_interval_join_through_real_streams(spark, tmp_path):
+    bdir, sdir = str(tmp_path / "b"), str(tmp_path / "s")
+    spark.createDataFrame(BATCHES, BATCH_SCHEMA).write.parquet(bdir)
+    spark.createDataFrame(SAMPLES, SAMPLE_SCHEMA).write.parquet(sdir)
+    left = spark.readStream.schema(BATCH_SCHEMA).parquet(bdir)
+    right = spark.readStream.schema(SAMPLE_SCHEMA).parquet(sdir)
+    joined = stream_interval_join(
+        left, right, key="host", left_ts="ts", right_ts="sts",
+        tolerance="5 seconds", watermark="30 seconds",
+    )
+    got = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _expected_of(got) == EXPECTED
+    # state eviction is configured: the plan carries both watermarks
+    assert "watermark" in joined._jdf.queryExecution().analyzed().toString().lower()
