@@ -117,3 +117,45 @@ def test_asof_plan_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_property_vs_brute_force(spark):
+    """Randomized: asof_join == per-left-row brute-force max(right_ts
+    <= left_ts). Few keys + colliding timestamps stress tie and
+    boundary paths; one Spark round-trip over all cases."""
+    import random
+
+    rng = random.Random(42)
+    lefts, rights = [], []
+    for i in range(120):
+        lefts.append((i, rng.randrange(4), rng.randrange(50)))
+    seen = set()
+    for _ in range(80):
+        k, s = rng.randrange(4), rng.randrange(50)
+        if (k, s) in seen:  # unique per (key, ts): operator contract
+            continue
+        seen.add((k, s))
+        rights.append((k, s, rng.randrange(1000)))
+
+    def brute(i, k, s):
+        cand = [(rs, p) for (rk, rs, p) in rights if rk == k and rs <= s]
+        return max(cand)[1] if cand else None
+
+    got = _asof(spark, lefts, rights)
+    want = {i: brute(i, k, s) for (i, k, s) in lefts}
+    assert got == want
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The banded range join must compile to a hash/sort-merge
+    equi-join on (key, bucket) — never a nested-loop over the
+    inequality."""
+    out = range_join_count(
+        _left(spark, [(1, 7, 600)]),
+        _right(spark, [(7, 580, 0)]).select("k", "ts"),
+        key="k", left_ts="ts", right_ts="ts",
+        window_s=300, count_alias="n",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
