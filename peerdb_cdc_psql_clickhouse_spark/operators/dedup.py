@@ -457,3 +457,137 @@ def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", fround(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O-X1e duplicate clustering: near-dup pairs are only half a dedup
+# pipeline — to drop duplicates you need the transitive closure
+# (connected components) and one canonical doc per component.
+# ---------------------------------------------------------------------------
+
+WINNOW_MAX_DF = 20   # drop fingerprints shared by more docs (stopword-y)
+WINNOW_MIN_SHARED = 2  # docs sharing >= this many fingerprints are dups
+CLUSTER_MAX_ITERS = 20  # label propagation rounds (>= graph diameter)
+
+
+def winnow_edges(
+    fp: DataFrame,
+    max_df: int = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """(src, dst) doc pairs sharing >= min_shared winnowing
+    fingerprints, src < dst. The self-join is keyed on the fingerprint
+    with hot (high-df) fingerprints dropped first, so candidate pairs
+    are bounded by max_df^2 per fingerprint — same df-cap discipline
+    as the n-gram Jaccard join."""
+    ok = (
+        fp.groupBy("fingerprint")
+        .count()
+        .filter(F.col("count") <= max_df)
+        .select("fingerprint")
+    )
+    fpf = fp.join(ok, "fingerprint")
+    a = fpf.select("fingerprint", F.col("doc_id").alias("src"))
+    b = fpf.select("fingerprint", F.col("doc_id").alias("dst"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .count()
+        .filter(F.col("count") >= min_shared)
+        .select("src", "dst")
+    )
+
+
+def dup_clusters(
+    edges: DataFrame, max_iters: int = CLUSTER_MAX_ITERS
+) -> DataFrame:
+    """Connected components by min-label propagation: (doc_id,
+    cluster_id) where cluster_id = min doc_id in the component.
+
+    Each round is one distributed join + min-agg; the driver loop only
+    checks a changed-count scalar (no data collected) and stops at
+    fixpoint — iterations = graph diameter, which for near-dup
+    clusters is small. localCheckpoint() truncates lineage each round
+    so plans don't grow. At extreme component sizes swap in the
+    large-star/small-star variant; the contract (min-id labels) is
+    identical.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    lbl = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(lbl, sym.dst == lbl.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            lbl.join(neigh, lbl.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("_chg"),
+            )
+        )
+        new = new.localCheckpoint()
+        changed = new.filter(F.col("_chg")).count()
+        lbl = new.drop("_chg")
+        if changed == 0:
+            break
+    return lbl.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def _cluster_oracle() -> str:
+    from .text import WINNOW_FP_CTE
+
+    return f"""
+WITH RECURSIVE {WINNOW_FP_CTE.lstrip()}, fp_ok AS (
+  SELECT fingerprint FROM fp
+  GROUP BY fingerprint HAVING COUNT(*) <= {WINNOW_MAX_DF}
+), fpf AS (
+  SELECT fp.doc_id, fp.fingerprint FROM fp JOIN fp_ok USING (fingerprint)
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM fpf a JOIN fpf b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+), edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL SELECT dst AS src, src AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+lab AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, l.lbl FROM lab l JOIN edges e ON e.src = l.node
+)
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM lab GROUP BY node
+"""
+
+
+@declare(
+    "x1e_dup_clusters",
+    _cluster_oracle(),
+    doc="O-X1/brief: duplicate CLUSTERS, not just pairs — winnowing-"
+    "fingerprint overlap edges (df-capped self-join, >= "
+    f"{WINNOW_MIN_SHARED} shared fingerprints) -> connected components "
+    "by distributed min-label propagation; cluster_id = min doc_id. "
+    "Oracle: the same edges + WITH RECURSIVE closure in DuckDB. "
+    "Iterations bound by component diameter; each round is one keyed "
+    "join + partial min-agg, lineage cut by localCheckpoint.",
+)
+def x1e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import winnow_fp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_clusters(winnow_edges(winnow_fp(docs)))

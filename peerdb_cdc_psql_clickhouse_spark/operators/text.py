@@ -181,10 +181,10 @@ def x3e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4  # window of consecutive shingle hashes per fingerprint
 
 
-@declare(
-    "x3f_winnowing",
-    f"""
-WITH toks AS (
+# winnowing fingerprints as a DuckDB CTE (ends with `fp(doc_id,
+# fingerprint)`), shared by the x3f oracle and the x1e cluster oracle
+WINNOW_FP_CTE = f"""
+toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'),
                      t -> t <> '') AS tokens
@@ -198,25 +198,19 @@ WITH toks AS (
            s -> CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT)
          ) AS hs
   FROM toks
-)
-SELECT doc_id,
-       UNNEST(list_distinct(list_transform(
-         generate_series(1, greatest(len(hs) - {WINNOW_W} + 1, 1)),
-         i -> list_min(hs[i:i+{WINNOW_W - 1}])))) AS fingerprint
-FROM hashes
-""",
-    doc="O-X3/brief: winnowing document fingerprints (rolling scheme: "
-    "minimum shingle hash per sliding window of {w}) — the standard "
-    "robust fingerprint for near-dup/plagiarism detection. Fully "
-    "row-local (array folds + array_distinct before the explode, so "
-    "the per-doc set is deduped map-side); result is scalar rows "
-    "(doc_id, fingerprint), never array-typed columns, for "
-    "engine-portable hashing".format(w=WINNOW_W),
-)
-def x3f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+), fp AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           generate_series(1, greatest(len(hs) - {WINNOW_W} + 1, 1)),
+           i -> list_min(hs[i:i+{WINNOW_W - 1}])))) AS fingerprint
+  FROM hashes
+)"""
+
+
+def winnow_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) winnowing fingerprints of `text`."""
     from ..operators.dedup import _shingles
 
-    docs = load_table(spark, sf_dir, "documents")
     # Stage the hash array as a real column before the windowed minima:
     # inlining it into the window lambda makes Catalyst re-evaluate the
     # whole O(n) md5 array per window position (O(n^2) per doc —
@@ -236,6 +230,21 @@ def x3f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(minima)).alias("fingerprint"),
     )
+
+
+@declare(
+    "x3f_winnowing",
+    f"WITH {WINNOW_FP_CTE}\nSELECT doc_id, fingerprint FROM fp",
+    doc="O-X3/brief: winnowing document fingerprints (rolling scheme: "
+    "minimum shingle hash per sliding window of {w}) — the standard "
+    "robust fingerprint for near-dup/plagiarism detection. Fully "
+    "row-local (array folds + array_distinct before the explode, so "
+    "the per-doc set is deduped map-side); result is scalar rows "
+    "(doc_id, fingerprint), never array-typed columns, for "
+    "engine-portable hashing".format(w=WINNOW_W),
+)
+def x3f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fp(load_table(spark, sf_dir, "documents"))
 
 
 @declare(
