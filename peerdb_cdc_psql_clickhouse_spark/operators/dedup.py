@@ -547,11 +547,12 @@ def dup_clusters(
     return lbl.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
-def _cluster_oracle() -> str:
+def _closure_ctes() -> str:
+    """CTE chain (for WITH RECURSIVE) ending in `lab(node, lbl)` —
+    the label-propagation closure over fingerprint-overlap edges."""
     from .text import WINNOW_FP_CTE
 
-    return f"""
-WITH RECURSIVE {WINNOW_FP_CTE.lstrip()}, fp_ok AS (
+    return f"""{WINNOW_FP_CTE.lstrip()}, fp_ok AS (
   SELECT fingerprint FROM fp
   GROUP BY fingerprint HAVING COUNT(*) <= {WINNOW_MAX_DF}
 ), fpf AS (
@@ -569,15 +570,16 @@ lab AS (
   SELECT node, node AS lbl FROM nodes
   UNION
   SELECT e.dst AS node, l.lbl FROM lab l JOIN edges e ON e.src = l.node
-)
-SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-FROM lab GROUP BY node
-"""
+)"""
 
 
 @declare(
     "x1e_dup_clusters",
-    _cluster_oracle(),
+    f"""
+WITH RECURSIVE {_closure_ctes()}
+SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+FROM lab GROUP BY node
+""",
     doc="O-X1/brief: duplicate CLUSTERS, not just pairs — winnowing-"
     "fingerprint overlap edges (df-capped self-join, >= "
     f"{WINNOW_MIN_SHARED} shared fingerprints) -> connected components "
@@ -591,3 +593,37 @@ def x1e_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_clusters(winnow_edges(winnow_fp(docs)))
+
+
+@declare(
+    "x1f_dedup_apply",
+    f"""
+WITH RECURSIVE {_closure_ctes()},
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+  FROM lab GROUP BY node
+)
+SELECT d.doc_id,
+       (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS keep,
+       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+""",
+    doc="O-X1/brief: the dedup APPLY step — every doc tagged with its "
+    "cluster and a keep/drop decision (keep = canonical min-id member "
+    "or singleton). docs LEFT JOIN clusters on doc_id: broadcastable "
+    "when the duplicate set is small relative to the corpus, plain "
+    "keyed join otherwise; the downstream corpus is filter(keep).",
+)
+def x1f_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import winnow_fp
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dup_clusters(winnow_edges(winnow_fp(docs)))
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
