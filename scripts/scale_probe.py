@@ -65,6 +65,31 @@ def probe(spark, mult: int) -> dict[str, float]:
         mult,
         10_000_000,
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.asof import (
+        asof_join,
+        range_join_count,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        dup_clusters,
+        winnow_edges,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import winnow_fp
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import fan_out
+
+    # events table is not replicated by id (asof/range scale with
+    # events x mult via per-key density): stack copies at shifted keys
+    evm = replicate(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        "event_id", mult, 100_000_000,
+    ).withColumn("user_id", F.col("user_id") + (F.col("event_id") / 100_000_000).cast("long") * 1_000_000)
+    err = evm.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    non_err = (
+        evm.filter(F.col("event_type") != "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("prior_id"))
+    )
     jobs = {
         "minhash_lsh": lambda: lsh_candidate_pairs(
             minhash_signature(docs, "doc_id", "text"), "doc_id"
@@ -72,6 +97,17 @@ def probe(spark, mult: int) -> dict[str, float]:
         "simhash": lambda: simhash(docs, "doc_id", "text"),
         "cosine_neardup": lambda: cosine_neardup_pairs(emb),
         "cdc_apply": lambda: latest_state(changes, ["entity_id"]),
+        "asof_join": lambda: asof_join(
+            err, non_err, key="user_id", left_ts="ts", right_ts="ts",
+            payload=["prior_id"],
+        ),
+        "range_join": lambda: range_join_count(
+            err, evm.select("user_id", "ts"), key="user_id",
+            left_ts="ts", right_ts="ts", window_s=300, count_alias="n",
+        ),
+        "dup_clusters": lambda: dup_clusters(
+            winnow_edges(winnow_fp(fan_out(docs)))
+        ),
     }
     res = {}
     for name, build in jobs.items():
