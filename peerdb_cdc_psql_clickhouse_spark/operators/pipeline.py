@@ -1,0 +1,95 @@
+"""Corpus-selection pipeline: the end-to-end composition a training-
+data pipeline actually runs — quality gate + language agreement +
+near-dup keep — declared as one query so the composed plan is
+oracle-checked, not just the stages.
+
+Plan shape: every row-local signal (token count, language detection)
+is computed in ONE projection over ONE scan of documents — signals
+are never joined back by doc_id, joins are reserved for the one stage
+that genuinely needs a shuffle (the duplicate-cluster table). At
+100 TB the row-local stage is a map-only pass over file splits; the
+cluster join is keyed on doc_id and broadcastable whenever the
+duplicate set is small relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import QUERIES, declare
+from . import dedup as _dedup  # ensure registration + reuse
+from . import text as _text
+
+TOKENS_MIN = 30
+TOKENS_MAX = 90
+
+
+def _oracle() -> str:
+    lang_sql = QUERIES["x3e_lang_id"].oracle
+    return f"""
+WITH RECURSIVE {_dedup._closure_ctes()},
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id
+  FROM lab GROUP BY node
+), lang AS ({lang_sql}),
+scored AS (
+  SELECT d.doc_id,
+         CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS token_cnt,
+         l.lang, l.detected_lang
+  FROM documents d JOIN lang l USING (doc_id)
+)
+SELECT s.doc_id, s.token_cnt, s.detected_lang,
+       (s.detected_lang = s.lang) AS lang_ok,
+       (c.cluster_id IS NULL OR c.cluster_id = s.doc_id) AS dedup_keep,
+       (s.token_cnt BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+        AND s.detected_lang = s.lang
+        AND (c.cluster_id IS NULL OR c.cluster_id = s.doc_id)) AS selected
+FROM scored s LEFT JOIN clusters c USING (doc_id)
+"""
+
+
+@declare(
+    "x7_corpus_select",
+    _oracle(),
+    doc="brief/training-data pipeline: composed corpus selection — "
+    f"token count in [{TOKENS_MIN},{TOKENS_MAX}], language detector "
+    "agrees with the labeled lang, and the doc is its near-dup "
+    "cluster's canonical member (or a singleton). Row-local signals "
+    "fused into one scan projection; the only join is the cluster "
+    "keep table. Oracle composes the x3e lang CTE with the x1e "
+    "recursive closure.",
+)
+def x7_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _text.detect_language(docs, "text").select(
+        "doc_id",
+        "lang",
+        "detected_lang",
+        F.size(_text.tokens_col(F.col("text"))).cast("long").alias(
+            "token_cnt"
+        ),
+    )
+    clusters = _dedup.dup_clusters(
+        _dedup.winnow_edges(_text.winnow_fp(docs))
+    )
+    out = scored.join(clusters, "doc_id", "left")
+    dedup_keep = F.col("cluster_id").isNull() | (
+        F.col("cluster_id") == F.col("doc_id")
+    )
+    lang_ok = F.col("detected_lang") == F.col("lang")
+    selected = (
+        F.col("token_cnt").between(TOKENS_MIN, TOKENS_MAX)
+        & lang_ok
+        & dedup_keep
+    )
+    return out.select(
+        "doc_id",
+        "token_cnt",
+        "detected_lang",
+        lang_ok.alias("lang_ok"),
+        dedup_keep.alias("dedup_keep"),
+        selected.alias("selected"),
+    )

@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         metrics,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
