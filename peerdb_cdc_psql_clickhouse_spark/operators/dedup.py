@@ -480,6 +480,13 @@ def winnow_edges(
     with hot (high-df) fingerprints dropped first, so candidate pairs
     are bounded by max_df^2 per fingerprint — same df-cap discipline
     as the n-gram Jaccard join."""
+    from ..plans.layout import reuse
+
+    # fp feeds the df-cap agg AND both sides of the self-join: persist
+    # once instead of recomputing the winnowing three times (the
+    # 100 TB analog is writing the fingerprint table out and joining
+    # against it)
+    fp = reuse(fp)
     ok = (
         fp.groupBy("fingerprint")
         .count()
@@ -513,10 +520,12 @@ def dup_clusters(
     large-star/small-star variant; the contract (min-id labels) is
     identical.
     """
+    # materialize edges BEFORE the symmetric union — union reads its
+    # input twice, which would re-run the whole edge derivation
+    edges = edges.localCheckpoint()
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    sym = sym.localCheckpoint()
     lbl = (
         sym.select(F.col("src").alias("node"))
         .distinct()

@@ -210,7 +210,11 @@ toks AS (
 def winnow_fp(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) winnowing fingerprints of `text`."""
     from ..operators.dedup import _shingles
+    from ..plans.layout import fan_out
 
+    # hashing is the per-row hot loop: rebalance single-split inputs
+    # across cores first (no-op-cost on real multi-split inputs)
+    docs = fan_out(docs)
     # Stage the hash array as a real column before the windowed minima:
     # inlining it into the window lambda makes Catalyst re-evaluate the
     # whole O(n) md5 array per window position (O(n^2) per doc —
