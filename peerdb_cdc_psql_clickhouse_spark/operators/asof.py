@@ -50,6 +50,9 @@ def asof_join(
     deterministic results. Merge-based: one shuffle on `key`, a
     per-partition sort on (ts, side), zero row expansion.
     """
+    clash = {"_ats", "_side", "_pay", "_m"} & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with internals: {clash}")
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("_ats"),
@@ -124,6 +127,8 @@ def range_join_count(
 ) -> DataFrame:
     """Per left row: count right rows with the same key whose ts is in
     [left_ts - window_s, left_ts) — a banded range self/cross join.
+    Left rows must be unique (carry a primary key): the final rollup
+    groups by all left columns to undo the 2-bucket explode.
 
     Bucket width == window width, so each left row probes exactly two
     buckets (window spans at most 2 buckets). The join is a pure
@@ -132,6 +137,9 @@ def range_join_count(
     timestamps. Candidates per probe are bounded by per-key density
     in 2*window_s, independent of total table size.
     """
+    clash = {"_rk", "_rts", "_rb", "_lb"} & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with internals: {clash}")
     b_r = (F.unix_timestamp(F.col(right_ts)) / window_s).cast("long")
     r = right.select(
         F.col(key).alias("_rk"),

@@ -159,3 +159,34 @@ def test_range_join_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_property_vs_brute_force(spark):
+    """Randomized: banded range join == brute-force window count,
+    including cross-bucket and boundary cases."""
+    import random
+
+    rng = random.Random(7)
+    lefts = [(i, rng.randrange(3), rng.randrange(2000)) for i in range(80)]
+    rights = [(rng.randrange(3), rng.randrange(2000), 0) for _ in range(300)]
+
+    def brute(k, s):
+        return sum(1 for (rk, rs, _) in rights if rk == k and s - 300 <= rs < s)
+
+    got = _range(spark, lefts, rights)
+    want = {i: brute(k, s) for (i, k, s) in lefts}
+    assert got == want
+
+
+def test_internal_column_collision_raises(spark):
+    import pytest
+
+    bad = _left(spark, [(1, 7, 0)]).withColumnRenamed("id", "_ats")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(bad, _right(spark, [(7, 0, 1)]), key="k",
+                  left_ts="ts", right_ts="ts", payload=["pay"])
+    bad2 = _left(spark, [(1, 7, 0)]).withColumnRenamed("id", "_lb")
+    with pytest.raises(ValueError, match="collide"):
+        range_join_count(bad2, _right(spark, [(7, 0, 1)]).select("k", "ts"),
+                         key="k", left_ts="ts", right_ts="ts",
+                         window_s=300, count_alias="n")
