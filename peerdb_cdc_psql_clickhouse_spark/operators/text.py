@@ -263,3 +263,76 @@ FROM documents
 def x3d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", hash64(F.col("text")).alias("fingerprint"))
+
+
+TFIDF_TOP_K = 3
+
+
+@declare(
+    "x3g_tfidf",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         FLOOR(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0)
+               * 10000.0 + 0.5) / 10000.0 AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= {TFIDF_TOP_K}
+""",
+    doc="O-X3/brief: per-document TF-IDF top terms (smoothed idf = "
+    "ln((N+1)/(df+1))+1, scikit-style). Distributed shape: row-local "
+    "tokenize+explode, partial-agg tf keyed on (doc, term), vocab-"
+    "sized df table joined on term (AQE picks broadcast when the "
+    "vocab is small), scalar N via a broadcast cross join, top-k per "
+    "doc by window row_number — never a global sort. Ties broken by "
+    "term; scores fixed-point rounded on both engines.",
+)
+def x3g_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.numeric import fround
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        fround(
+            F.col("tf")
+            * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .drop("rn")
+    )
