@@ -60,3 +60,23 @@ def stream_interval_join(
         & (rts <= lts + tol)
     )
     return l.join(r, cond, "inner").drop("_rkey")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup for at-least-once sources: drop re-deliveries
+    of the same event identity (`keys`) arriving within the watermark
+    horizon. The CDC analog of PeerDB's resilient delivery — a change
+    event replayed by the source must not double-apply downstream.
+
+    dropDuplicatesWithinWatermark keeps state only until the watermark
+    passes each key (bounded, unlike plain dropDuplicates on a stream
+    which retains ALL keys forever); max-version-wins apply already
+    tolerates duplicates, so this is a state/IO optimization that
+    thins the feed before the keyed shuffle, not a correctness need.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

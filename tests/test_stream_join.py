@@ -86,3 +86,46 @@ def test_interval_join_through_real_streams(spark, tmp_path):
     assert _expected_of(got) == EXPECTED
     # state eviction is configured: the plan carries both watermarks
     assert "watermark" in joined._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """At-least-once redelivery: the same (entity, version) spooled in
+    two different micro-batch files must reach the sink once."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from peerdb_cdc_psql_clickhouse_spark.streaming.joins import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("_version", T.LongType()),
+            T.StructField("_ts", T.TimestampType()),
+        ]
+    )
+    t = dt.datetime(2026, 1, 1, 0, 0, 0)
+    batch1 = [(1, 1, t), (1, 2, t), (2, 1, t)]
+    batch2 = [(1, 2, t), (2, 1, t), (2, 2, t)]  # two redeliveries
+    d = str(tmp_path / "feed")
+    spark.createDataFrame(batch1, schema).write.parquet(f"{d}/b=1")
+    spark.createDataFrame(batch2, schema).write.parquet(f"{d}/b=2")
+    stream = (
+        spark.readStream.schema(schema.add("b", "integer"))
+        .option("basePath", d)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .drop("b")
+    )
+    got = []
+    q = (
+        dedup_stream(stream, ["entity_id", "_version"], "_ts")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = [(r["entity_id"], r["_version"]) for r in got]
+    assert sorted(seen) == [(1, 1), (1, 2), (2, 1), (2, 2)]
