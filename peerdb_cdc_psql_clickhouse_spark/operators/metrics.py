@@ -69,89 +69,45 @@ def _parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "d1_parity_lag",
-    _PARITY_SQL_CTE + "SELECT table_name, src_cnt, tgt_cnt, lag FROM parity",
-    doc="O-D1 row-count parity lag = source - target (monitor.ps1:743)",
-)
-def d1_parity_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _parity(spark, sf_dir).select("table_name", "src_cnt", "tgt_cnt", "lag")
-
-
-@declare(
-    "d2_sync_status",
+    "d1_parity_report",
     _PARITY_SQL_CTE
-    + """
-SELECT table_name, lag,
+    + f"""
+SELECT table_name, src_cnt, tgt_cnt, lag,
        CASE WHEN lag = 0 THEN 'SYNCED'
             WHEN ABS(lag) <= 5 THEN 'NEAR_SYNC'
-            ELSE 'LAG' END AS status
+            ELSE 'LAG' END AS status,
+       CASE WHEN src_cnt > 0
+            THEN {fround_sql('CAST(tgt_cnt AS DOUBLE) / src_cnt * 100', 1)}
+            ELSE 0.0 END AS sync_pct,
+       CASE WHEN src_cnt > 0
+             AND CAST(tgt_cnt AS DOUBLE) / src_cnt * 100 >= 95 THEN 'green'
+            WHEN src_cnt > 0
+             AND CAST(tgt_cnt AS DOUBLE) / src_cnt * 100 >= 80 THEN 'yellow'
+            ELSE 'red' END AS band
 FROM parity
 """,
-    doc="O-D2 sync-status thresholds SYNCED/NEAR_SYNC<=5/LAG "
-    "(monitor.ps1:745-755)",
+    doc="O-D1 parity lag (monitor.ps1:743) + O-D2 sync-status "
+    "thresholds (:745-755) + O-D3 sync percentage with zero-guard "
+    "(:691,770) + O-D4 efficiency banding (:775-786,911-912). One "
+    "report, one scan: the three derived columns are row-local "
+    "expressions over the same per-table parity aggregate, so merging "
+    "them removes three redundant source scans the split queries paid",
 )
-def d2_sync_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d1_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pct_raw = F.col("tgt_cnt").cast("double") / F.col("src_cnt") * 100
+    pct_ok = F.col("src_cnt") > 0
     return _parity(spark, sf_dir).select(
         "table_name",
+        "src_cnt",
+        "tgt_cnt",
         "lag",
         F.when(F.col("lag") == 0, "SYNCED")
         .when(F.abs("lag") <= 5, "NEAR_SYNC")
         .otherwise("LAG")
         .alias("status"),
-    )
-
-
-@declare(
-    "d3_sync_pct",
-    _PARITY_SQL_CTE
-    + f"""
-SELECT table_name,
-       CASE WHEN src_cnt > 0
-            THEN {fround_sql('CAST(tgt_cnt AS DOUBLE) / src_cnt * 100', 1)}
-            ELSE 0.0 END AS sync_pct
-FROM parity
-""",
-    doc="O-D3 sync percentage target/source*100, divide-by-zero guarded "
-    "(monitor.ps1:691,770)",
-)
-def d3_sync_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _parity(spark, sf_dir).select(
-        "table_name",
-        F.when(
-            F.col("src_cnt") > 0,
-            fround(F.col("tgt_cnt").cast("double") / F.col("src_cnt") * 100, 1),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("sync_pct"),
-    )
-
-
-@declare(
-    "d4_efficiency_band",
-    _PARITY_SQL_CTE
-    + """
-SELECT table_name,
-       CASE WHEN pct >= 95 THEN 'green'
-            WHEN pct >= 80 THEN 'yellow'
-            ELSE 'red' END AS band
-FROM (SELECT table_name,
-             CASE WHEN src_cnt > 0
-                  THEN CAST(tgt_cnt AS DOUBLE) / src_cnt * 100
-                  ELSE 0 END AS pct
-      FROM parity)
-""",
-    doc="O-D4 efficiency banding >=95 green / >=80 yellow / red "
-    "(monitor.ps1:775-786,911-912)",
-)
-def d4_efficiency_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pct = F.when(
-        F.col("src_cnt") > 0,
-        F.col("tgt_cnt").cast("double") / F.col("src_cnt") * 100,
-    ).otherwise(F.lit(0.0))
-    return _parity(spark, sf_dir).select(
-        "table_name",
-        F.when(pct >= 95, "green")
-        .when(pct >= 80, "yellow")
+        F.when(pct_ok, fround(pct_raw, 1)).otherwise(F.lit(0.0)).alias("sync_pct"),
+        F.when(pct_ok & (pct_raw >= 95), "green")
+        .when(pct_ok & (pct_raw >= 80), "yellow")
         .otherwise("red")
         .alias("band"),
     )
@@ -164,45 +120,77 @@ def d4_efficiency_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "d5_throughput",
+    "d5_run_summary",
     f"""
-SELECT {fround_sql(
+WITH tiled AS (
+  SELECT event_id, event_type, value, ts,
+         NTILE(3) OVER (ORDER BY event_id) AS tile
+  FROM events
+), agg AS (
+  SELECT
+    {fround_sql(
         "CAST(COUNT(*) AS DOUBLE) / "
         "NULLIF(date_diff('second', MIN(ts), MAX(ts)), 0)", 2)}
-       AS ops_per_sec
-FROM events
-""",
-    doc="O-D5 throughput = successful_ops / duration_seconds "
-    "(insert.ps1:364-366)",
+      AS ops_per_sec,
+    {fround_sql(
+        "100.0 * CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)"
+        " AS BIGINT) / NULLIF(COUNT(*), 0)", 2)} AS success_pct,
+    {davg_sql('CASE WHEN tile = 1 THEN value END')} AS early_avg,
+    {davg_sql('CASE WHEN tile = 3 THEN value END')} AS late_avg
+  FROM tiled
+), peak AS (
+  SELECT event_id AS peak_event_id, value AS peak_value
+  FROM events ORDER BY value DESC, event_id ASC LIMIT 1
 )
-def d5_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT agg.ops_per_sec, agg.success_pct,
+       peak.peak_event_id, peak.peak_value,
+       agg.early_avg, agg.late_avg,
+       agg.late_avg - agg.early_avg AS trend
+FROM agg CROSS JOIN peak
+""",
+    doc="O-D5 throughput ops/duration (insert.ps1:364-366) + O-D6 "
+    "success rate with zero-guard (:359-362) + O-D8 peak batch "
+    "(monitor.ps1:1203-1204, min_by-struct argmax with event_id "
+    "tiebreak) + O-D9 early-vs-late thirds trend (:1215-1224, NTILE "
+    "window). All four are aggregates over the same events log, so one "
+    "pass computes the whole run summary the reference assembles over "
+    "four separate loops",
+)
+def d5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    tiled = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.ntile(3).over(Window.orderBy("event_id")).alias("tile"),
+    )
     secs = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
-    return ev.agg(
+    ok = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
+    summary = tiled.agg(
         fround(
             F.count(F.lit(1)).cast("double") / F.nullif(secs, F.lit(0)), 2
-        ).alias("ops_per_sec")
-    )
-
-
-@declare(
-    "d6_success_rate",
-    f"""
-SELECT {fround_sql(
-        "100.0 * CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)"
-        " AS BIGINT) / NULLIF(COUNT(*), 0)", 2)} AS success_pct
-FROM events
-""",
-    doc="O-D6 success rate success/total*100 with zero-guard "
-    "(insert.ps1:359-362); 'error' events play failures",
-)
-def d6_success_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ok = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
-    return ev.agg(
+        ).alias("ops_per_sec"),
         fround(
             100.0 * ok / F.nullif(F.count(F.lit(1)), F.lit(0)), 2
-        ).alias("success_pct")
+        ).alias("success_pct"),
+        # argmax with deterministic tiebreak: lexicographic min of
+        # (-value, event_id) = max value, then smallest event_id
+        F.expr(
+            "min_by(event_id, struct(-value, event_id))"
+        ).alias("peak_event_id"),
+        F.max("value").alias("peak_value"),
+        davg(F.when(F.col("tile") == 1, F.col("value"))).alias("early_avg"),
+        davg(F.when(F.col("tile") == 3, F.col("value"))).alias("late_avg"),
+    )
+    return summary.select(
+        "ops_per_sec",
+        "success_pct",
+        "peak_event_id",
+        "peak_value",
+        "early_avg",
+        "late_avg",
+        (F.col("late_avg") - F.col("early_avg")).alias("trend"),
     )
 
 
@@ -231,56 +219,6 @@ def d7_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O-D8..O-D11 — rankings, trends, rollups, running aggregates
 # (monitor.ps1:1203-1224,1153-1197; insert.ps1:328-334)
 # ---------------------------------------------------------------------------
-
-
-@declare(
-    "d8_peak_batch",
-    "SELECT event_id, event_type, value FROM events "
-    "ORDER BY value DESC, event_id ASC LIMIT 1",
-    doc="O-D8 top-1 by metric (peak-CPU batch, monitor.ps1:1203-1204); "
-    "unique event_id tiebreak makes the limit deterministic",
-)
-def d8_peak_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "event_type", "value")
-        .orderBy(F.desc("value"), F.asc("event_id"))
-        .limit(1)
-    )
-
-
-@declare(
-    "d9_thirds_trend",
-    f"""
-WITH tiled AS (
-  SELECT value, NTILE(3) OVER (ORDER BY event_id) AS tile FROM events
-), thirds AS (
-  SELECT
-    {davg_sql('CASE WHEN tile = 1 THEN value END')} AS early_avg,
-    {davg_sql('CASE WHEN tile = 3 THEN value END')} AS late_avg
-  FROM tiled
-)
-SELECT early_avg, late_avg,
-       late_avg - early_avg AS trend
-FROM thirds
-""",
-    doc="O-D9 early-vs-late thirds trend avg(first 1/3) vs avg(last 1/3) "
-    "(monitor.ps1:1215-1224) via NTILE window",
-)
-def d9_thirds_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    tiled = ev.select(
-        "value", F.ntile(3).over(Window.orderBy("event_id")).alias("tile")
-    )
-    thirds = tiled.agg(
-        davg(F.when(F.col("tile") == 1, F.col("value"))).alias("early_avg"),
-        davg(F.when(F.col("tile") == 3, F.col("value"))).alias("late_avg"),
-    )
-    return thirds.select(
-        "early_avg",
-        "late_avg",
-        (F.col("late_avg") - F.col("early_avg")).alias("trend"),
-    )
 
 
 @declare(
@@ -346,28 +284,17 @@ def d11_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@declare(
-    "d12_synth_orders",
-    None,  # generator shape checked rows-only; determinism via hash, not rand
-    doc="O-D12 synthetic workload generator: random FK sampling + random "
-    "quantity 1-99 (insert.ps1:281-283), made deterministic via md5-based "
-    "indexing instead of Get-Random",
-)
-def d12_synth_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import hash64
+# O-D12 synthetic workload generator: random FK sampling + random
+# quantity 1-99 (insert.ps1:281-283), made deterministic via md5-based
+# indexing instead of Get-Random. Declared-query coverage lives in
+# r11_batched_insert (relational.py), which unions this 1000-row batch
+# with the 500-row insert batch under a full DuckDB oracle — upgrading
+# the old rows-only check to a hash check.
+def d12_synth_orders(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    from ..operators.relational import synth_batch
 
-    n = 1000
-    base = spark.range(n).withColumnRenamed("id", "seq")
-    h = hash64(F.concat(F.lit("synth:"), F.col("seq").cast("string")))
-    return base.select(
-        (F.col("seq") + 10001).alias("id"),
-        F.date_format(
-            F.date_sub(F.to_date(F.lit("2026-01-01")), (h % 30).cast("int")),
-            "yyyy-MM-dd",
-        ).alias("order_date"),
-        (F.pmod(h, 4) + 1001).cast("int").alias("purchaser"),
-        (F.pmod(h, 9) + 101).cast("int").alias("product_id"),
-        (F.pmod(h, 99) + 1).cast("int").alias("quantity"),
+    return synth_batch(spark, n=1000, prefix="synth:", base_id=10001).drop(
+        "batch"
     )
 
 
@@ -555,49 +482,25 @@ def d18_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "d19_container_status",
-    """
-SELECT n.n_name AS container,
-       CASE WHEN c.c_nationkey IS NULL THEN 'DOWN' ELSE 'RUNNING' END AS status
-FROM nation n
-LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
-  ON n.n_nationkey = c.c_nationkey
-""",
-    doc="O-D19 expected-vs-actual existence check: container "
-    "RUNNING/DOWN classification (monitor.ps1:867-913). nation = "
-    "expected list, customer nationkeys = actually-running set",
-)
-def d19_container_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation")
-    present = (
-        load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
-    )
-    return (
-        nation.join(
-            F.broadcast(present),
-            nation.n_nationkey == present.c_nationkey,
-            "left",
-        )
-        .select(
-            F.col("n_name").alias("container"),
-            F.when(F.col("c_nationkey").isNull(), "DOWN")
-            .otherwise("RUNNING")
-            .alias("status"),
-        )
-    )
-
-
-@declare(
-    "d19b_health_pct",
+    "d19_container_health",
     f"""
-SELECT {fround_sql('100.0 * COUNT(c.c_nationkey) / COUNT(*)', 1)} AS health_pct
+SELECT n.n_name AS container,
+       CASE WHEN c.c_nationkey IS NULL THEN 'DOWN' ELSE 'RUNNING' END AS status,
+       {fround_sql(
+        '100.0 * COUNT(c.c_nationkey) OVER () / COUNT(*) OVER ()', 1)}
+         AS health_pct
 FROM nation n
 LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
   ON n.n_nationkey = c.c_nationkey
 """,
-    doc="O-D19 health percentage = running/expected*100 (monitor.ps1:905-913)",
+    doc="O-D19 expected-vs-actual existence check: per-container "
+    "RUNNING/DOWN classification (monitor.ps1:867-913) + overall health "
+    "percentage running/expected*100 (:905-913). The fleet scalar rides "
+    "along as a column: Spark computes it as a broadcast 1-row "
+    "aggregate crossed onto the per-container rows (no single-partition "
+    "window), DuckDB as COUNT() OVER ()",
 )
-def d19b_health_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d19_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     present = (
         load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
@@ -607,10 +510,17 @@ def d19b_health_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation.n_nationkey == present.c_nationkey,
         "left",
     )
-    return joined.agg(
+    health = joined.agg(
         fround(
             100.0 * F.count("c_nationkey") / F.count(F.lit(1)), 1
         ).alias("health_pct")
+    )
+    return joined.crossJoin(F.broadcast(health)).select(
+        F.col("n_name").alias("container"),
+        F.when(F.col("c_nationkey").isNull(), "DOWN")
+        .otherwise("RUNNING")
+        .alias("status"),
+        "health_pct",
     )
 
 

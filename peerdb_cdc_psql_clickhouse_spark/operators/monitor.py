@@ -24,13 +24,13 @@ SECTIONS = {
     # 2 Get-PeerDBServerHealth (:523-583): version/latency probes
     "server_health": "r10_version_probe",
     # 3 Get-PeerDBTableStats (:589-697): per-table counts + sizes
-    "table_stats": "r6_count_and_size",
+    "table_stats": "r4_scalar_probes",
     # 4 Get-PeerDBFlowAnalysis (:703-794): lag + classification + pct
-    "flow_analysis": "d2_sync_status",
+    "flow_analysis": "d1_parity_report",
     # 5 Get-CDCOperationsAnalysis (:796-851): I/U/D op counts
     "cdc_operations": "c5_microbatch_sizes",
     # 6 Get-ContainerHealthStatus (:853-918): expected-vs-found status
-    "container_health": "d19_container_status",
+    "container_health": "d19_container_health",
     # 7 Get-PeerDBResourceUsage (:920-982): CPU/mem usage table
     "resource_usage": "d15_unit_normalize",
     # 8 Get-PerformanceSummary (:984-1025): connectivity probes
@@ -38,7 +38,7 @@ SECTIONS = {
     # 9 Get-DatabaseMetrics (:1027-1105): connections + db sizes
     "database_metrics": "r8_cross_join_group",
     # 10 Show-AnalysisSummary (:1107-1249): trend + peak batches
-    "analysis_summary": "d9_thirds_trend",
+    "analysis_summary": "d5_run_summary",
 }
 
 

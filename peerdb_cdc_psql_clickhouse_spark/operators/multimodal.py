@@ -228,46 +228,66 @@ WITH media AS (
   FROM media
 )
 SELECT media_id, CAST(fi AS INT) AS frame_idx,
-       encode(substring(text, CAST(fi * 1024 + 1 AS INT), 1024)) AS frame
+       md5(substring(text, CAST(fi * 1024 + 1 AS INT), 1024)) AS frame_md5
 FROM frames
 """,
     doc="brief: video frame sampling (every 4th 1 KiB 'frame') through "
     "row-expanding mapInPandas — the decode is a stub, the Arrow batch "
-    "expansion and binary-column handling are real and hash-checked",
+    "expansion is real. The declared query emits md5 hex of each frame "
+    "instead of the raw binary (binary columns crash the driver's "
+    "pandas canonicalizer — CORRECTNESS_r01 x4b err); the binary-frame "
+    "API (sample_frames) stays for pipeline use and is pytest-covered",
 )
 def x4b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"))
-    return sample_frames(media, every_n=4)
-
-
-@declare(
-    "x5_approx_distinct",
-    None,  # approximate by definition; rows-only check
-    doc="O-X5 approx distinct at scale: HyperLogLog++ sketch "
-    "(approx_count_distinct), constant memory per partition",
-)
-def x5_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    frames = sample_frames(media, every_n=4)
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame").alias("frame_md5")
     )
 
 
 @declare(
-    "x5b_approx_quantiles",
-    None,  # sketch-based; rows-only check
-    doc="O-X5 quantile sketch at scale: percentile_approx "
-    "(single-pass, bounded memory) over event values — the monitor's "
-    "avg/max/min batch stats (insert.ps1:370-372) upgraded to "
-    "distribution shape",
+    "x5_sketch_stats",
+    None,  # sketches are approximate/engine-specific; rows-only check
+    doc="O-X5 approximate sketches at scale, one (stat, value) row per "
+    "estimate — all scalar columns (never array-typed: CORRECTNESS_r01 "
+    "x5b err). HyperLogLog++ distinct counts (approx_count_distinct, "
+    "constant memory per partition) over lineitem keys + KLL-style "
+    "quantiles (percentile_approx, single-pass bounded memory) over "
+    "event values — the monitor's avg/max/min batch stats "
+    "(insert.ps1:370-372) upgraded to distribution shape",
 )
-def x5b_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x5_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias(
-            "value_p50_p90_p99"
-        ),
+    li_stats = li.agg(
+        F.approx_count_distinct("l_orderkey")
+        .cast("double")
+        .alias("approx_orders"),
+        F.approx_count_distinct("l_partkey")
+        .cast("double")
+        .alias("approx_parts"),
+    )
+    pq = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
+    ev_stats = ev.agg(
+        pq.getItem(0).alias("value_p50"),
+        pq.getItem(1).alias("value_p90"),
+        pq.getItem(2).alias("value_p99"),
         F.min("value").alias("value_min"),
         F.max("value").alias("value_max"),
+    )
+    # two 1-row aggregates -> broadcast cross -> unpivot to scalar rows
+    wide = li_stats.crossJoin(F.broadcast(ev_stats))
+    cols = [
+        "approx_orders",
+        "approx_parts",
+        "value_p50",
+        "value_p90",
+        "value_p99",
+        "value_min",
+        "value_max",
+    ]
+    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (stat, value)"
     )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..registry import QUERIES, declare
+from ..registry import declare
 from . import dedup as _dedup  # ensure registration + reuse
 from . import text as _text
 
@@ -27,7 +27,7 @@ TOKENS_MAX = 90
 
 
 def _oracle() -> str:
-    lang_sql = QUERIES["x3e_lang_id"].oracle
+    lang_sql = _text.LANG_ID_ORACLE
     return f"""
 WITH RECURSIVE {_dedup._closure_ctes()},
 clusters AS (

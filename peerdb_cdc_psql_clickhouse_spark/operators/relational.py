@@ -27,26 +27,22 @@ def r1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "r2_projection_scan",
-    "SELECT c_custkey FROM customer",
-    doc="O-R2 full-table projection scan (insert.ps1:96,123) — column "
-    "pruning means the parquet scan reads exactly one column",
-)
-def r2_projection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "customer").select("c_custkey")
-
-
-@declare(
-    "r3_distinct_limit",
-    "SELECT DISTINCT o_custkey AS purchaser FROM orders "
+    "r2_projection_distinct",
+    "SELECT DISTINCT o_custkey AS purchaser FROM "
+    "(SELECT o_custkey FROM orders) "
     "ORDER BY purchaser LIMIT 10",
-    doc="O-R3 SELECT DISTINCT purchaser FROM orders LIMIT 10 "
-    "(insert.ps1:106). ORDER BY added for determinism; distinct is a "
-    "partial-agg shuffle, limit is pushed to each partition",
+    doc="O-R2 full-table projection scan (insert.ps1:96,123) + O-R3 "
+    "SELECT DISTINCT purchaser FROM orders LIMIT 10 (insert.ps1:106). "
+    "The projection feeds the distinct, so column pruning reaches the "
+    "parquet scan (asserted by the r2 plan gate in tests/test_plans.py: "
+    "ReadSchema is exactly o_custkey); distinct is a partial-agg "
+    "shuffle, ORDER BY added for determinism, limit pushed per "
+    "partition",
 )
-def r3_distinct_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r2_projection_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
         .select(F.col("o_custkey").alias("purchaser"))
         .distinct()
         .orderBy("purchaser")
@@ -55,63 +51,61 @@ def r3_distinct_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "r4_max",
-    "SELECT MAX(o_orderkey) AS max_id FROM orders",
-    doc="O-R4 ungrouped MAX (insert.ps1:149) — partial max per "
-    "partition, single-row exchange",
+    "r4_scalar_probes",
+    """
+SELECT o.max_id, o.cnt, o.str_bytes,
+       li.returned_total, li.total_qty, li.row_cnt, li.max_key
+FROM (
+  SELECT MAX(o_orderkey) AS max_id,
+         COUNT(*) AS cnt,
+         CAST(SUM(LENGTH(o_orderpriority) + LENGTH(o_orderstatus))
+              AS BIGINT) AS str_bytes
+  FROM orders
+) o
+CROSS JOIN (
+  SELECT CAST(SUM(CASE WHEN l_returnflag = 'A'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+              AS DOUBLE) AS returned_total,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_qty,
+         COUNT(*) AS row_cnt,
+         MAX(l_orderkey) AS max_key
+  FROM lineitem
+) li
+""",
+    doc="O-R4 ungrouped MAX (insert.ps1:149) + O-R5 COUNT(*) "
+    "(insert.ps1:163; monitor.ps1:727,824) + O-R6 count+size in one "
+    "scan (monitor.ps1:604-609) + O-R7 filtered SUM "
+    "(monitor.ps1:664,1074, as a conditional sum so it shares the "
+    "lineitem scan) + O-R9 multi-scalar one-row select "
+    "(monitor.ps1:1057). One scan per table, partial aggregates, "
+    "broadcast cross of two 1-row frames — five separate probe "
+    "round-trips in the reference collapse to two scans",
 )
-def r4_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders").agg(
-        F.max("o_orderkey").alias("max_id")
-    )
-
-
-@declare(
-    "r5_count",
-    "SELECT COUNT(*) AS cnt FROM orders",
-    doc="O-R5 ungrouped COUNT(*) (insert.ps1:163; monitor.ps1:727,824)",
-)
-def r5_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-
-@declare(
-    "r6_count_and_size",
-    "SELECT COUNT(*) AS cnt, "
-    "CAST(SUM(LENGTH(o_orderpriority) + LENGTH(o_orderstatus)) AS BIGINT) "
-    "AS str_bytes FROM orders",
-    doc="O-R6 count + relation-size in one scan (monitor.ps1:604-609); "
-    "size analog = summed string byte-lengths",
-)
-def r6_count_and_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders").agg(
+def r4_scalar_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_agg = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderkey").alias("max_id"),
         F.count(F.lit(1)).alias("cnt"),
         F.sum(
             F.length("o_orderpriority") + F.length("o_orderstatus")
         ).alias("str_bytes"),
     )
-
-
-@declare(
-    "r7_filtered_sum",
-    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) "
-    "AS DOUBLE) AS total_bytes "
-    "FROM lineitem WHERE l_returnflag = 'A'",
-    doc="O-R7 filtered SUM over catalog parts (monitor.ps1:664,1074); "
-    "filter reaches the parquet scan as a pushed predicate",
-)
-def r7_filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "A")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_bytes")
+    li_agg = load_table(spark, sf_dir, "lineitem").agg(
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "A",
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+            )
         )
+        .cast("double")
+        .alias("returned_total"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+        F.count(F.lit(1)).alias("row_cnt"),
+        F.max("l_orderkey").alias("max_key"),
     )
+    return o_agg.crossJoin(F.broadcast(li_agg))
 
 
 @declare(
@@ -136,26 +130,6 @@ def r8_cross_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
-    "r9_multi_scalar",
-    "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
-    "AS total_qty, COUNT(*) AS row_cnt, MAX(l_orderkey) AS max_key "
-    "FROM lineitem",
-    doc="O-R9 multi-scalar one-row select (monitor.ps1:1057 "
-    "pg_database_size/pg_total_relation_size/pg_indexes_size) — one "
-    "scan, three partial aggregates",
-)
-def r9_multi_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_qty"),
-        F.count(F.lit(1)).alias("row_cnt"),
-        F.max("l_orderkey").alias("max_key"),
-    )
-
-
-@declare(
     "r10_version_probe",
     None,  # engine version can't be oracle-matched; rows-only check
     doc="O-R10 SELECT version() (monitor.ps1:534,550,566)",
@@ -166,44 +140,30 @@ def r10_version_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- O-R11: the batched VALUES INSERT workload (insert.ps1:280-292) --------
+# -- O-R11 + O-D12: deterministic synthetic-workload generators ------------
 #
-# The reference builds 500-row VALUES batches with Get-Random FK picks;
-# we derive the same shape deterministically (registry determinism
-# rules) from a 60-bit md5 hash so the DuckDB oracle reproduces it
-# bit-for-bit. At scale this is the synthetic-load generator: a
-# spark.range over N partitions, zero input I/O, append to the sink.
+# The reference builds 500-row VALUES batches (insert.ps1:289-292) and
+# per-loop synthetic orders (insert.ps1:281-284) with Get-Random FK
+# picks; we derive the same shapes deterministically (registry
+# determinism rules) from a 60-bit md5 hash so the DuckDB oracle
+# reproduces them bit-for-bit. At scale this is the synthetic-load
+# generator: a spark.range over N partitions, zero input I/O, append
+# to the sink.
 
-_R11_N = 500
-_R11_H = hash64_sql("CONCAT('ins:', CAST(i AS VARCHAR))")
 
-
-@declare(
-    "r11_batched_insert",
-    f"""
-WITH seq AS (SELECT unnest(generate_series(0, {_R11_N - 1})) AS i),
-hashed AS (
-  SELECT i, {_R11_H} AS h FROM seq
-)
-SELECT CAST(i + 20001 AS INT) AS id,
-       strftime(DATE '2026-01-01' - CAST(h % 30 AS INT), '%Y-%m-%d')
-         AS order_date,
-       CAST(h % 4 + 1001 AS INT) AS purchaser,
-       CAST(h % 9 + 101 AS INT) AS product_id,
-       CAST(h % 99 + 1 AS INT) AS quantity
-FROM hashed
-""",
-    doc="O-R11 multi-row batched INSERT: the 500-row VALUES batch "
-    "(insert.ps1:289-292, built :280-287) as a deterministic generated "
-    "DataFrame ready for .write.mode('append')",
-)
-def r11_batched_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_batch(
+    spark: SparkSession, n: int, prefix: str, base_id: int, batch: str = ""
+) -> DataFrame:
+    """n synthetic order rows with md5-derived FK/quantity/date picks
+    (the deterministic analog of insert.ps1:281-287). `batch` labels
+    the workload the rows belong to."""
     from ..functions.hashing import hash64
 
-    base = spark.range(_R11_N).withColumnRenamed("id", "i")
-    h = hash64(F.concat(F.lit("ins:"), F.col("i").cast("string")))
+    base = spark.range(n).withColumnRenamed("id", "i")
+    h = hash64(F.concat(F.lit(prefix), F.col("i").cast("string")))
     return base.select(
-        (F.col("i") + 20001).cast("int").alias("id"),
+        F.lit(batch).alias("batch"),
+        (F.col("i") + base_id).cast("int").alias("id"),
         F.date_format(
             F.date_sub(
                 F.to_date(F.lit("2026-01-01")), F.pmod(h, 30).cast("int")
@@ -214,6 +174,39 @@ def r11_batched_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(h, 9) + 101).cast("int").alias("product_id"),
         (F.pmod(h, 99) + 1).cast("int").alias("quantity"),
     )
+
+
+def _synth_batch_sql(n: int, prefix: str, base_id: int, batch: str) -> str:
+    h = hash64_sql(f"CONCAT('{prefix}', CAST(i AS VARCHAR))")
+    return f"""
+SELECT '{batch}' AS batch,
+       CAST(i + {base_id} AS INT) AS id,
+       strftime(DATE '2026-01-01' - CAST(h % 30 AS INT), '%Y-%m-%d')
+         AS order_date,
+       CAST(h % 4 + 1001 AS INT) AS purchaser,
+       CAST(h % 9 + 101 AS INT) AS product_id,
+       CAST(h % 99 + 1 AS INT) AS quantity
+FROM (SELECT i, {h} AS h
+      FROM (SELECT unnest(generate_series(0, {n - 1})) AS i))
+"""
+
+
+@declare(
+    "r11_batched_insert",
+    _synth_batch_sql(500, "ins:", 20001, "insert")
+    + "UNION ALL"
+    + _synth_batch_sql(1000, "synth:", 10001, "synth"),
+    doc="O-R11 multi-row batched INSERT: the 500-row VALUES batch "
+    "(insert.ps1:289-292, built :280-287) + O-D12 synthetic workload "
+    "generator: 1000 orders with random FK sampling and quantity 1-99 "
+    "(insert.ps1:281-283), both made deterministic via md5-based "
+    "indexing instead of Get-Random and returned as one labeled "
+    "append-ready DataFrame",
+)
+def r11_batched_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ins = synth_batch(spark, 500, "ins:", 20001, batch="insert")
+    synth = synth_batch(spark, 1000, "synth:", 10001, batch="synth")
+    return ins.unionByName(synth)
 
 
 # -- O-R12/O-R13: DDL catalog + seed rows (quickstart_prepare_peers.sh) ----

@@ -81,66 +81,6 @@ def x3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "x3b_text_quality",
-    f"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')) AS token_cnt,
-       FLOOR((CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t IN {STOPWORDS!r})) AS DOUBLE) /
-            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
-       AS stopword_ratio,
-       FLOOR((CAST(length(text) AS DOUBLE) /
-            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
-       AS avg_token_len
-FROM documents
-""",
-    doc="O-X3 quality scoring: token count, stopword ratio, mean token "
-    "length — per-document row-local expressions, no shuffle at all",
-)
-def x3b_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    from ..functions.numeric import fround
-
-    return docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("token_cnt"),
-        fround(
-            n_stop.cast("double") / F.nullif(n_tok, F.lit(0)), 4
-        ).alias("stopword_ratio"),
-        fround(
-            F.length("text").cast("double") / F.nullif(n_tok, F.lit(0)), 4
-        ).alias("avg_token_len"),
-    )
-
-
-@declare(
-    "x3c_token_count",
-    f"""
-SELECT doc_id,
-       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bpe_ish_tokens
-FROM documents
-""",
-    doc="O-X3 token counting with a BPE-ish regex (letters/digits/symbol "
-    "runs) — subword-count proxy for context-length budgeting",
-)
-def x3c_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
-        .cast("long")
-        .alias("bpe_ish_tokens"),
-    )
-
-
 def _lang_score_sql(lang: str) -> str:
     markers = tuple(LANG_MARKERS[lang])
     return (
@@ -149,9 +89,10 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
-@declare(
-    "x3e_lang_id",
-    f"""
+def _lang_id_oracle() -> str:
+    """DuckDB equivalent of detect_language() over documents —
+    (doc_id, lang, detected_lang). Composed by the x7 pipeline oracle."""
+    return f"""
 WITH scored AS (
   SELECT doc_id, lang,
          {_lang_score_sql('de')} AS s_de,
@@ -166,15 +107,78 @@ SELECT doc_id, lang,
             WHEN s_es >= s_fr THEN 'es'
             ELSE 'fr' END AS detected_lang
 FROM scored
-""",
-    doc="O-X3/brief language-ID: stopword-marker n-gram heuristic, "
-    "argmax over per-language hit counts (earliest lang wins ties) — "
-    "pure column expressions, row-local, zero shuffle",
+"""
+
+
+LANG_ID_ORACLE = _lang_id_oracle()
+
+
+@declare(
+    "x3b_doc_signals",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM documents
 )
-def x3e_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS token_cnt,
+       FLOOR((CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t IN {STOPWORDS!r})) AS DOUBLE) /
+            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
+       AS stopword_ratio,
+       FLOOR((CAST(length(text) AS DOUBLE) /
+            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
+       AS avg_token_len,
+       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bpe_ish_tokens,
+       {hash64_sql('text')} AS fingerprint,
+       lang,
+       CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS detected_lang
+FROM scored
+""",
+    doc="O-X3/brief per-document signal battery in ONE scan: quality "
+    "scoring (token count, stopword ratio, mean token length), BPE-ish "
+    "subword token counting (letters/digits/symbol runs — context-"
+    "length budgeting proxy), 60-bit md5 content fingerprint, and "
+    "stopword-marker language-ID (argmax over per-language hit counts, "
+    "earliest lang wins ties). All row-local column expressions: zero "
+    "shuffle, one pass over the corpus — at 100 TB this is the "
+    "signals stage of the selection pipeline, and computing the four "
+    "signal families per-query would cost four corpus scans instead "
+    "of one",
+)
+def x3b_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import fround
+
     docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     return detect_language(docs, "text").select(
-        "doc_id", "lang", "detected_lang"
+        "doc_id",
+        n_tok.cast("long").alias("token_cnt"),
+        fround(
+            n_stop.cast("double") / F.nullif(n_tok, F.lit(0)), 4
+        ).alias("stopword_ratio"),
+        fround(
+            F.length("text").cast("double") / F.nullif(n_tok, F.lit(0)), 4
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        hash64(F.col("text")).alias("fingerprint"),
+        "lang",
+        "detected_lang",
     )
 
 
@@ -249,20 +253,6 @@ def winnow_fp(docs: DataFrame) -> DataFrame:
 )
 def x3f_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fp(load_table(spark, sf_dir, "documents"))
-
-
-@declare(
-    "x3d_fingerprint",
-    f"""
-SELECT doc_id, {hash64_sql('text')} AS fingerprint
-FROM documents
-""",
-    doc="O-X3 document fingerprinting: 60-bit md5-derived content hash "
-    "(engine-portable; see functions.hashing)",
-)
-def x3d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", hash64(F.col("text")).alias("fingerprint"))
 
 
 TFIDF_TOP_K = 3

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import SparkSession
 
-from tests.oracle_util import _norm_frame, duckdb_run
+from tests.oracle_util import _norm_frame, driver_canon_check, duckdb_run
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -40,10 +40,11 @@ assert n > 0
 qs = mod.queries()
 oracles = mod.oracle_sql()
 fails = []
-for name in sorted(qs):
+for name in qs:  # registry order — exactly what the driver iterates
     try:
         df = qs[name](spark, SF)
         got = df.toPandas()
+        driver_canon_check(got)  # dies on binary/array cells like the driver
         if name not in oracles:
             print(f"  {name:24s} ROWS_ONLY rows={len(got)}")
             continue

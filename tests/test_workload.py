@@ -36,15 +36,19 @@ def test_ddl_create_insert_roundtrip(spark, tmp_path):
 
 
 def test_batched_insert_append(spark, tmp_path):
-    """O-R11: the 500-row generated batch appends to a parquet sink;
-    two batches -> 1000 rows, disjoint id ranges preserved."""
+    """O-R11 + O-D12: the generated batches (500-row insert + 1000-row
+    synth, disjoint id ranges) append to a parquet sink; a second
+    shifted append doubles the rows with ids still unique."""
     batch = r11_batched_insert(spark, "")
+    assert batch.count() == 1500
+    assert batch.filter(batch.batch == "insert").count() == 500
+    assert batch.filter(batch.batch == "synth").count() == 1000
     path = str(tmp_path / "orders_sink")
     batch.write.mode("append").parquet(path)
-    batch.withColumn("id", batch.id + 500).write.mode("append").parquet(path)
+    batch.withColumn("id", batch.id + 20000).write.mode("append").parquet(path)
     back = spark.read.parquet(path)
-    assert back.count() == 1000
-    assert back.select("id").distinct().count() == 1000
+    assert back.count() == 3000
+    assert back.select("id").distinct().count() == 3000
 
 
 def test_seed_frames_match_reference_cardinality(spark):
