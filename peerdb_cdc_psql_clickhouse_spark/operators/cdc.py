@@ -31,6 +31,13 @@ from ..catalog import load_table
 from ..functions.numeric import dsum, dsum_sql
 from ..registry import declare
 
+# Version sentinel for base/current rows when merged against a change
+# feed: must sort strictly below every real change version. Long.MIN,
+# not -1 — a change event carrying _version <= -1 would otherwise tie
+# with the base row and win/lose nondeterministically under
+# row_number (ADVICE r1).
+BASE_VERSION = -(2**63)
+
 CDC_OPS = ("insert", "update", "delete")
 
 
@@ -88,7 +95,7 @@ def apply_changes(
     else:
         cur_as_changes = current.select(
             F.lit("insert").alias("_op"),
-            F.lit(-1).cast("long").alias(version_col),
+            F.lit(BASE_VERSION).cast("long").alias(version_col),
             F.lit(None).cast("timestamp").alias("_ts"),
             *[F.col(c) for c in data_cols],
         )

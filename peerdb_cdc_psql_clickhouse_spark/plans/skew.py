@@ -34,7 +34,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join `skewed` (large, hot-keyed probe side) with `other`
     (build side, replicated) on column `on`, spreading each key across
-    `salts` partitions."""
+    `salts` partitions.
+
+    Only inner/left (probe-side-preserving) joins are supported: under
+    right/full outer, every UNMATCHED build-side row would surface
+    once per salt replica (`salts` duplicates), because replication
+    is only cancelled by the join for matched rows (ADVICE r1).
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports probe-side-preserving joins only, "
+            f"not how={how!r}: unmatched build rows would be emitted "
+            f"once per salt replica"
+        )
     if SALT_COL in skewed.columns or SALT_COL in other.columns:
         raise ValueError(f"{SALT_COL!r} column already present")
     probe = skewed.withColumn(

@@ -36,10 +36,21 @@ def stream_interval_join(
     plan minus state), which is how the unit oracle checks it.
 
     Right columns other than the key are kept under their own names;
-    the right event time is exposed as `{right_ts}_r`. Both inputs
-    must be append streams; watermarks are applied here so state
-    eviction is never forgotten at call sites.
+    the right event time is exposed as `{right_ts}_r`. A right column
+    whose name collides with a left column is rejected (it would
+    silently produce ambiguous duplicate output columns — ADVICE r1);
+    rename before joining, as asof_join does. Both inputs must be
+    append streams; watermarks are applied here so state eviction is
+    never forgotten at call sites.
     """
+    collisions = (
+        set(right.columns) - {key, right_ts}
+    ) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right columns {sorted(collisions)} collide with left "
+            "columns; rename them before stream_interval_join"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     r = r.select(

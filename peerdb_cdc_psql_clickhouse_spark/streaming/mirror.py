@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import change_event_schema
-from ..operators.cdc import latest_state, target_table_name
+from ..operators.cdc import BASE_VERSION, latest_state, target_table_name
 from ..sources.changes import read_changes_stream
 
 
@@ -79,9 +79,15 @@ class Mirror:
     # -- O-C1 snapshot -----------------------------------------------------
     def snapshot(self, source: DataFrame) -> None:
         """Initial full copy (flow-snapshot-worker analog). Overwrite =
-        idempotent re-snapshot; goes to base/, leaving delta intact-free."""
+        idempotent re-snapshot; goes to base/, leaving delta intact.
+        Snapshot rows carry the BASE_VERSION sentinel: every change
+        event (which by mirror contract postdates the snapshot point)
+        beats them."""
         self._write_base(
-            source.select(*self._data_cols), f"{self.target_dir}/base"
+            source.select(*self._data_cols).withColumn(
+                "_version", F.lit(BASE_VERSION).cast("long")
+            ),
+            f"{self.target_dir}/base",
         )
 
     def _write_base(self, df: DataFrame, path: str) -> None:
@@ -126,11 +132,13 @@ class Mirror:
                 base = base.filter(
                     F.col("_bucket") == F.lit(self.bucket_of(**key_values))
                 )
-            base = base.filter(cond).select(*self._data_cols)
+            base = base.filter(cond).select(*self._data_cols, "_version")
         delta = self._read_delta()
         if delta is not None:
             delta = delta.filter(cond)
-        return self._merge(base, delta, keep_deletes=False)
+        return self._merge(base, delta, keep_deletes=False).select(
+            *self._data_cols
+        )
 
     # -- O-C2/C3/C5/C7/C8 streaming apply ---------------------------------
     def start(
@@ -177,12 +185,19 @@ class Mirror:
         )
 
     # -- merged view (FINAL analog) ---------------------------------------
-    def read_target(self, keep_deletes: bool = False) -> DataFrame:
-        """Current converged state: base ∪ delta, max-version-wins."""
+    def read_target(
+        self,
+        keep_deletes: bool = False,
+        delta_paths: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Current converged state: base ∪ delta, max-version-wins.
+        delta_paths restricts the merge to an explicit batch-dir
+        snapshot (compact() uses this to avoid racing new batches)."""
         base = self._read_base()
         if base is not None:
-            base = base.select(*self._data_cols)
-        return self._merge(base, self._read_delta(), keep_deletes)
+            base = base.select(*self._data_cols, "_version")
+        merged = self._merge(base, self._read_delta(delta_paths), keep_deletes)
+        return merged.select(*self._data_cols)
 
     def _merge(
         self,
@@ -190,32 +205,80 @@ class Mirror:
         delta: DataFrame | None,
         keep_deletes: bool,
     ) -> DataFrame:
+        """base ∪ delta with max-version-wins; returns the winning rows
+        WITH their _version column (callers project it away, compact()
+        persists it). Base rows keep the real version they won at —
+        compaction must not downgrade them to the -infinity sentinel,
+        or an already-applied old batch replayed over the new base
+        would regress keys to stale values."""
+        empty_schema = T.StructType(
+            list(self.row_schema.fields)
+            + [T.StructField("_version", T.LongType())]
+        )
         if base is None and delta is None:
-            return self.spark.createDataFrame([], self.row_schema)
+            return self.spark.createDataFrame([], empty_schema)
         if delta is None:
             return base  # type: ignore[return-value]
-        parts = delta
+        parts = delta.select("_op", "_version", "_ts", *self._data_cols)
         if base is not None:
             base_as_changes = base.select(
                 F.lit("insert").alias("_op"),
-                F.lit(-1).cast("long").alias("_version"),
+                F.coalesce(
+                    F.col("_version"), F.lit(BASE_VERSION)
+                ).cast("long").alias("_version"),
                 F.lit(None).cast("timestamp").alias("_ts"),
                 *self._data_cols,
             )
-            parts = base_as_changes.unionByName(delta)
+            parts = base_as_changes.unionByName(parts)
         merged = latest_state(parts, self.key_cols, keep_deletes=keep_deletes)
-        return merged.select(*self._data_cols)
+        return merged.select(*self._data_cols, "_version")
 
     def compact(self) -> None:
         """Fold delta into base (MergeTree background-merge analog).
-        Writes the merged state to a fresh dir (re-bucketed when the
-        mirror is bucketed) then swaps — readers never see a
-        half-merged base."""
+
+        Safe against concurrent writers/readers (ADVICE r1):
+        - refuses to run while this mirror's streaming apply is active
+          (a delta batch landing after the merge materialized would be
+          deleted even though checkpoint offsets say it was applied);
+        - snapshots the set of _batch dirs FIRST and merges/deletes
+          exactly those, so a batch racing in between is preserved
+          (re-applying it over the new base is idempotent under
+          max-version-wins);
+        - swaps base via two renames instead of rmtree+move, so the
+          window where a reader sees no base is microseconds, not an
+          O(files) delete. Leftover batch dirs merged into the new
+          base remain correct to re-read until deleted.
+        """
+        import glob
+        import os
+
+        for q in self.spark.streams.active:
+            if q.name == self.name:
+                raise RuntimeError(
+                    f"compact() while streaming apply {self.name!r} is "
+                    "active would drop late delta batches; stop the "
+                    "query first"
+                )
+        batch_dirs = sorted(glob.glob(f"{self.target_dir}/delta/_batch=*"))
+        base = self._read_base()
+        if base is not None:
+            base = base.select(*self._data_cols, "_version")
+        merged = self._merge(
+            base, self._read_delta(batch_dirs), keep_deletes=False
+        )
         tmp = f"{self.target_dir}/base_compacting"
-        self._write_base(self.read_target(), tmp)
-        shutil.rmtree(f"{self.target_dir}/base", ignore_errors=True)
-        shutil.rmtree(f"{self.target_dir}/delta", ignore_errors=True)
-        shutil.move(tmp, f"{self.target_dir}/base")
+        # persist the winning _version per row: replaying an old delta
+        # batch over the new base must stay a no-op
+        self._write_base(merged, tmp)
+        base = f"{self.target_dir}/base"
+        retired = f"{self.target_dir}/base_retired"
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.exists(base):
+            os.rename(base, retired)
+        os.rename(tmp, base)
+        shutil.rmtree(retired, ignore_errors=True)
+        for d in batch_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
     # -- O-D1 parity (monitor.ps1:743) -------------------------------------
     def parity(self, source: DataFrame) -> DataFrame:
@@ -232,24 +295,35 @@ class Mirror:
         )
 
     def _read_base(self) -> DataFrame | None:
-        schema = self.row_schema
+        fields = list(self.row_schema.fields) + [
+            # per-row winning version (BASE_VERSION for snapshot rows;
+            # missing in pre-upgrade bases -> read as null, coalesced
+            # to the sentinel at merge time)
+            T.StructField("_version", T.LongType())
+        ]
         if self.n_buckets:
-            schema = T.StructType(
-                list(schema.fields)
-                + [T.StructField("_bucket", T.IntegerType())]
-            )
+            fields.append(T.StructField("_bucket", T.IntegerType()))
         try:
-            return self.spark.read.schema(schema).parquet(
+            return self.spark.read.schema(T.StructType(fields)).parquet(
                 f"{self.target_dir}/base"
             )
         except Exception:
             return None
 
-    def _read_delta(self) -> DataFrame | None:
+    def _read_delta(
+        self, paths: Sequence[str] | None = None
+    ) -> DataFrame | None:
+        targets = (
+            list(paths)
+            if paths is not None
+            else [f"{self.target_dir}/delta/_batch=*"]
+        )
+        if not targets:
+            return None
         try:
             return self.spark.read.schema(
                 change_event_schema(self.row_schema)
-            ).parquet(f"{self.target_dir}/delta/_batch=*")
+            ).parquet(*targets)
         except Exception:
             return None
 

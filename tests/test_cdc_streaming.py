@@ -193,6 +193,55 @@ def test_mirror_compact_preserves_state(spark, tmp_path, mirror):
     assert mirror._read_delta() is None
 
 
+def test_compact_refuses_while_apply_is_active(spark, tmp_path, mirror):
+    """ADVICE r1: folding delta while the streaming apply runs can
+    delete a batch the checkpoint says was applied. compact() must
+    refuse instead."""
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    q = mirror.start(
+        changes_dir, available_now=False, processing_time="1 second"
+    )
+    try:
+        with pytest.raises(RuntimeError, match="active"):
+            mirror.compact()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+
+def test_compact_tolerates_replayed_delta_batch(spark, tmp_path, mirror):
+    """A delta batch that survives compaction (raced in while batch
+    dirs were being removed) re-applies over the new base without
+    changing the converged state — max-version-wins is idempotent, so
+    compact()'s snapshot-then-delete never needs to block appends."""
+    import shutil as _sh
+
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    before = _as_dict(mirror.read_target())
+
+    import glob as _glob
+
+    a_batch = sorted(_glob.glob(f"{mirror.target_dir}/delta/_batch=*"))[0]
+    saved = str(tmp_path / "saved_batch")
+    _sh.copytree(a_batch, saved)
+    mirror.compact()
+    _sh.copytree(saved, f"{mirror.target_dir}/delta/_batch=999")
+    assert _as_dict(mirror.read_target()) == before
+
+
+def test_negative_change_version_beats_base(spark):
+    """ADVICE r1: base rows are sentinel Long.MIN, so a change event
+    with _version <= -1 still deterministically wins over the current
+    state instead of tying with the old -1 sentinel."""
+    current = spark.createDataFrame([(1, "old")], ROW_SCHEMA)
+    changes = _mk_changes(spark, [("update", -5, 1, "new")])
+    merged = apply_changes(current, changes, ["id"])
+    assert _as_dict(merged) == {1: "new"}
+
+
 def test_bucketed_mirror_lookup_prunes_partitions(spark, tmp_path):
     """pk-bucketed base: point lookups carry an explicit _bucket
     predicate and the parquet scan prunes to one bucket dir."""
@@ -396,3 +445,80 @@ def test_windowed_op_counts_batch_semantics(spark):
     out = windowed_op_counts(changes, window="1 minute")
     got = {(r["_op"]): r["cnt"] for r in out.collect()}
     assert got == {"insert": 4, "update": 3, "delete": 2}
+
+
+def test_mirror_schema_evolution_widened_column(spark, tmp_path):
+    """Schema evolution (VERDICT r1 'What's missing' #3): a mirror
+    started on the v1 row schema, then reopened with a widened v2
+    schema (added nullable column), must converge v2 change events
+    while old base/delta files read as NULL for the new column —
+    across streaming apply, merge-on-read, lookup, and compact."""
+    v2 = T.StructType(
+        list(ROW_SCHEMA.fields) + [T.StructField("region", T.StringType())]
+    )
+
+    def mk(schema):
+        return Mirror(
+            spark,
+            name="mirror_evo",
+            schema="public",
+            table="evo",
+            key_cols=["id"],
+            row_schema=schema,
+            target_root=str(tmp_path / "warehouse"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+        )
+
+    # v1 lifecycle: snapshot + a few applied events
+    m1 = mk(ROW_SCHEMA)
+    m1.snapshot(spark.createDataFrame([(10, "s10")], ROW_SCHEMA))
+    changes_v1 = str(tmp_path / "changes_v1")
+    write_change_batches(_mk_changes(spark, EVENTS[:4]), changes_v1, 2)
+    m1.start(changes_v1, available_now=True).awaitTermination(120)
+    assert _as_dict(m1.read_target()) == _naive_replay(
+        EVENTS[:4], base={10: "s10"}
+    )
+
+    # reopen widened; v2 events carry the new column
+    m2 = mk(v2)
+    rows = [
+        ("update", 20, __import__("datetime").datetime(2026, 1, 2), 1,
+         "a-v2", "eu"),
+        ("insert", 21, __import__("datetime").datetime(2026, 1, 2), 4,
+         "d", "us"),
+    ]
+    ev_schema = T.StructType(
+        [
+            T.StructField("_op", T.StringType()),
+            T.StructField("_version", T.LongType()),
+            T.StructField("_ts", T.TimestampType()),
+        ]
+        + list(v2.fields)
+    )
+    changes_v2 = str(tmp_path / "changes_v2")
+    write_change_batches(
+        spark.createDataFrame(rows, ev_schema), changes_v2, 2
+    )
+    m2.start(changes_v2, available_now=True).awaitTermination(120)
+
+    got = {
+        r["id"]: (r["val"], r["region"])
+        for r in m2.read_target().collect()
+    }
+    assert got == {
+        10: ("s10", None),   # snapshot row: new col NULL
+        1: ("a-v2", "eu"),   # updated by v2 event
+        2: ("b", None),      # v1 delta row: new col NULL
+        3: ("c", None),
+        4: ("d", "us"),      # inserted by v2 event
+    }
+    # point lookup surfaces the widened column
+    one = m2.lookup(id=1).collect()
+    assert one[0]["region"] == "eu"
+    # compact folds mixed-schema delta into a v2 base, state unchanged
+    m2.compact()
+    got2 = {
+        r["id"]: (r["val"], r["region"])
+        for r in m2.read_target().collect()
+    }
+    assert got2 == got

@@ -61,3 +61,14 @@ def test_salt_spreads_hot_key(spark):
     assert len(per_salt) == 8  # hot key present in every salt bucket
     counts = [r["count"] for r in per_salt]
     assert max(counts) < 2 * min(counts)  # roughly uniform
+
+
+def test_salted_join_rejects_build_preserving_how(spark):
+    """right/full outer would emit each unmatched build row once per
+    salt replica — rejected up front (ADVICE r1)."""
+    import pytest
+
+    probe, build = _frames(spark)
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="probe-side-preserving"):
+            salted_join(probe, build, "k", salts=8, how=how)

@@ -129,3 +129,23 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     q.awaitTermination(120)
     seen = [(r["entity_id"], r["_version"]) for r in got]
     assert sorted(seen) == [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+
+def test_interval_join_rejects_column_collision(spark):
+    """A right column shadowing a left column would silently produce
+    ambiguous duplicate output columns (ADVICE r1) — reject instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    left = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("lts"),
+        F.lit(1).alias("metric"),
+    )
+    right = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.current_timestamp().alias("rts"),
+        F.lit(2).alias("metric"),  # collides
+    )
+    with pytest.raises(ValueError, match="collide"):
+        stream_interval_join(left, right, "k", "lts", "rts")
