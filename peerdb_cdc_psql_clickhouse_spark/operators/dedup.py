@@ -128,7 +128,16 @@ def lsh_candidate_pairs(
     bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Self-join on band keys -> candidate pairs (id_a < id_b) with
-    estimated Jaccard = matching signature slots / k."""
+    estimated Jaccard = matching signature slots / k.
+
+    Shuffle-width discipline (VERDICT r1 #8): the band self-join
+    carries only (id, band_idx, band_key) — NOT the k signature
+    columns. The exploded band relation is `bands`x the corpus row
+    count, so every extra column rides the shuffle `bands` times per
+    side; signatures re-attach to the (much smaller, deduplicated)
+    pair set afterwards via two keyed joins against the un-exploded
+    signature frame. Callers that persist `sig` (x1b does, via
+    reuse()) pay no recompute for the re-attach."""
     rows = k // bands
     band_cols = [
         F.concat_ws(
@@ -136,7 +145,6 @@ def lsh_candidate_pairs(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    with_bands = sig.select(F.col(id_col), *[F.col(f"sig_{i}") for i in range(k)], *band_cols)
     # explode bands to (id, band_idx, band_key); pair docs sharing a key
     band_arr = F.array(
         *[
@@ -144,40 +152,39 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    keyed = with_bands.select(
-        F.col(id_col), *[F.col(f"sig_{i}") for i in range(k)],
-        F.explode(band_arr).alias("bk"),
-    ).select(
-        F.col(id_col),
-        *[F.col(f"sig_{i}") for i in range(k)],
-        F.col("bk.band_idx").alias("band_idx"),
-        F.col("bk.band_key").alias("band_key"),
+    keyed = (
+        sig.select(F.col(id_col), *band_cols)
+        .select(F.col(id_col), F.explode(band_arr).alias("bk"))
+        .select(
+            F.col(id_col),
+            F.col("bk.band_idx").alias("band_idx"),
+            F.col("bk.band_key").alias("band_key"),
+        )
     )
-    a = keyed.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(k)],
-        "band_idx",
-        "band_key",
-    )
-    b = keyed.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(k)],
-        "band_idx",
-        "band_key",
-    )
+    a = keyed.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = keyed.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     pairs = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *[f"a_sig_{i}" for i in range(k)], *[f"b_sig_{i}" for i in range(k)])
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(k)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(k)],
+    )
+    enriched = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     from ..functions.numeric import fround
 
     matches = sum(
         F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
         for i in range(k)
     )
-    return pairs.select(
+    return enriched.select(
         "id_a",
         "id_b",
         fround(matches / F.lit(float(k)), 4).alias("est_jaccard"),

@@ -83,6 +83,46 @@ def test_minhash_has_no_cartesian_and_no_groupby_shuffle(plans):
     assert "Generate explode" not in p or "hashpartitioning(doc_id" not in p
 
 
+def test_lsh_band_join_shuffle_is_narrow(spark):
+    """VERDICT r1 #8: the exploded band self-join must shuffle only
+    (id, band_idx, band_key) — signature columns re-attach to the
+    deduplicated pair set afterwards. The exploded relation is bands x
+    corpus rows, so a sig column riding it costs `bands` copies per
+    side."""
+    import contextlib
+    import io
+
+    from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    # force the at-scale plan shape: at 100 TB the band self-join is a
+    # shuffle join, not a broadcast (tiny sf would broadcast it)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pairs.explain("formatted")
+        p = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    band_exchanges = [
+        l
+        for l in p.splitlines()
+        if "hashpartitioning(band_idx" in l
+    ]
+    assert band_exchanges, "band join no longer keyed on band columns?"
+    assert all("sig_" not in l for l in band_exchanges), (
+        "signature columns are riding the exploded band-join shuffle"
+    )
+
+
 def test_simhash_is_map_only(plans):
     p = plans("x1c_simhash")
     # row-local rewrite: no aggregate exchange at all; the only
