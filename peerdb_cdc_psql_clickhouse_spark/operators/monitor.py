@@ -13,7 +13,10 @@ each section is independently oracle-checked by the driver.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import all_queries
 
@@ -33,8 +36,10 @@ SECTIONS = {
     "container_health": "d19_container_health",
     # 7 Get-PeerDBResourceUsage (:920-982): CPU/mem usage table
     "resource_usage": "d15_unit_normalize",
-    # 8 Get-PerformanceSummary (:984-1025): connectivity probes
-    "performance_summary": "r1_probe",
+    # 8 Get-PerformanceSummary (:984-1025): built by
+    # connectivity_summary() (special-cased in monitor_report —
+    # source/target probes + the pluggable UI liveness prober)
+    "performance_summary": None,
     # 9 Get-DatabaseMetrics (:1027-1105): connections + db sizes
     "database_metrics": "r8_cross_join_group",
     # 10 Show-AnalysisSummary (:1107-1249): trend + peak batches
@@ -42,14 +47,89 @@ SECTIONS = {
 }
 
 
+def ui_probe_http(
+    url: str = "http://localhost:3000", timeout_sec: float = 5.0
+) -> str:
+    """Default UI liveness prober — the analog of the reference's
+    `Invoke-WebRequest http://localhost:3000 -TimeoutSec 5`
+    (peerdb_psql_clickhouse_monitor.ps1:1014-1019): 200 =>
+    'Available', anything else (timeout, refused, non-200) =>
+    'Unavailable'. Stdlib-only; swap in any `() -> str` for other
+    deployments."""
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout_sec) as resp:
+            return "Available" if resp.status == 200 else "Unavailable"
+    except Exception:  # noqa: BLE001 - any failure = not available
+        return "Unavailable"
+
+
+def connectivity_summary(
+    spark: SparkSession,
+    sf_dir: str,
+    ui_probe: Callable[[], str] = ui_probe_http,
+) -> DataFrame:
+    """Section 8, Get-PerformanceSummary (monitor.ps1:984-1025):
+    three probes — source `SELECT 1`, target `SELECT 1`, UI HTTP GET.
+
+    The source/target probes stay lazy DataFrame plans over the
+    catalog (the engine's analog of `psql -c "SELECT 1"` /
+    `clickhouse-client --query "SELECT 1"`): status is derived from
+    whether the probe scan yields a row. The UI probe is inherently a
+    driver-side liveness ping (one HTTP GET, not a data-plane query)
+    and is pluggable; its result enters the plan as a literal."""
+    from ..catalog import load_table
+
+    def probe_status(table: str) -> F.Column:
+        probe = (
+            load_table(spark, sf_dir, table)
+            .select(F.lit(1).alias("one"))
+            .limit(1)
+        )
+        cnt = probe.agg(F.count("*").alias("n"))
+        # scalar one-row frame -> cross-joinable literal-ish status
+        return (
+            F.when(F.col("n") >= 1, "Connected")
+            .otherwise("Failed")
+            .alias("status")
+        ), cnt
+
+    src_status, src_cnt = probe_status("orders")
+    tgt_status, tgt_cnt = probe_status("events")
+    rows = [
+        src_cnt.select(
+            F.lit("PostgreSQL (Source)").alias("service"), src_status
+        ),
+        tgt_cnt.select(
+            F.lit("ClickHouse (Target)").alias("service"), tgt_status
+        ),
+        spark.range(1).select(
+            F.lit("PeerDB UI").alias("service"),
+            F.lit(ui_probe()).alias("status"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def monitor_report(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    ui_probe: Callable[[], str] = ui_probe_http,
 ) -> dict[str, DataFrame]:
     """Build all 10 sections lazily (no execution until the caller
     acts). Each value is a small DataFrame; at scale every section
-    stays fully distributed until its final limit/agg."""
+    stays fully distributed until its final limit/agg. Section 8 is
+    the connectivity summary with the pluggable UI prober."""
     queries = all_queries()
     return {
-        section: queries[qname].build(spark, sf_dir)
+        section: (
+            connectivity_summary(spark, sf_dir, ui_probe)
+            if qname is None
+            else queries[qname].build(spark, sf_dir)
+        )
         for section, qname in SECTIONS.items()
     }

@@ -53,3 +53,39 @@ def test_monitor_report_all_sections(spark):
     assert set(report) == set(SECTIONS)
     for section, df in report.items():
         assert df.count() > 0, f"section {section} is empty"
+
+
+def test_connectivity_summary_pluggable_ui_probe(spark):
+    """Section 8 (monitor.ps1:984-1025): source/target probes derive
+    from data-plane scans; the UI liveness ping is pluggable and its
+    result lands in the 'PeerDB UI' row."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.monitor import (
+        connectivity_summary,
+        ui_probe_http,
+    )
+
+    got = {
+        r["service"]: r["status"]
+        for r in connectivity_summary(
+            spark, SF, ui_probe=lambda: "Available"
+        ).collect()
+    }
+    assert got == {
+        "PostgreSQL (Source)": "Connected",
+        "ClickHouse (Target)": "Connected",
+        "PeerDB UI": "Available",
+    }
+    # default prober against a closed port reports Unavailable
+    assert ui_probe_http("http://localhost:59999", 0.5) == "Unavailable"
+
+
+def test_monitor_report_section8_default_prober(spark):
+    """No UI server in this container: the default HTTP prober yields
+    an 'Unavailable' row rather than raising."""
+    report = monitor_report(spark, SF)
+    s8 = {
+        r["service"]: r["status"]
+        for r in report["performance_summary"].collect()
+    }
+    assert s8["PeerDB UI"] in ("Available", "Unavailable")
+    assert s8["PostgreSQL (Source)"] == "Connected"
