@@ -563,6 +563,89 @@ def dup_clusters(
     return lbl.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def _star_labels(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star / small-star rounds (Kiveris et al.,
+    'Connected Components in MapReduce and Beyond', SoCC'14 — public
+    algorithm) until the edge set is stable; returns (node, lbl) with
+    lbl = component-min node id.
+
+    Round count is O(log^2 n) regardless of component DIAMETER — the
+    giant-component regime where plain min-label propagation
+    (diameter-bounded) degrades. Every step is a keyed groupBy +
+    equi-join; no all-pairs anywhere.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+        m = F.least(F.col("src"), F.col("_mn"))
+        # connect every strictly-larger neighbor to min(N(u) ∪ {u})
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient u >= v, then connect every smaller neighbor (and u)
+        # to min(N(u) ∪ {u})
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("_mn"))
+        moved = oriented.join(mins, "src").select(
+            F.col("dst").alias("src"), F.col("_mn").alias("dst")
+        )
+        self_link = mins.select("src", F.col("_mn").alias("dst"))
+        return (
+            moved.union(self_link)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    cur = edges.localCheckpoint()  # materialize edge derivation once
+    nodes = (
+        cur.select(F.col("src").alias("node"))
+        .union(cur.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        # set equality of deduped edge lists: same count + empty diff
+        if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        cur = nxt
+    # converged: every non-root points directly at its component min
+    non_roots = cur.groupBy("src").agg(F.min("dst").alias("lbl"))
+    roots = nodes.join(
+        non_roots, nodes.node == non_roots.src, "left_anti"
+    ).select("node", F.col("node").alias("lbl"))
+    return non_roots.select(
+        F.col("src").alias("node"), "lbl"
+    ).unionByName(roots)
+
+
+def dup_clusters_star(
+    edges: DataFrame, max_iters: int = CLUSTER_MAX_ITERS
+) -> DataFrame:
+    """dup_clusters with large-star/small-star rounds instead of
+    min-label propagation: same contract ((doc_id, cluster_id),
+    cluster_id = component-min doc_id, nodes = endpoints of `edges`),
+    but round count bounded by O(log^2 n) instead of component
+    diameter — use for corpora where a giant near-dup component is
+    plausible (boilerplate-heavy web crawls)."""
+    lab = _star_labels(edges, max_iters)
+    return lab.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
 def _closure_ctes() -> str:
     """CTE chain (for WITH RECURSIVE) ending in `lab(node, lbl)` —
     the label-propagation closure over fingerprint-overlap edges."""

@@ -1,10 +1,17 @@
 """dup_clusters: min-label propagation connected components on
 hand-built graphs — chains (transitivity), separate components, and
-convergence before the iteration cap."""
+convergence before the iteration cap — plus the large-star/small-star
+variant (giant-component regime) checked against a union-find oracle
+and against label propagation on real winnowing edges."""
 
 from __future__ import annotations
 
-from peerdb_cdc_psql_clickhouse_spark.operators.dedup import dup_clusters
+import random
+
+from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+    dup_clusters,
+    dup_clusters_star,
+)
 
 
 def _clusters(spark, edges, **kw):
@@ -13,6 +20,24 @@ def _clusters(spark, edges, **kw):
         r["doc_id"]: r["cluster_id"]
         for r in dup_clusters(df, **kw).collect()
     }
+
+
+def _union_find(edges):
+    """Driver-side oracle: component-min labels."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
 
 
 def test_chain_is_one_component(spark):
@@ -30,6 +55,59 @@ def test_label_flows_against_edge_direction(spark):
     # min id on the dst side: propagation must be symmetric
     got = _clusters(spark, [(5, 1), (5, 9)])
     assert got == {1: 1, 5: 1, 9: 1}
+
+
+def _star(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters_star(df, **kw).collect()
+    }
+
+
+def test_star_long_path_converges_fast(spark):
+    """A 64-node path has diameter 63 — label propagation's worst
+    case. Large-star/small-star must finish well under that many
+    rounds (O(log^2 n)); max_iters=12 would stall plain propagation
+    but is ample here."""
+    edges = [(i, i + 1) for i in range(1, 64)]
+    got = _star(spark, edges, max_iters=12)
+    assert got == {n: 1 for n in range(1, 65)}
+
+
+def test_star_matches_union_find_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n) + 1, rng.randrange(n) + 1)
+            for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _star(spark, edges)
+        assert got == _union_find(edges), f"trial {trial}"
+
+
+def test_star_matches_label_prop_on_winnow_edges(spark):
+    """Same clusters from either algorithm on the real fingerprint-
+    overlap graph (sf0.001 documents)."""
+    from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        winnow_edges,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import winnow_fp
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    edges = winnow_edges(winnow_fp(docs))
+    via_prop = {
+        (r["doc_id"], r["cluster_id"]) for r in dup_clusters(edges).collect()
+    }
+    via_star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dup_clusters_star(edges).collect()
+    }
+    assert via_star == via_prop
+    assert via_star
 
 
 def test_iteration_cap_respected(spark):
