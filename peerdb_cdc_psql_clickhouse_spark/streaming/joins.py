@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+JOIN_MODES = {
+    "inner": "inner",
+    "left_outer": "leftOuter",
+    "left_semi": "leftSemi",
+}
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -30,10 +37,22 @@ def stream_interval_join(
     right_ts: str,
     tolerance: str = "10 seconds",
     watermark: str = "30 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: left rows to right rows with the same `key` and
+    """Join left rows to right rows with the same `key` and
     |right_ts - left_ts| <= tolerance. Works batch-to-batch too (same
     plan minus state), which is how the unit oracle checks it.
+
+    `how` (state-timeout semantics per Structured Streaming's
+    stream-stream join contract):
+    - "inner": matched pairs only, emitted as matches arrive.
+    - "left_outer": additionally emits each unmatched left row with
+      NULL right columns — but only once the watermark passes
+      left_ts + tolerance (before that a future right match is still
+      possible, so the row is held in state; this is the state
+      timeout, not a latency bug).
+    - "left_semi": left rows that have >= 1 match, left columns only,
+      each left row at most once.
 
     Right columns other than the key are kept under their own names;
     the right event time is exposed as `{right_ts}_r`. A right column
@@ -43,6 +62,10 @@ def stream_interval_join(
     append streams; watermarks are applied here so state eviction is
     never forgotten at call sites.
     """
+    if how not in JOIN_MODES:
+        raise ValueError(
+            f"how={how!r} not supported; one of {sorted(JOIN_MODES)}"
+        )
     collisions = (
         set(right.columns) - {key, right_ts}
     ) & set(left.columns)
@@ -70,7 +93,8 @@ def stream_interval_join(
         & (rts >= lts - tol)
         & (rts <= lts + tol)
     )
-    return l.join(r, cond, "inner").drop("_rkey")
+    joined = l.join(r, cond, JOIN_MODES[how])
+    return joined if how == "left_semi" else joined.drop("_rkey")
 
 
 def dedup_stream(

@@ -384,6 +384,90 @@ def test_windowed_op_counts_through_real_stream(spark, tmp_path):
     assert by_op == {"insert": 4, "update": 3, "delete": 2}
 
 
+def test_windowed_op_counts_append_mode_finalized_windows(spark, tmp_path):
+    """Append mode on a watermarked windowed agg emits each window
+    exactly once, AFTER the watermark closes it (finalized-result
+    semantics). A far-future pusher event in a second micro-batch
+    advances the watermark past the data windows; the pusher's own
+    window stays open and must NOT be emitted."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    far = t0 + dt.timedelta(hours=1)
+    ev_schema = T.StructType(
+        [
+            T.StructField("_op", T.StringType()),
+            T.StructField("_version", T.LongType()),
+            T.StructField("_ts", T.TimestampType()),
+        ]
+        + list(ROW_SCHEMA.fields)
+    )
+    b1 = [("insert", 1, t0, 1, "a"), ("update", 2, t0, 1, "a2"),
+          ("delete", 3, t0 + dt.timedelta(seconds=61), 1, "")]
+    b2 = [("insert", 99, far, 9, "z")]  # watermark pusher
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(b1, ev_schema).write.parquet(f"{feed}/f=1")
+    spark.createDataFrame(b2, ev_schema).write.parquet(f"{feed}/f=2")
+    stream = (
+        spark.readStream.schema(
+            change_event_schema(ROW_SCHEMA).add("f", "integer")
+        )
+        .option("basePath", feed)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .drop("f")
+    )
+    got = []
+    q = (
+        windowed_op_counts(stream, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = {(r["window_start"], r["_op"]): r["cnt"] for r in got}
+    assert emitted == {
+        (t0, "insert"): 1,
+        (t0, "update"): 1,
+        (t0 + dt.timedelta(minutes=1), "delete"): 1,
+    }  # pusher window still open -> withheld, exactly-once per window
+
+
+def test_op_totals_complete_mode(spark, tmp_path):
+    """Complete mode: an unwindowed running total re-emits the whole
+    result every trigger; the final emission equals batch totals."""
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    stream = (
+        spark.readStream.schema(
+            change_event_schema(ROW_SCHEMA).add("_batch", "integer")
+        )
+        .option("basePath", changes_dir)
+        .parquet(changes_dir)
+        .drop("_batch")
+    )
+    totals = stream.groupBy("_op").agg(F.count(F.lit(1)).alias("cnt"))
+    last = {}
+
+    def capture(batch, _id):
+        snap = {r["_op"]: r["cnt"] for r in batch.collect()}
+        if snap:
+            last.clear()
+            last.update(snap)
+
+    q = (
+        totals.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(capture)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert last == {"insert": 4, "update": 3, "delete": 2}
+
+
 def test_stream_static_dim_enrichment(spark, tmp_path):
     """CDC enrichment: the orders change stream joined to the static
     customers dimension (broadcast) INSIDE the streaming query —

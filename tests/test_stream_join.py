@@ -131,6 +131,80 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     assert sorted(seen) == [(1, 1), (1, 2), (2, 1), (2, 2)]
 
 
+def test_interval_join_left_outer_batch_semantics(spark):
+    """Batch oracle for left_outer: every left row survives; unmatched
+    ones carry NULL right columns."""
+    out = stream_interval_join(
+        spark.createDataFrame(BATCHES, BATCH_SCHEMA),
+        spark.createDataFrame(SAMPLES, SAMPLE_SCHEMA),
+        key="host", left_ts="ts", right_ts="sts",
+        tolerance="5 seconds", how="left_outer",
+    ).collect()
+    assert _expected_of([r for r in out if r["cpu"] is not None]) == EXPECTED
+    assert all(r["batch_id"] is not None for r in out)
+
+
+def test_interval_join_left_semi_batch_semantics(spark):
+    out = stream_interval_join(
+        spark.createDataFrame(BATCHES, BATCH_SCHEMA),
+        spark.createDataFrame(SAMPLES, SAMPLE_SCHEMA),
+        key="host", left_ts="ts", right_ts="sts",
+        tolerance="5 seconds", how="left_semi",
+    )
+    assert set(out.columns) == {"host", "ts", "batch_id"}
+    assert {r["batch_id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_interval_join_left_outer_streaming_emits_after_watermark(
+    spark, tmp_path
+):
+    """State-timeout semantics: an unmatched left row is held until
+    the watermark passes left_ts + tolerance, then emitted with NULL
+    right columns. Watermark-pusher events in a later micro-batch
+    (far-future key 'Z' on both feeds) advance the global watermark so
+    the held row times out inside the run."""
+    far = T0 + dt.timedelta(minutes=30)
+    batches1 = [("A", T0 + dt.timedelta(seconds=10), 1),
+                ("C", T0 + dt.timedelta(seconds=20), 7)]  # C: no sample
+    samples1 = [("A", T0 + dt.timedelta(seconds=12), 12.0)]
+    batches2 = [("Z", far, 99)]
+    samples2 = [("Z", far, 0.0)]
+
+    bdir, sdir = str(tmp_path / "b"), str(tmp_path / "s")
+    spark.createDataFrame(batches1, BATCH_SCHEMA).write.parquet(f"{bdir}/f=1")
+    spark.createDataFrame(batches2, BATCH_SCHEMA).write.parquet(f"{bdir}/f=2")
+    spark.createDataFrame(samples1, SAMPLE_SCHEMA).write.parquet(f"{sdir}/f=1")
+    spark.createDataFrame(samples2, SAMPLE_SCHEMA).write.parquet(f"{sdir}/f=2")
+
+    left = (
+        spark.readStream.schema(BATCH_SCHEMA.add("f", "integer"))
+        .option("basePath", bdir).option("maxFilesPerTrigger", 1)
+        .parquet(bdir).drop("f")
+    )
+    right = (
+        spark.readStream.schema(SAMPLE_SCHEMA.add("f", "integer"))
+        .option("basePath", sdir).option("maxFilesPerTrigger", 1)
+        .parquet(sdir).drop("f")
+    )
+    joined = stream_interval_join(
+        left, right, key="host", left_ts="ts", right_ts="sts",
+        tolerance="5 seconds", watermark="10 seconds", how="left_outer",
+    )
+    got = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_batch = {r["batch_id"]: r for r in got}
+    assert by_batch[1]["cpu"] == 12.0          # matched pair
+    assert by_batch[7]["cpu"] is None          # timed out -> NULL right
+    assert by_batch[7]["sts_r"] is None
+
+
 def test_interval_join_rejects_column_collision(spark):
     """A right column shadowing a left column would silently produce
     ambiguous duplicate output columns (ADVICE r1) — reject instead."""
