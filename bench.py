@@ -159,6 +159,11 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
             ann_topk_lsh(emb, qids, multi_probe=1)
         ),
         "ivf_recall_at_k": _recall(ann_topk_ivf(emb, qids)),
+        # the recall/scan-fraction knob: nprobe 2->4 doubles the
+        # scanned fraction (4/16 of the corpus) for higher recall
+        "ivf_recall_at_k_nprobe4": _recall(
+            ann_topk_ivf(emb, qids, nprobe=4)
+        ),
     }
 
     # planted near-duplicates: perturb one coordinate by 1%

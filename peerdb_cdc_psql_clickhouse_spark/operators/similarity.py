@@ -233,12 +233,30 @@ def ann_topk_lsh(
 NEARDUP_COS = 0.35
 
 
+def planes_for(n_vectors: int, target_bucket: int = 256) -> int:
+    """Plane count for a corpus of n_vectors (the SCALE.md scaling
+    rule made executable): expected bucket occupancy is n/2^p and
+    in-bucket pair work grows with occupancy^2, so p must grow with
+    log2(n) to keep the bucket join bounded. At 100 TB pass the known
+    row count from table stats — don't trigger a count scan for it.
+    Floor of N_PLANES keeps small corpora at the declared-query
+    default."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = NEARDUP_COS,
     n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine within LSH buckets (id_a < id_b)."""
+    """Near-duplicate pairs by cosine within LSH buckets (id_a < id_b).
+    For large corpora pass n_planes=planes_for(n) so bucket occupancy
+    — and thus the in-bucket pair explosion — stays bounded as the
+    corpus grows."""
     bucketed = emb.select(
         "vec_id",
         "embedding",

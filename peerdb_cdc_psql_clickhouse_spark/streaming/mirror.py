@@ -233,6 +233,27 @@ class Mirror:
         merged = latest_state(parts, self.key_cols, keep_deletes=keep_deletes)
         return merged.select(*self._data_cols, "_version")
 
+    def resync(self, source: DataFrame) -> None:
+        """Full mirror re-sync — the engine analog of the reference's
+        'Reset Complete Environment' + recreate-mirror lifecycle
+        (README.md:252-262) and PeerDB's resync: drop the converged
+        target state AND the stream checkpoint, then re-snapshot.
+
+        The next start() begins at batch 0 against the fresh base, so
+        the change feed replays from its earliest retained offset;
+        max-version-wins makes the replay converge regardless of how
+        much of it predates the new snapshot. Refuses while the apply
+        stream is active (same guard as compact())."""
+        for q in self.spark.streams.active:
+            if q.name == self.name:
+                raise RuntimeError(
+                    f"resync() while streaming apply {self.name!r} is "
+                    "active; stop the query first"
+                )
+        shutil.rmtree(self.target_dir, ignore_errors=True)
+        shutil.rmtree(self.checkpoint, ignore_errors=True)
+        self.snapshot(source)
+
     def compact(self) -> None:
         """Fold delta into base (MergeTree background-merge analog).
 

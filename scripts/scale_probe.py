@@ -108,6 +108,10 @@ def probe(spark, mult: int) -> dict[str, float]:
         "dup_clusters": lambda: dup_clusters(
             winnow_edges(winnow_fp(fan_out(docs)))
         ),
+        "dup_clusters_star": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.dedup",
+            fromlist=["dup_clusters_star"],
+        ).dup_clusters_star(winnow_edges(winnow_fp(fan_out(docs)))),
     }
     res = {}
     for name, build in jobs.items():

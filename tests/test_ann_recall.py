@@ -67,6 +67,35 @@ def test_ivf_finds_planted_neardups(spark, planted):
     assert hits >= int(N_PLANTED * 0.9)
 
 
+def test_planes_scale_with_corpus_and_keep_finding_neardups(
+    spark, planted
+):
+    """planes_for grows ~log2(n) so expected bucket occupancy stays
+    <= target (bounded in-bucket pair work); true near-dups still land
+    in shared buckets at the higher plane count because they agree
+    with (almost) every hyperplane."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        N_PLANES,
+        cosine_neardup_pairs,
+        planes_for,
+    )
+
+    assert planes_for(100) == N_PLANES
+    for n in (10**5, 10**7, 10**9):
+        p = planes_for(n)
+        assert n / 2**p <= 256  # occupancy bound
+    assert planes_for(10**9) > planes_for(10**5)  # grows with n
+
+    pairs = cosine_neardup_pairs(
+        planted, threshold=0.99, n_planes=planes_for(10**6, 64)
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(
+        1 for i in range(N_PLANTED) if (i, i + OFFSET) in found
+    )
+    assert hits >= int(N_PLANTED * 0.9)
+
+
 def test_ivf_recall_vs_brute_force_on_natural_data(spark):
     emb = load_table(spark, SF, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 5)

@@ -531,6 +531,40 @@ def test_windowed_op_counts_batch_semantics(spark):
     assert got == {"insert": 4, "update": 3, "delete": 2}
 
 
+def test_mirror_resync_replays_feed_over_fresh_snapshot(
+    spark, tmp_path, mirror
+):
+    """resync(): drop target + checkpoint, re-snapshot, restart — the
+    reference's reset-environment + recreate-mirror lifecycle. The
+    full feed replays from offset 0 over the new base and converges to
+    the same state; a resync with a CORRECTED source snapshot heals
+    rows the feed never touches."""
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    mirror.snapshot(spark.createDataFrame([(50, "seed")], ROW_SCHEMA))
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    before = _as_dict(mirror.read_target())
+    assert before[50] == "seed"
+
+    with pytest.raises(RuntimeError, match="active"):
+        q = mirror.start(
+            changes_dir, available_now=False, processing_time="1 second"
+        )
+        try:
+            mirror.resync(
+                spark.createDataFrame([(50, "seed-v2")], ROW_SCHEMA)
+            )
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+    mirror.resync(spark.createDataFrame([(50, "seed-v2")], ROW_SCHEMA))
+    # checkpoint gone -> the stream replays the whole feed
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    after = _as_dict(mirror.read_target())
+    assert after == {**before, 50: "seed-v2"}
+
+
 def test_mirror_schema_evolution_widened_column(spark, tmp_path):
     """Schema evolution (VERDICT r1 'What's missing' #3): a mirror
     started on the v1 row schema, then reopened with a widened v2
