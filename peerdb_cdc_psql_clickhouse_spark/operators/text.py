@@ -326,3 +326,66 @@ def x3g_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_K)
         .drop("rn")
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al.
+    2021 §A1.1, public paper): fraction of duplicate word n-grams and
+    of duplicate sentences — boilerplate/low-quality docs repeat
+    themselves. Entirely row-local array expressions (one corpus scan,
+    zero shuffle), same signals-stage discipline as x3b_doc_signals.
+
+    Output: (id, ngram_cnt, dup_ngram_frac, sentence_cnt,
+    dup_sentence_frac) with fractions in [0, 1), 0 for degenerate
+    (shorter-than-n) docs.
+    """
+    from ..functions.numeric import fround
+
+    # stage arrays as real columns first — referencing a non-trivial
+    # expression inside transform() lambdas re-evaluates it per
+    # element (the measured 64x x3f lesson, NOTES_r1)
+    staged = docs.select(
+        F.col(id_col),
+        tokens_col(F.col(text_col)).alias("_toks"),
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), r"[.!?]\s+|[.!?]$"),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
+        ).alias("_sents"),
+    )
+    grams = staged.withColumn(
+        "_grams",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("_toks") - (n - 1), F.lit(1)),
+            ),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+        ),
+    )
+
+    def dup_frac(arr: str) -> F.Column:
+        total = F.size(F.col(arr))
+        uniq = F.size(F.array_distinct(F.col(arr)))
+        return fround(
+            (total - uniq).cast("double") / F.nullif(total, F.lit(0)), 4
+        )
+
+    return grams.select(
+        F.col(id_col),
+        F.size("_grams").cast("long").alias("ngram_cnt"),
+        F.coalesce(dup_frac("_grams"), F.lit(0.0)).alias(
+            "dup_ngram_frac"
+        ),
+        F.size("_sents").cast("long").alias("sentence_cnt"),
+        F.coalesce(dup_frac("_sents"), F.lit(0.0)).alias(
+            "dup_sentence_frac"
+        ),
+    )
