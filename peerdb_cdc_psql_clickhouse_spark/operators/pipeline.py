@@ -93,3 +93,59 @@ def x7_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_keep.alias("dedup_keep"),
         selected.alias("selected"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Training-mix construction: per-stratum sampling (e.g. language
+    or quality band -> target fraction). Strata absent from
+    `fractions` are dropped — the dict IS the mix recipe.
+
+    exact=False (default, the 100 TB path): `DataFrame.sampleBy` —
+    a map-only Bernoulli filter per row, zero shuffle, fraction
+    approached in expectation. exact=True: exact per-stratum counts
+    via one window (rank by deterministic per-row hash within
+    stratum, keep rank <= ceil(frac * stratum_count)) — one shuffle
+    on the stratum key; use when the mix must be byte-reproducible
+    and exact, e.g. eval holdouts.
+    """
+    if not all(0.0 <= f <= 1.0 for f in fractions.values()):
+        raise ValueError("fractions must be within [0, 1]")
+    if not exact:
+        return docs.sampleBy(stratum_col, fractions, seed=seed)
+
+    from pyspark.sql import Window
+
+    frac_map = F.create_map(
+        *[
+            c
+            for k, v in sorted(fractions.items())
+            for c in (F.lit(k), F.lit(float(v)))
+        ]
+    )
+    w = Window.partitionBy(stratum_col)
+    # deterministic in-stratum order: seeded hash of the whole row's
+    # stratum + a stable per-row key is caller-specific, so hash all
+    # columns — same input rows => same sample, independent of
+    # partitioning/arrival order (never rand(): retries would resample)
+    order_key = F.xxhash64(F.lit(seed), *[F.col(c) for c in docs.columns])
+    ranked = docs.select(
+        "*",
+        F.row_number()
+        .over(w.orderBy(order_key.asc()))
+        .alias("_rk"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+        frac_map.getItem(F.col(stratum_col)).alias("_frac"),
+    )
+    return (
+        ranked.filter(
+            F.col("_frac").isNotNull()
+            & (F.col("_rk") <= F.ceil(F.col("_n") * F.col("_frac")))
+        )
+        .drop("_rk", "_n", "_frac")
+    )

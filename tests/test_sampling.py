@@ -1,0 +1,70 @@
+"""stratified_sample: training-mix construction over the documents
+corpus — approximate (map-only sampleBy) and exact (windowed rank)
+variants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+MIX = {"en": 0.5, "fr": 0.2}  # es/de dropped: the dict is the recipe
+
+
+def _by_lang(df):
+    out = {}
+    for r in df.groupBy("lang").count().collect():
+        out[r["lang"]] = r["count"]
+    return out
+
+
+def test_exact_sample_hits_exact_counts(spark):
+    docs = load_table(spark, SF, "documents")
+    totals = _by_lang(docs)
+    got = _by_lang(stratified_sample(docs, "lang", MIX, exact=True))
+    assert set(got) <= set(MIX)
+    for lang, frac in MIX.items():
+        assert got.get(lang, 0) == math.ceil(totals[lang] * frac), lang
+
+
+def test_exact_sample_is_deterministic_and_seed_sensitive(spark):
+    docs = load_table(spark, SF, "documents")
+    ids = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    a = ids(stratified_sample(docs, "lang", MIX, exact=True))
+    b = ids(stratified_sample(docs, "lang", MIX, exact=True))
+    assert a == b  # same seed -> byte-identical membership
+    c = ids(stratified_sample(docs, "lang", MIX, seed=7, exact=True))
+    assert a != c  # different seed -> different membership
+
+
+def test_approximate_sample_close_to_fractions(spark):
+    docs = load_table(spark, SF, "documents")
+    totals = _by_lang(docs)
+    got = _by_lang(stratified_sample(docs, "lang", MIX))
+    assert set(got) <= set(MIX)
+    for lang, frac in MIX.items():
+        expect = totals[lang] * frac
+        assert abs(got.get(lang, 0) - expect) < 4 * math.sqrt(expect) + 1
+
+
+def test_approximate_sample_is_map_only(spark):
+    import contextlib
+    import io
+
+    docs = load_table(spark, SF, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stratified_sample(docs, "lang", MIX).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_fraction_validation(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError, match="fractions"):
+        stratified_sample(docs, "lang", {"en": 1.5})
