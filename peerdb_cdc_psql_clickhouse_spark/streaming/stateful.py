@@ -126,11 +126,91 @@ def entity_progress(changes: DataFrame) -> DataFrame:
     """Per-entity replication progress over a change stream. Emits the
     updated state row for every key touched in each micro-batch
     (update semantics). State is per-key-partitioned — the one shuffle
-    keyed on entity, same minimum as the apply itself."""
+    keyed on entity, same minimum as the apply itself. State grows
+    with the number of LIVE keys forever; for sources with unbounded
+    key churn use entity_progress_with_eviction."""
     return changes.groupBy("entity_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+OUTPUT_SCHEMA_EVICT = OUTPUT_SCHEMA + ", evicted BOOLEAN"
+
+
+def entity_progress_with_eviction(
+    changes: DataFrame,
+    ts_col: str = "_ts",
+    watermark: str = "10 seconds",
+    idle_horizon_ms: int = 60_000,
+) -> DataFrame:
+    """entity_progress with bounded state: a key idle for
+    idle_horizon_ms of EVENT time is evicted from the state store via
+    GroupStateTimeout.EventTimeTimeout, emitting one final row flagged
+    evicted=true (the WAL-bound analog the module docstring promises —
+    state is O(keys active within the horizon), not O(keys ever
+    seen)). Event-time, not processing-time, so eviction is
+    deterministic and replay-safe: a checkpoint restart re-derives the
+    same timeouts from the same data."""
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, mx, ni, nu, nd = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "entity_id": [key[0]],
+                    "n_ops": [n],
+                    "max_version": [mx],
+                    "n_insert": [ni],
+                    "n_update": [nu],
+                    "n_delete": [nd],
+                    "evicted": [True],
+                }
+            )
+            return
+        n, mx, ni, nu, nd = (
+            state.get if state.exists else (0, -1, 0, 0, 0)
+        )
+        max_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = max(mx, int(pdf["_version"].max()))
+            ops = pdf["_op"].value_counts()
+            ni += int(ops.get("insert", 0))
+            nu += int(ops.get("update", 0))
+            nd += int(ops.get("delete", 0))
+            bt = pdf[ts_col].max()
+            max_ts = bt if max_ts is None else max(max_ts, bt)
+        state.update((n, mx, ni, nu, nd))
+        # timeout fires when the WATERMARK passes this instant — idle
+        # keys are reaped as event time advances, never by wall clock
+        state.setTimeoutTimestamp(
+            int(pd.Timestamp(max_ts).timestamp() * 1000) + idle_horizon_ms
+        )
+        yield pd.DataFrame(
+            {
+                "entity_id": [key[0]],
+                "n_ops": [n],
+                "max_version": [mx],
+                "n_insert": [ni],
+                "n_update": [nu],
+                "n_delete": [nd],
+                "evicted": [False],
+            }
+        )
+
+    return (
+        changes.withWatermark(ts_col, watermark)
+        .groupBy("entity_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA_EVICT,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

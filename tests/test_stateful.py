@@ -81,6 +81,54 @@ def test_entity_progress_converges(spark, tmp_path):
             assert got[k] == want[k], (eid, k, got, want)
 
 
+def test_entity_progress_evicts_idle_keys_by_event_time(spark, tmp_path):
+    """Bounded state: entities idle past the event-time horizon are
+    evicted (final row flagged evicted=true) once a later micro-batch
+    advances the watermark; the still-active key is not."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_clickhouse_spark.streaming.stateful import (
+        entity_progress_with_eviction,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    far = t0 + dt.timedelta(hours=1)
+    schema = change_event_schema(ROW_SCHEMA)
+    b1 = [("insert", 1, t0, 1, 1.0), ("insert", 2, t0, 2, 2.0),
+          ("update", 3, t0 + dt.timedelta(seconds=5), 1, 1.5)]
+    b2 = [("update", 10, far, 9, 9.0)]  # watermark pusher, new key
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(b1, schema).write.parquet(f"{feed}/f=1")
+    spark.createDataFrame(b2, schema).write.parquet(f"{feed}/f=2")
+    stream = (
+        spark.readStream.schema(schema.add("f", "integer"))
+        .option("basePath", feed)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .drop("f")
+    )
+    rows = []
+    q = (
+        entity_progress_with_eviction(
+            stream, watermark="10 seconds", idle_horizon_ms=60_000
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    evicted = {r["entity_id"]: r for r in rows if r["evicted"]}
+    assert set(evicted) == {1, 2}  # idle past horizon once wm advanced
+    # final counters ride out with the eviction row
+    assert evicted[1]["n_ops"] == 2 and evicted[1]["max_version"] == 3
+    assert evicted[2]["n_ops"] == 1
+    live = {r["entity_id"] for r in rows if not r["evicted"]}
+    assert 9 in live  # the pusher key is active, not evicted
+
+
 def test_entity_progress_tws_converges(spark, tmp_path):
     """Same convergence through the Spark 4.x transformWithState API
     (RocksDB state store)."""
