@@ -95,6 +95,60 @@ def x7_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "token_cnt",
+    budget: int = 2048,
+    shards: int | None = None,
+) -> DataFrame:
+    """Sequence packing: assign docs to training-sequence bins so each
+    bin's token total stays <= budget (docs larger than the budget get
+    a bin of their own). Greedy packing is inherently sequential, so
+    the distributed shape is shard-parallel: docs hash-shard by id,
+    each shard packs ITS docs greedily inside one applyInPandas Arrow
+    batch (the standard practice — each worker packs its partition),
+    and bin ids are namespaced by shard so they never collide. One
+    shuffle on the shard key; waste is bounded by the per-shard tail
+    bin.
+
+    Output: (id, token_cnt, bin_id); sum(token_cnt) per bin <= budget
+    except single-doc oversize bins.
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_shards = shards or docs.sparkSession.sparkContext.defaultParallelism
+    out_schema = f"{id_col} long, {token_col} long, bin_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        shard = int(pdf["_shard"].iloc[0])
+        bins = []
+        local_bin, acc = 0, 0
+        for tok in pdf[token_col].astype("int64"):
+            if acc > 0 and acc + tok > budget:
+                local_bin += 1
+                acc = 0
+            acc += int(tok)
+            bins.append(shard * (1 << 40) + local_bin)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                token_col: pdf[token_col].astype("int64").values,
+                "bin_id": pd.Series(bins, dtype="int64").values,
+            }
+        )
+
+    sharded = docs.select(
+        F.col(id_col),
+        F.col(token_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
+    )
+    return sharded.groupBy("_shard").applyInPandas(pack, out_schema)
+
+
 def stratified_sample(
     docs: DataFrame,
     stratum_col: str,

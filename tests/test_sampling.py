@@ -68,3 +68,46 @@ def test_fraction_validation(spark):
     docs = load_table(spark, SF, "documents")
     with pytest.raises(ValueError, match="fractions"):
         stratified_sample(docs, "lang", {"en": 1.5})
+
+
+def _doc_tokens(spark):
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import tokens_col
+
+    return load_table(spark, SF, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("long").alias("token_cnt")
+    )
+
+
+def test_pack_documents_respects_budget(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        pack_documents,
+    )
+
+    docs = _doc_tokens(spark)
+    budget = 200
+    packed = pack_documents(docs, budget=budget).collect()
+    assert len(packed) == docs.count()  # every doc assigned
+    by_bin: dict[int, list[int]] = {}
+    for r in packed:
+        by_bin.setdefault(r["bin_id"], []).append(r["token_cnt"])
+    for b, toks in by_bin.items():
+        assert sum(toks) <= budget or len(toks) == 1, (b, toks)
+    # packing is doing real work: far fewer bins than docs
+    assert len(by_bin) < len(packed) / 2
+
+
+def test_pack_documents_deterministic_and_oversize_isolated(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        pack_documents,
+    )
+
+    rows = [(1, 50), (2, 50), (3, 999), (4, 60), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, token_cnt long")
+    a = {(r["doc_id"], r["bin_id"]) for r in pack_documents(df, budget=100).collect()}
+    b = {(r["doc_id"], r["bin_id"]) for r in pack_documents(df, budget=100).collect()}
+    assert a == b  # hash-shard + id-ordered greedy = deterministic
+    bins = {d: bi for d, bi in a}
+    # oversize doc 3 sits alone in its bin
+    assert sum(1 for d, bi in a if bi == bins[3]) == 1
