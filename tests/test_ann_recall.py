@@ -96,6 +96,53 @@ def test_planes_scale_with_corpus_and_keep_finding_neardups(
     assert hits >= int(N_PLANTED * 0.9)
 
 
+def test_kmeans_refinement_reduces_inertia_and_keeps_neardup_recall(
+    spark, planted
+):
+    """Lloyd's rounds must strictly reduce quantization error
+    (sum of L2 to the assigned centroid) vs the raw seeds, stay
+    deterministic, and the refined quantizer must still retrieve
+    planted near-duplicates at rank 1."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _l2,
+        ann_topk_ivf,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+
+    def inertia(cent):
+        a = ivf_assign(emb, cent, 1)
+        return (
+            a.join(cent, a.centroid_id == cent.c_id)
+            .select(_l2(F.col("embedding"), F.col("c_vec")).alias("d"))
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    seeds = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    refined = kmeans_centroids(emb, iters=2)
+    assert inertia(refined) < inertia(seeds) * 0.95
+
+    again = kmeans_centroids(emb, iters=2)
+    assert (
+        refined.orderBy("c_id").collect()
+        == again.orderBy("c_id").collect()
+    )  # deterministic — no random init anywhere
+
+    qids = planted.select("vec_id").filter(F.col("vec_id") >= OFFSET)
+    got = ann_topk_ivf(
+        planted, qids, k=1, centroids=kmeans_centroids(planted, iters=2)
+    ).collect()
+    hits = sum(
+        1 for r in got if r["vec_id"] == r["q_id"] - OFFSET and r["rank"] == 1
+    )
+    assert hits >= int(N_PLANTED * 0.9)
+
+
 def test_ivf_recall_vs_brute_force_on_natural_data(spark):
     emb = load_table(spark, SF, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
