@@ -98,6 +98,40 @@ def test_pack_documents_respects_budget(spark):
     assert len(by_bin) < len(packed) / 2
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    toks=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=60
+    ),
+    budget=st.sampled_from([64, 256, 1024]),
+)
+def test_pack_documents_budget_property(spark, toks, budget):
+    """For ANY token-count multiset and budget: every doc assigned
+    exactly once, and no bin exceeds the budget unless it holds a
+    single oversize doc."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        pack_documents,
+    )
+
+    rows = [(i, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, token_cnt long")
+    got = pack_documents(df, budget=budget, shards=4).collect()
+    assert sorted(r["doc_id"] for r in got) == [i for i, _ in rows]
+    by_bin: dict[int, list[int]] = {}
+    for r in got:
+        by_bin.setdefault(r["bin_id"], []).append(r["token_cnt"])
+    for toks_in_bin in by_bin.values():
+        assert sum(toks_in_bin) <= budget or len(toks_in_bin) == 1
+
+
 def test_pack_documents_deterministic_and_oversize_isolated(spark):
     from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
         pack_documents,
