@@ -416,6 +416,11 @@ STATUS_SCHEMA = T.StructType(
         T.StructField("last_batch_id", T.LongType()),
         T.StructField("input_rows", T.LongType()),
         T.StructField("batches_seen", T.LongType()),
+        # stateful-operator observability (ClickHouse system.metrics /
+        # pg_stat_replication analog): current state-store rows and
+        # rows discarded as too-late across the query's progress
+        T.StructField("state_rows", T.LongType()),
+        T.StructField("late_rows_dropped", T.LongType()),
     ]
 )
 
@@ -429,6 +434,15 @@ def stream_status(spark: SparkSession, queries=None) -> DataFrame:
     for q in qs:
         prog = q.recentProgress
         last = prog[-1] if prog else None
+        state_rows = sum(
+            int(op.get("numRowsTotal", 0))
+            for op in (last or {}).get("stateOperators", [])
+        )
+        late = sum(
+            int(op.get("numRowsDroppedByWatermark", 0))
+            for p in prog
+            for op in p.get("stateOperators", [])
+        )
         rows.append(
             (
                 q.name,
@@ -437,6 +451,8 @@ def stream_status(spark: SparkSession, queries=None) -> DataFrame:
                 int(last["batchId"]) if last else -1,
                 int(sum(p["numInputRows"] for p in prog)),
                 len(prog),
+                int(state_rows),
+                int(late),
             )
         )
     return spark.createDataFrame(rows, STATUS_SCHEMA)

@@ -162,6 +162,47 @@ def test_mirror_snapshot_stream_converges(spark, tmp_path, mirror):
     assert st["last_batch_id"] >= 0
 
 
+def test_stream_status_surfaces_state_and_late_drops(spark, tmp_path):
+    """O-C9 observability: a stateful (windowed) query's status row
+    reports state-store rows and rows discarded as too-late — the
+    pg_stat_replication / system.metrics analog. A far-future first
+    batch advances the watermark; a second batch carrying an event
+    older than the watermark is dropped and counted."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    far = t0 + dt.timedelta(hours=2)
+    ev_schema = change_event_schema(ROW_SCHEMA)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [("insert", 1, far, 1, "new")], ev_schema
+    ).write.parquet(f"{feed}/f=1")
+    spark.createDataFrame(
+        [("insert", 2, t0, 2, "ancient")], ev_schema  # behind watermark
+    ).write.parquet(f"{feed}/f=2")
+    stream = (
+        spark.readStream.schema(ev_schema.add("f", "integer"))
+        .option("basePath", feed)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .drop("f")
+    )
+    q = (
+        windowed_op_counts(stream, watermark="10 seconds")
+        .writeStream.outputMode("update")
+        .queryName("late_status_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    st = stream_status(spark, [q]).collect()[0]
+    assert st["state_rows"] >= 1  # open window held in state
+    assert st["late_rows_dropped"] >= 1  # the ancient event
+    assert st["input_rows"] == 2
+
+
 def test_mirror_restart_is_exactly_once(spark, tmp_path, mirror):
     """Restarting from the checkpoint after a drain must not re-apply
     old batches; new batches still apply."""
