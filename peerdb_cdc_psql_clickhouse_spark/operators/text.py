@@ -118,53 +118,78 @@ LANG_ID_ORACLE = _lang_id_oracle()
     f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS toks,
          {_lang_score_sql('de')} AS s_de,
          {_lang_score_sql('en')} AS s_en,
          {_lang_score_sql('es')} AS s_es,
          {_lang_score_sql('fr')} AS s_fr
   FROM documents
+), grams AS (
+  SELECT *,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 2, 1)),
+           i -> array_to_string(toks[i:i+2], ' ')) AS gs
+  FROM scored
 )
 SELECT doc_id,
-       len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')) AS token_cnt,
-       FLOOR((CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t IN {STOPWORDS!r})) AS DOUBLE) /
-            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
-       AS stopword_ratio,
-       FLOOR((CAST(length(text) AS DOUBLE) /
-            NULLIF(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                       t -> t <> '')), 0)) * 10000.0 + 0.5) / 10000.0
-       AS avg_token_len,
+       len(toks) AS token_cnt,
+       FLOOR((CAST(len(list_filter(toks, t -> t IN {STOPWORDS!r}))
+              AS DOUBLE) / NULLIF(len(toks), 0)) * 10000.0 + 0.5)
+       / 10000.0 AS stopword_ratio,
+       FLOOR((CAST(length(text) AS DOUBLE) / NULLIF(len(toks), 0))
+             * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
        len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bpe_ish_tokens,
        {hash64_sql('text')} AS fingerprint,
+       FLOOR((CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) /
+              len(gs)) * 10000.0 + 0.5) / 10000.0 AS dup_ngram_frac,
        lang,
        CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
             WHEN s_es >= s_fr THEN 'es'
             ELSE 'fr' END AS detected_lang
-FROM scored
+FROM grams
 """,
     doc="O-X3/brief per-document signal battery in ONE scan: quality "
     "scoring (token count, stopword ratio, mean token length), BPE-ish "
     "subword token counting (letters/digits/symbol runs — context-"
-    "length budgeting proxy), 60-bit md5 content fingerprint, and "
+    "length budgeting proxy), 60-bit md5 content fingerprint, Gopher-"
+    "style duplicate-3-gram fraction (repetition filter), and "
     "stopword-marker language-ID (argmax over per-language hit counts, "
     "earliest lang wins ties). All row-local column expressions: zero "
     "shuffle, one pass over the corpus — at 100 TB this is the "
-    "signals stage of the selection pipeline, and computing the four "
-    "signal families per-query would cost four corpus scans instead "
-    "of one",
+    "signals stage of the selection pipeline, and computing the five "
+    "signal families per-query would cost five corpus scans instead "
+    "of one. Token/gram arrays are STAGED columns (never re-derived "
+    "inside lambdas — the measured 64x x3f lesson).",
 )
 def x3b_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import fround
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+    staged = detect_language(docs, "text").select(
+        "doc_id",
+        "lang",
+        "detected_lang",
+        "text",
+        tokens_col(F.col("text")).alias("_toks"),
+    )
+    grams = staged.withColumn(
+        "_grams",
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_toks") - 2, F.lit(1))
+            ),
+            lambda i: F.concat_ws(" ", F.slice("_toks", i, 3)),
+        ),
+    )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    return detect_language(docs, "text").select(
+    n_tok = F.size("_toks")
+    n_stop = F.size(
+        F.filter("_toks", lambda t: F.array_contains(stop_arr, t))
+    )
+    n_gram = F.size("_grams")
+    return grams.select(
         "doc_id",
         n_tok.cast("long").alias("token_cnt"),
         fround(
@@ -177,6 +202,11 @@ def x3b_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bpe_ish_tokens"),
         hash64(F.col("text")).alias("fingerprint"),
+        fround(
+            (n_gram - F.size(F.array_distinct("_grams"))).cast("double")
+            / n_gram,
+            4,
+        ).alias("dup_ngram_frac"),
         "lang",
         "detected_lang",
     )
