@@ -105,6 +105,46 @@ def apply_changes(
     return latest_state(merged, key_cols, version_col).select(*data_cols)
 
 
+def validate_changes(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str = "_version",
+    op_col: str = "_op",
+) -> tuple[DataFrame, DataFrame]:
+    """Split a change feed into (valid, quarantined) — the dead-letter
+    pattern for CDC ingestion. A malformed event must never reach
+    apply, where an unknown _op would silently survive the soft-delete
+    filter or a NULL key/version would corrupt max-version-wins
+    grouping. Quarantined rows carry a `_reject_reason` so the DLQ is
+    actionable.
+
+    One row-local predicate pass; both outputs share the single scan
+    (no shuffle). Reasons checked in order: unknown op, null version,
+    negative-sentinel collision (_version <= BASE_VERSION is reserved),
+    null key column(s).
+    """
+    reason = (
+        F.when(
+            ~F.col(op_col).isin(*CDC_OPS), F.lit("unknown_op")
+        )
+        .when(F.col(version_col).isNull(), F.lit("null_version"))
+        .when(
+            F.col(version_col) <= F.lit(BASE_VERSION).cast("long"),
+            F.lit("reserved_version"),
+        )
+    )
+    for k in key_cols:
+        reason = reason.when(
+            F.col(k).isNull(), F.lit(f"null_key:{k}")
+        )
+    flagged = changes.withColumn("_reject_reason", reason)
+    valid = flagged.filter(F.col("_reject_reason").isNull()).drop(
+        "_reject_reason"
+    )
+    quarantined = flagged.filter(F.col("_reject_reason").isNotNull())
+    return valid, quarantined
+
+
 # ---------------------------------------------------------------------------
 # Declared queries: the change stream is derived deterministically from
 # the driver's `events` table (FIXTURES.md A4 recipe):

@@ -162,6 +162,47 @@ def test_mirror_snapshot_stream_converges(spark, tmp_path, mirror):
     assert st["last_batch_id"] >= 0
 
 
+def test_validate_changes_quarantines_malformed_events(spark):
+    """Dead-letter split: unknown ops, null/reserved versions, and
+    null keys are quarantined with actionable reasons; valid rows pass
+    through untouched and apply cleanly."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.cdc import (
+        BASE_VERSION,
+        apply_changes,
+        validate_changes,
+    )
+
+    t = __import__("datetime").datetime(2026, 1, 1)
+    # nullable copy of the envelope: malformed feeds ARE the input here
+    schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType, True)
+            for f in change_event_schema(ROW_SCHEMA).fields
+        ]
+    )
+    rows = [
+        ("insert", 1, t, 1, "a"),          # ok
+        ("upsert", 2, t, 1, "bad-op"),     # unknown op
+        ("update", None, t, 1, "no-ver"),  # null version
+        ("update", BASE_VERSION, t, 1, "reserved"),  # sentinel clash
+        ("update", 3, t, None, "no-key"),  # null key
+        ("update", 4, t, 1, "a2"),         # ok
+    ]
+    changes = spark.createDataFrame(rows, schema)
+    valid, quarantined = validate_changes(changes, ["id"])
+    assert valid.count() == 2
+    reasons = {
+        r["val"]: r["_reject_reason"] for r in quarantined.collect()
+    }
+    assert reasons == {
+        "bad-op": "unknown_op",
+        "no-ver": "null_version",
+        "reserved": "reserved_version",
+        "no-key": "null_key:id",
+    }
+    assert _as_dict(apply_changes(None, valid, ["id"])) == {1: "a2"}
+
+
 def test_stream_status_surfaces_state_and_late_drops(spark, tmp_path):
     """O-C9 observability: a stateful (windowed) query's status row
     reports state-store rows and rows discarded as too-late — the
