@@ -431,18 +431,22 @@ def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"))
     )
-    sorted_ids = F.array_sort("ids")
+    # STAGE the sorted list as a real column before the combo lambdas:
+    # referencing array_sort(ids) inside transform() would re-sort the
+    # list once per element (the measured 64x x3f lesson)
+    sids = F.col("_sids")
     combos = F.flatten(
         F.transform(
-            sorted_ids,
+            sids,
             lambda x, i: F.transform(
-                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                F.slice(sids, i + 2, F.size(sids)),
                 lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
             ),
         )
     )
     inter = (
         lists.filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("_sids"))
         .select(F.explode(combos).alias("p"))
         .groupBy(
             F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
