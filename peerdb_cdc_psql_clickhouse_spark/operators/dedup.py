@@ -68,9 +68,18 @@ LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
 SHINGLE_W = 5
 
 
-def _shingles(text: F.Column, w: int = SHINGLE_W) -> F.Column:
-    """w-word shingles as an array<string> (empty-safe)."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+def _tokens(text: F.Column) -> F.Column:
+    """Whitespace tokens with empties removed (stage me as a column
+    before passing to _shingles_of)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def _shingles_of(toks: F.Column, w: int = SHINGLE_W) -> F.Column:
+    """w-word shingles as an array<string> (empty-safe). `toks` MUST
+    be a STAGED column reference, not an inline expression: it is
+    referenced inside the transform lambda, and a non-trivial captured
+    expression there re-evaluates once per shingle position — the
+    measured-64x re-tokenization trap (NOTES_r1)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
     return F.transform(
@@ -99,8 +108,10 @@ def minhash_signature(
             % HASH_PAIR_LIM
         )
 
-    sh = fan_out(df).select(
-        F.col(id_col), _shingles(F.col(text_col)).alias("_sh")
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), _shingles_of(F.col("_toks")).alias("_sh"))
     )
     # one md5 per shingle, shared by all k functions
     withm = sh.select(
@@ -413,11 +424,15 @@ def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.layout import fan_out, reuse
 
     docs = load_table(spark, sf_dir, "documents")
-    inv = fan_out(docs).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(_shingles(F.col("text"), NGRAM_N))
-        ).alias("gram"),
+    inv = (
+        fan_out(docs)
+        .select("doc_id", _tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("_toks"), NGRAM_N))
+            ).alias("gram"),
+        )
     )
     # per-gram inverted lists: ONE shuffle keyed by gram; the df cap
     # bounds each list, so pair generation is a row-local combo explode

@@ -39,8 +39,10 @@ def tokens_col(text: F.Column) -> F.Column:
 def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: count marker-word hits per language,
     pick the argmax (ties -> lexicographically first lang). Pure
-    column expressions, no UDF."""
-    toks = tokens_col(F.col(text_col))
+    column expressions, no UDF. Tokenization is STAGED once instead of
+    re-split per language score."""
+    df = df.withColumn("_ltoks", tokens_col(F.col(text_col)))
+    toks = F.col("_ltoks")
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         arr = F.array(*[F.lit(m) for m in markers])
@@ -55,7 +57,9 @@ def detect_language(df: DataFrame, text_col: str = "text") -> DataFrame:
         scores[0],
         lambda acc, x: F.when(x.getField("score") > acc.getField("score"), x).otherwise(acc),
     )
-    return df.withColumn("detected_lang", best.getField("lang"))
+    return df.withColumn("detected_lang", best.getField("lang")).drop(
+        "_ltoks"
+    )
 
 
 @declare(
@@ -243,20 +247,25 @@ toks AS (
 
 def winnow_fp(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) winnowing fingerprints of `text`."""
-    from ..operators.dedup import _shingles
+    from ..operators.dedup import _shingles_of, _tokens
     from ..plans.layout import fan_out
 
     # hashing is the per-row hot loop: rebalance single-split inputs
     # across cores first (no-op-cost on real multi-split inputs)
     docs = fan_out(docs)
-    # Stage the hash array as a real column before the windowed minima:
-    # inlining it into the window lambda makes Catalyst re-evaluate the
-    # whole O(n) md5 array per window position (O(n^2) per doc —
-    # measured 218 s vs <1 s at sf0.1). Multiple references to a
-    # non-cheap alias keep CollapseProject from re-inlining.
+    # Stage tokens, then the hash array, each as a real column before
+    # the next stage's lambdas: inlining either makes Catalyst
+    # re-evaluate the whole O(n) array per element (O(n^2) per doc —
+    # measured 218 s vs <1 s at sf0.1 for the hash array). Multiple
+    # references to a non-cheap alias keep CollapseProject from
+    # re-inlining.
     hashed = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("_toks")
+    ).select(
         "doc_id",
-        F.transform(_shingles(F.col("text"), 5), hash64).alias("_hs"),
+        F.transform(
+            _shingles_of(F.col("_toks"), 5), hash64
+        ).alias("_hs"),
     )
     hs = F.col("_hs")
     n = F.size(hs)
