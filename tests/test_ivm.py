@@ -94,3 +94,78 @@ def test_ivm_group_migration(spark):
     )
     agg = maintain_aggregate(None, target, batch, ["id"], "grp", "v")
     assert _agg_dict(agg) == {"a": (5, 1), "b": (7, 1)}
+
+
+def test_ivm_through_streaming_mirror(spark, tmp_path):
+    """The materialized-view loop in the real streaming apply: each
+    foreachBatch tick maintains the aggregate from the PRE-batch
+    mirror state, then applies the batch. Final aggregate equals a
+    from-scratch rollup of the converged target."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
+        write_change_batches,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.streaming.mirror import Mirror
+
+    rng = random.Random(5)
+    t = dt.datetime(2026, 1, 1)
+    rows = []
+    for v in range(1, 61):
+        rows.append(
+            (
+                rng.choice(["insert", "update", "update", "delete"]),
+                v,
+                t,
+                rng.randrange(10),
+                rng.choice(["a", "b", "c"]),
+                rng.randrange(100),
+            )
+        )
+    feed = str(tmp_path / "feed")
+    write_change_batches(
+        spark.createDataFrame(rows, EV_SCHEMA), feed, rows_per_batch=15
+    )
+    mirror = Mirror(
+        spark,
+        name="ivm_mirror",
+        schema="public",
+        table="t",
+        key_cols=["id"],
+        row_schema=ROW_SCHEMA,
+        target_root=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    state = {"agg": None}
+
+    def apply_and_maintain(batch, batch_id):
+        state["agg"] = maintain_aggregate(
+            state["agg"],
+            mirror.read_target(),
+            batch,
+            ["id"],
+            "grp",
+            "v",
+        ).localCheckpoint()
+        mirror._apply_batch(batch, batch_id)
+
+    from peerdb_cdc_psql_clickhouse_spark.catalog import (
+        change_event_schema,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
+        read_changes_stream,
+    )
+
+    q = (
+        read_changes_stream(
+            spark, feed, change_event_schema(ROW_SCHEMA),
+            max_files_per_trigger=1,
+        )
+        .writeStream.foreachBatch(apply_and_maintain)
+        .option("checkpointLocation", str(tmp_path / "q_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _agg_dict(state["agg"]) == _agg_dict(
+        aggregate_of(mirror.read_target(), "grp", "v")
+    )
+    assert state["agg"].count() > 0
