@@ -428,3 +428,104 @@ def repetition_signals(
             "dup_sentence_frac"
         ),
     )
+
+
+# -- PII signals / scrubbing (brief: training-data hygiene) -----------------
+# Conservative, public regex patterns; counts are row-local regexp
+# passes, masking is chained regexp_replace — all JVM-side, zero
+# shuffle, one scan. Real deployments would swap in stricter patterns
+# per policy; the OPERATOR SHAPE (count + mask in one projection) is
+# what scales.
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d().\-\s]{7,}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: str = "[PII]",
+) -> DataFrame:
+    """(id, n_email, n_phone, n_ipv4, pii_total, masked_text): per-doc
+    PII match counts plus the text with every match replaced by
+    `mask`. Masking order is fixed (email, phone, ipv4) so overlapping
+    matches resolve deterministically."""
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        ).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    masked = F.col(text_col)
+    for pat in PII_PATTERNS.values():
+        masked = F.regexp_replace(masked, pat, mask)
+    return docs.select(
+        F.col(id_col),
+        *[c.alias(f"n_{n}") for n, c in counts.items()],
+        sum(counts.values()).alias("pii_total"),
+        masked.alias("masked_text"),
+    )
+
+
+# -- benchmark contamination check (brief: eval hygiene) --------------------
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Docs sharing >= min_shared distinct word n-grams with ANY
+    benchmark item — the train/test contamination screen run before
+    training. Returns (id, shared_ngrams, contaminated).
+
+    Shape: benchmark n-grams are a small distinct set -> broadcast to
+    the corpus-side keyed join on gram (never a cross join); corpus
+    grams are staged row-local arrays exploded once. At 100 TB the
+    corpus side is one scan + one keyed aggregation, and the benchmark
+    side stays driver-small by construction (eval sets are tiny)."""
+    from ..operators.dedup import _shingles_of, _tokens
+
+    bench_grams = (
+        benchmark.select(_tokens(F.col(bench_text_col)).alias("_toks"))
+        .select(
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("_toks"), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = (
+        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("_toks"), n))
+            ).alias("gram"),
+        )
+    )
+    shared = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("shared_ngrams"), F.lit(0).cast("long")).alias(
+                "shared_ngrams"
+            ),
+            (
+                F.coalesce(F.col("shared_ngrams"), F.lit(0)) >= min_shared
+            ).alias("contaminated"),
+        )
+    )
