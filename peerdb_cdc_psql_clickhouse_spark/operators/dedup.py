@@ -132,6 +132,43 @@ def minhash_signature(
     return pairs.select(F.col(id_col), *sigs)
 
 
+def band_keys(
+    sig: DataFrame,
+    id_col: str,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id, band_idx, band_key) — the exploded LSH banding of a
+    signature frame. Row-local (streaming-safe); shared by the batch
+    self-join and the stream-vs-history screen."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws(
+            "_",
+            *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.col(f"band_{b}").alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col), *band_cols)
+        .select(F.col(id_col), F.explode(band_arr).alias("bk"))
+        .select(
+            F.col(id_col),
+            F.col("bk.band_idx").alias("band_idx"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -149,29 +186,7 @@ def lsh_candidate_pairs(
     pair set afterwards via two keyed joins against the un-exploded
     signature frame. Callers that persist `sig` (x1b does, via
     reuse()) pay no recompute for the re-attach."""
-    rows = k // bands
-    band_cols = [
-        F.concat_ws(
-            "_", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    # explode bands to (id, band_idx, band_key); pair docs sharing a key
-    band_arr = F.array(
-        *[
-            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_key"))
-            for b in range(bands)
-        ]
-    )
-    keyed = (
-        sig.select(F.col(id_col), *band_cols)
-        .select(F.col(id_col), F.explode(band_arr).alias("bk"))
-        .select(
-            F.col(id_col),
-            F.col("bk.band_idx").alias("band_idx"),
-            F.col("bk.band_key").alias("band_key"),
-        )
-    )
+    keyed = band_keys(sig, id_col, k, bands)
     a = keyed.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = keyed.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     pairs = (
@@ -199,6 +214,62 @@ def lsh_candidate_pairs(
         "id_a",
         "id_b",
         fround(matches / F.lit(float(k)), 4).alias("est_jaccard"),
+    )
+
+
+def stream_neardup_candidates(
+    doc_stream: DataFrame,
+    history_sig: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Incremental-ingestion near-dup screen: flag arriving documents
+    whose LSH band collides with the HISTORICAL corpus — the streaming
+    face of x1b for continuously-ingested training data.
+
+    doc_stream: streaming (id, text); history_sig: the static
+    signature table (minhash_signature output — at 100 TB the
+    materialized table reuse() writes). Signature + banding on the
+    stream are row-local (map-only on the stream side); the only join
+    is the stream-static equi-join on (band_idx, band_key), which
+    Spark plans as a per-micro-batch join against the static side —
+    no stream state. Output: (id, band collisions with hist_id,
+    est_jaccard) in append mode; one (doc, hist) pair may surface once
+    per shared band — dedupe downstream per micro-batch if exactness
+    matters (collisions are candidates, not verdicts).
+    """
+    sig_s = minhash_signature(doc_stream, id_col, text_col, k)
+    bands_s = band_keys(sig_s, id_col, k, bands).withColumnRenamed(
+        id_col, "stream_id"
+    )
+    sig_s2 = sig_s.select(
+        F.col(id_col).alias("stream_id"),
+        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(k)],
+    )
+    bands_h = band_keys(history_sig, id_col, k, bands).withColumnRenamed(
+        id_col, "hist_id"
+    )
+    sig_h = history_sig.select(
+        F.col(id_col).alias("hist_id"),
+        *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(k)],
+    )
+    hist = bands_h.join(sig_h, "hist_id")  # static side, precomputable
+    matches = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    from ..functions.numeric import fround
+
+    return (
+        bands_s.join(hist, ["band_idx", "band_key"])
+        .join(sig_s2, "stream_id")
+        .select(
+            F.col("stream_id").alias(id_col),
+            "hist_id",
+            fround(matches / F.lit(float(k)), 4).alias("est_jaccard"),
+        )
     )
 
 

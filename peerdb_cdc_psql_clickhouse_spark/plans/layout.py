@@ -37,6 +37,10 @@ def fan_out(df: DataFrame, parallelism: int | None = None) -> DataFrame:
     shuffle of the raw data (and could even REDUCE parallelism to
     core-count when splits >> cores), so wide inputs pass through
     untouched and keep their split-derived layout."""
+    if df.isStreaming:
+        # streaming sources carry their own partitioning and .rdd is
+        # unavailable; the rebalance is a batch-side concern only
+        return df
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

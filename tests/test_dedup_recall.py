@@ -80,3 +80,51 @@ def test_planting_adds_no_false_original_pairs(spark, planted):
         if p[0] < OFFSET and p[1] < OFFSET
     }
     assert with_planted == natural
+
+def test_stream_neardup_screen_against_history(spark, tmp_path):
+    """Incremental ingestion: a streaming batch containing (a) a
+    near-copy of a historical doc and (b) a novel doc is screened
+    against the static signature table — the near-copy flags with high
+    est_jaccard, the novel doc doesn't flag."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        minhash_signature,
+        stream_neardup_candidates,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    hist_sig = minhash_signature(docs, "doc_id", "text")
+
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    near_copy = base["text"] + " extra tail words here"
+    novel = " ".join(f"zq{i}w unique nonsense token" for i in range(30))
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(900001, near_copy), (900002, novel)],
+        "doc_id long, text string",
+    ).write.parquet(feed)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        feed
+    )
+    flagged = stream_neardup_candidates(stream, hist_sig)
+    got = []
+    q = (
+        flagged.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hits = {
+        (r["doc_id"], r["hist_id"]): r["est_jaccard"] for r in got
+    }
+    assert any(
+        d == 900001 and h == base["doc_id"] and j >= 0.5
+        for (d, h), j in hits.items()
+    )  # near-copy found against its historical original
+    assert not any(d == 900002 for (d, _h) in hits)  # novel doc clean
