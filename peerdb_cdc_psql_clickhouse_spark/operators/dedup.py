@@ -241,12 +241,37 @@ def stream_neardup_candidates(
     matters (collisions are candidates, not verdicts).
     """
     sig_s = minhash_signature(doc_stream, id_col, text_col, k)
-    bands_s = band_keys(sig_s, id_col, k, bands).withColumnRenamed(
-        id_col, "stream_id"
+    # stream side carries its signature columns THROUGH the band
+    # explode: re-joining them (as the batch self-join does) would make
+    # this a stream-stream self-join — stateful, unbounded. Arriving
+    # micro-batches are small, so the x`bands` fan-out of k longs is
+    # cheap; the big (history) side stays narrow + static.
+    rows = k // bands
+    sig_cols = [F.col(f"sig_{i}") for i in range(k)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"sig_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
-    sig_s2 = sig_s.select(
+    bands_s = sig_s.select(
         F.col(id_col).alias("stream_id"),
-        *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(k)],
+        *[c.alias(f"a_sig_{i}") for i, c in enumerate(sig_cols)],
+        F.explode(band_structs).alias("bk"),
+    ).select(
+        "stream_id",
+        *[f"a_sig_{i}" for i in range(k)],
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_key").alias("band_key"),
     )
     bands_h = band_keys(history_sig, id_col, k, bands).withColumnRenamed(
         id_col, "hist_id"
@@ -262,14 +287,10 @@ def stream_neardup_candidates(
     )
     from ..functions.numeric import fround
 
-    return (
-        bands_s.join(hist, ["band_idx", "band_key"])
-        .join(sig_s2, "stream_id")
-        .select(
-            F.col("stream_id").alias(id_col),
-            "hist_id",
-            fround(matches / F.lit(float(k)), 4).alias("est_jaccard"),
-        )
+    return bands_s.join(hist, ["band_idx", "band_key"]).select(
+        F.col("stream_id").alias(id_col),
+        "hist_id",
+        fround(matches / F.lit(float(k)), 4).alias("est_jaccard"),
     )
 
 
