@@ -187,10 +187,13 @@ def entity_progress_with_eviction(
             max_ts = bt if max_ts is None else max(max_ts, bt)
         state.update((n, mx, ni, nu, nd))
         # timeout fires when the WATERMARK passes this instant — idle
-        # keys are reaped as event time advances, never by wall clock
-        state.setTimeoutTimestamp(
-            int(pd.Timestamp(max_ts).timestamp() * 1000) + idle_horizon_ms
-        )
+        # keys are reaped as event time advances, never by wall clock.
+        # Clamp above the current watermark: a batch of very-late
+        # events (delivered to the operator even when behind the
+        # watermark) would otherwise set a timeout Spark rejects.
+        want = int(pd.Timestamp(max_ts).timestamp() * 1000) + idle_horizon_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(want, wm + 1))
         yield pd.DataFrame(
             {
                 "entity_id": [key[0]],

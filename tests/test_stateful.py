@@ -196,3 +196,50 @@ def test_entity_progress_tws_converges(spark, tmp_path):
         == max(v for (_, v, _, e, _) in rows if e == r["entity_id"])
         for r in seen.values()
     )
+
+
+def test_eviction_drops_late_batch_without_crashing(spark, tmp_path):
+    """A micro-batch consisting ONLY of events far behind the
+    watermark: Spark filters late rows BEFORE the stateful operator,
+    so the late entity never materializes and the query completes
+    cleanly (the operator's own watermark clamp stays defensive)."""
+    import datetime as dt
+
+    from peerdb_cdc_psql_clickhouse_spark.streaming.stateful import (
+        entity_progress_with_eviction,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    far = t0 + dt.timedelta(hours=2)
+    schema = change_event_schema(ROW_SCHEMA)
+    feed = str(tmp_path / "feed")
+    # batch 1 pushes the watermark far ahead; batch 2 is entirely late
+    spark.createDataFrame(
+        [("insert", 1, far, 1, 1.0)], schema
+    ).write.parquet(f"{feed}/f=1")
+    spark.createDataFrame(
+        [("update", 2, t0, 2, 2.0)], schema
+    ).write.parquet(f"{feed}/f=2")
+    stream = (
+        spark.readStream.schema(schema.add("f", "integer"))
+        .option("basePath", feed)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .drop("f")
+    )
+    rows = []
+    q = (
+        entity_progress_with_eviction(
+            stream, watermark="10 seconds", idle_horizon_ms=60_000
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    seen = {r["entity_id"] for r in rows}
+    assert 1 in seen       # on-time entity processed
+    assert 2 not in seen   # late entity filtered before the operator
