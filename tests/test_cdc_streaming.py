@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from peerdb_cdc_psql_clickhouse_spark.catalog import change_event_schema
+from tests.conftest import stagger_mtimes
 from peerdb_cdc_psql_clickhouse_spark.operators.cdc import (
     apply_changes,
     latest_state,
@@ -221,6 +222,7 @@ def test_stream_status_surfaces_state_and_late_drops(spark, tmp_path):
     spark.createDataFrame(
         [("insert", 2, t0, 2, "ancient")], ev_schema  # behind watermark
     ).write.parquet(f"{feed}/f=2")
+    stagger_mtimes(f"{feed}/f=1", f"{feed}/f=2")
     stream = (
         spark.readStream.schema(ev_schema.add("f", "integer"))
         .option("basePath", feed)
@@ -490,6 +492,7 @@ def test_windowed_op_counts_append_mode_finalized_windows(spark, tmp_path):
     feed = str(tmp_path / "feed")
     spark.createDataFrame(b1, ev_schema).write.parquet(f"{feed}/f=1")
     spark.createDataFrame(b2, ev_schema).write.parquet(f"{feed}/f=2")
+    stagger_mtimes(f"{feed}/f=1", f"{feed}/f=2")
     stream = (
         spark.readStream.schema(
             change_event_schema(ROW_SCHEMA).add("f", "integer")

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from peerdb_cdc_psql_clickhouse_spark.catalog import change_event_schema
+
+from tests.conftest import stagger_mtimes
 from peerdb_cdc_psql_clickhouse_spark.sources.changes import (
     read_changes_stream,
     write_change_batches,
@@ -100,6 +102,7 @@ def test_entity_progress_evicts_idle_keys_by_event_time(spark, tmp_path):
     feed = str(tmp_path / "feed")
     spark.createDataFrame(b1, schema).write.parquet(f"{feed}/f=1")
     spark.createDataFrame(b2, schema).write.parquet(f"{feed}/f=2")
+    stagger_mtimes(f"{feed}/f=1", f"{feed}/f=2")
     stream = (
         spark.readStream.schema(schema.add("f", "integer"))
         .option("basePath", feed)
@@ -213,33 +216,46 @@ def test_eviction_drops_late_batch_without_crashing(spark, tmp_path):
     far = t0 + dt.timedelta(hours=2)
     schema = change_event_schema(ROW_SCHEMA)
     feed = str(tmp_path / "feed")
-    # batch 1 pushes the watermark far ahead; batch 2 is entirely late
+    rows = []
+
+    def drain():
+        # fresh query over the SAME checkpoint: the committed
+        # watermark from the previous drain gates the next one —
+        # deterministic, unlike file ordering within one availableNow
+        # run
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField("f", T.IntegerType())]
+        )
+        stream = (
+            spark.readStream.schema(read_schema)
+            .option("basePath", feed)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .drop("f")
+        )
+        q = (
+            entity_progress_with_eviction(
+                stream, watermark="10 seconds", idle_horizon_ms=60_000
+            )
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.exception() is None
+
+    # drain 1 commits a far-future watermark
     spark.createDataFrame(
         [("insert", 1, far, 1, 1.0)], schema
     ).write.parquet(f"{feed}/f=1")
+    drain()
+    # drain 2's only input is entirely behind that watermark
     spark.createDataFrame(
         [("update", 2, t0, 2, 2.0)], schema
     ).write.parquet(f"{feed}/f=2")
-    stream = (
-        spark.readStream.schema(schema.add("f", "integer"))
-        .option("basePath", feed)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-        .drop("f")
-    )
-    rows = []
-    q = (
-        entity_progress_with_eviction(
-            stream, watermark="10 seconds", idle_horizon_ms=60_000
-        )
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .foreachBatch(lambda b, _id: rows.extend(b.collect()))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    assert q.exception() is None
+    drain()
     seen = {r["entity_id"] for r in rows}
     assert 1 in seen       # on-time entity processed
     assert 2 not in seen   # late entity filtered before the operator

@@ -9,6 +9,7 @@ import datetime as dt
 
 from pyspark.sql import types as T
 
+from tests.conftest import stagger_mtimes
 from peerdb_cdc_psql_clickhouse_spark.streaming.joins import (
     stream_interval_join,
 )
@@ -175,6 +176,8 @@ def test_interval_join_left_outer_streaming_emits_after_watermark(
     spark.createDataFrame(batches2, BATCH_SCHEMA).write.parquet(f"{bdir}/f=2")
     spark.createDataFrame(samples1, SAMPLE_SCHEMA).write.parquet(f"{sdir}/f=1")
     spark.createDataFrame(samples2, SAMPLE_SCHEMA).write.parquet(f"{sdir}/f=2")
+    stagger_mtimes(f"{bdir}/f=1", f"{bdir}/f=2")
+    stagger_mtimes(f"{sdir}/f=1", f"{sdir}/f=2")
 
     left = (
         spark.readStream.schema(BATCH_SCHEMA.add("f", "integer"))
