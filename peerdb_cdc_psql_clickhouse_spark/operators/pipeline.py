@@ -126,12 +126,17 @@ def pack_documents(
         pdf = pdf.sort_values(id_col, kind="mergesort")
         shard = int(pdf["_shard"].iloc[0])
         bins = []
-        local_bin, acc = 0, 0
+        local_bin, acc, n_in_bin = 0, 0, 0
         for tok in pdf[token_col].astype("int64"):
-            if acc > 0 and acc + tok > budget:
+            # occupancy (not acc>0) guards the split: zero-token docs
+            # leave acc at 0 but must still force an over-budget
+            # follower into its own bin (hypothesis-found edge)
+            if n_in_bin > 0 and acc + tok > budget:
                 local_bin += 1
                 acc = 0
+                n_in_bin = 0
             acc += int(tok)
+            n_in_bin += 1
             bins.append(shard * (1 << 40) + local_bin)
         return pd.DataFrame(
             {

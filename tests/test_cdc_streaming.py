@@ -216,34 +216,49 @@ def test_stream_status_surfaces_state_and_late_drops(spark, tmp_path):
     far = t0 + dt.timedelta(hours=2)
     ev_schema = change_event_schema(ROW_SCHEMA)
     feed = str(tmp_path / "feed")
+
+    def drain():
+        # fresh query over the SAME checkpoint: drain 1's committed
+        # watermark deterministically gates drain 2 (in-run watermark
+        # commit timing vs file order is racy)
+        read_schema = T.StructType(
+            list(ev_schema.fields)
+            + [T.StructField("f", T.IntegerType())]
+        )
+        stream = (
+            spark.readStream.schema(read_schema)
+            .option("basePath", feed)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .drop("f")
+        )
+        q = (
+            windowed_op_counts(stream, watermark="10 seconds")
+            .writeStream.outputMode("update")
+            .queryName("late_status_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return q
+
     spark.createDataFrame(
         [("insert", 1, far, 1, "new")], ev_schema
     ).write.parquet(f"{feed}/f=1")
+    q1 = drain()
     spark.createDataFrame(
         [("insert", 2, t0, 2, "ancient")], ev_schema  # behind watermark
     ).write.parquet(f"{feed}/f=2")
-    stagger_mtimes(f"{feed}/f=1", f"{feed}/f=2")
-    stream = (
-        spark.readStream.schema(ev_schema.add("f", "integer"))
-        .option("basePath", feed)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-        .drop("f")
-    )
-    q = (
-        windowed_op_counts(stream, watermark="10 seconds")
-        .writeStream.outputMode("update")
-        .queryName("late_status_test")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .format("noop")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    st = stream_status(spark, [q]).collect()[0]
-    assert st["state_rows"] >= 1  # open window held in state
-    assert st["late_rows_dropped"] >= 1  # the ancient event
-    assert st["input_rows"] == 2
+    q2 = drain()
+
+    sts = {
+        i: r for i, r in enumerate(stream_status(spark, [q1, q2]).collect())
+    }
+    assert sum(r["input_rows"] for r in sts.values()) == 2
+    assert sts[1]["state_rows"] >= 1  # open window held in state
+    assert sts[1]["late_rows_dropped"] >= 1  # the ancient event
 
 
 def test_mirror_restart_is_exactly_once(spark, tmp_path, mirror):
