@@ -125,7 +125,12 @@ def validate_changes(
     """
     reason = (
         F.when(
-            ~F.col(op_col).isin(*CDC_OPS), F.lit("unknown_op")
+            # NULL-safe: `~isin` is NULL (not TRUE) for a NULL op, which
+            # would classify the row as valid and let latest_state's
+            # null-unsafe `_op != 'delete'` filter silently drop it after
+            # it wins max-version — a phantom delete. Check NULL first.
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*CDC_OPS),
+            F.lit("unknown_op"),
         )
         .when(F.col(version_col).isNull(), F.lit("null_version"))
         .when(

@@ -117,10 +117,21 @@ def pack_documents(
     """
     import pandas as pd
 
+    from pyspark.sql import types as T
+
     if budget <= 0:
         raise ValueError("budget must be positive")
     n_shards = shards or docs.sparkSession.sparkContext.defaultParallelism
-    out_schema = f"{id_col} long, {token_col} long, bin_id long"
+    # Output field types come from the input schema — a hardcoded
+    # `long` would silently break string/decimal doc ids (ADVICE r2).
+    in_fields = {f.name: f.dataType for f in docs.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, in_fields[id_col]),
+            T.StructField(token_col, in_fields[token_col]),
+            T.StructField("bin_id", T.LongType()),
+        ]
+    )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
@@ -141,7 +152,7 @@ def pack_documents(
         return pd.DataFrame(
             {
                 id_col: pdf[id_col].values,
-                token_col: pdf[token_col].astype("int64").values,
+                token_col: pdf[token_col].values,
                 "bin_id": pd.Series(bins, dtype="int64").values,
             }
         )
@@ -160,6 +171,7 @@ def stratified_sample(
     fractions: dict[str, float],
     seed: int = 42,
     exact: bool = False,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Training-mix construction: per-stratum sampling (e.g. language
     or quality band -> target fraction). Strata absent from
@@ -172,6 +184,13 @@ def stratified_sample(
     stratum, keep rank <= ceil(frac * stratum_count)) — one shuffle
     on the stratum key; use when the mix must be byte-reproducible
     and exact, e.g. eval holdouts.
+
+    Byte-reproducibility caveat (ADVICE r2): the in-stratum order key
+    is a hash, so ties must be broken deterministically. Pass a unique
+    `id_col` and the order is total (hash, then id). Without `id_col`
+    the hash covers every column, which is only a total order when
+    input rows are DISTINCT — fully duplicate rows tie and the cutoff
+    rank between them is partitioning-dependent.
     """
     if not all(0.0 <= f <= 1.0 for f in fractions.values()):
         raise ValueError("fractions must be within [0, 1]")
@@ -188,15 +207,22 @@ def stratified_sample(
         ]
     )
     w = Window.partitionBy(stratum_col)
-    # deterministic in-stratum order: seeded hash of the whole row's
-    # stratum + a stable per-row key is caller-specific, so hash all
-    # columns — same input rows => same sample, independent of
-    # partitioning/arrival order (never rand(): retries would resample)
-    order_key = F.xxhash64(F.lit(seed), *[F.col(c) for c in docs.columns])
+    # deterministic in-stratum order: seeded hash (never rand():
+    # retries would resample). With a unique id_col the (hash, id)
+    # pair is a total order; otherwise hash all columns (total only
+    # for distinct rows — see docstring).
+    if id_col is not None:
+        order_key = F.xxhash64(F.lit(seed), F.col(id_col))
+        ordering = [order_key.asc(), F.col(id_col).asc()]
+    else:
+        order_key = F.xxhash64(
+            F.lit(seed), *[F.col(c) for c in docs.columns]
+        )
+        ordering = [order_key.asc()]
     ranked = docs.select(
         "*",
         F.row_number()
-        .over(w.orderBy(order_key.asc()))
+        .over(w.orderBy(*ordering))
         .alias("_rk"),
         F.count(F.lit(1)).over(w).alias("_n"),
         frac_map.getItem(F.col(stratum_col)).alias("_frac"),

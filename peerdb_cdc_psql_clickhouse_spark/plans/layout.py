@@ -17,9 +17,10 @@ executor-memory persist (right for frames that fit in the cluster's
 storage memory) and a write-once-parquet materialization (the 100 TB
 path: signatures for a petabyte corpus do not fit in storage memory,
 and a single parquet write is cheaper than recomputing the signature
-scan per branch and survives executor loss). `materialize_threshold`
-switches automatically when the plan's estimated size is known to be
-large; callers can force either path.
+scan per branch and survives executor loss). The switch is driven by a
+caller-supplied size hint (or an explicit materialize=True); Catalyst
+size estimates are not trusted because unknown stats default to
+Long.MaxValue and join estimates multiply.
 """
 
 from __future__ import annotations
@@ -63,25 +64,31 @@ def reuse(
     df: DataFrame,
     materialize: bool | None = None,
     path: str | None = None,
+    size_hint_bytes: int | None = None,
 ) -> DataFrame:
     """Share a derived frame across plan branches (self-joins, loops).
 
-    materialize=False (or small frames): StorageLevel persist — Spark
-    caches by logical plan, so repeated builds of the same query share
-    one cache entry.
+    materialize=False (default): StorageLevel persist — Spark caches by
+    logical plan, so repeated builds of the same query share one cache
+    entry, and nothing is written at plan-build time.
 
-    materialize=True (or estimated size past MATERIALIZE_THRESHOLD_BYTES):
+    materialize=True (or size_hint_bytes past MATERIALIZE_THRESHOLD_BYTES):
     write-once parquet + re-read. This is the 100 TB variant — the
     signature/fingerprint table is written as a real table and every
     consumer scans it, instead of pinning it in executor storage
     memory where it would evict or recompute under pressure.
+
+    The auto switch keys off the caller-supplied size_hint_bytes (known
+    input bytes), NOT Catalyst sizeInBytes: optimizer estimates default
+    to Long.MaxValue for unknown stats and multiply through joins, so
+    trusting them made a nominally lazy reuse() trigger an eager full
+    parquet write at plan-build time (ADVICE r2).
     """
     if materialize is None:
-        try:
-            est = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            materialize = int(est.toString()) > MATERIALIZE_THRESHOLD_BYTES
-        except Exception:  # stats unavailable -> stay with persist
-            materialize = False
+        materialize = (
+            size_hint_bytes is not None
+            and size_hint_bytes > MATERIALIZE_THRESHOLD_BYTES
+        )
     if not materialize:
         from pyspark import StorageLevel
 

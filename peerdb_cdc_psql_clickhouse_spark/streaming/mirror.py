@@ -341,7 +341,16 @@ class Mirror:
         )
         if not targets:
             return None
+        if paths is not None:
+            # Explicit paths come from compact(), which deletes these
+            # dirs right after the merged base lands. Swallowing a
+            # transient read error here would compact WITHOUT the delta
+            # and then destroy it — let it propagate instead.
+            return self.spark.read.schema(
+                change_event_schema(self.row_schema)
+            ).parquet(*targets)
         try:
+            # Glob probe: no delta dir yet is an expected state.
             return self.spark.read.schema(
                 change_event_schema(self.row_schema)
             ).parquet(*targets)

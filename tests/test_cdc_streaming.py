@@ -184,6 +184,10 @@ def test_validate_changes_quarantines_malformed_events(spark):
     rows = [
         ("insert", 1, t, 1, "a"),          # ok
         ("upsert", 2, t, 1, "bad-op"),     # unknown op
+        (None, 5, t, 1, "null-op"),        # NULL op (ADVICE r2: ~isin
+        #   is NULL, not TRUE, for NULL input — must still quarantine,
+        #   else it wins max-version and apply's null-unsafe delete
+        #   filter silently drops the key: a phantom delete)
         ("update", None, t, 1, "no-ver"),  # null version
         ("update", BASE_VERSION, t, 1, "reserved"),  # sentinel clash
         ("update", 3, t, None, "no-key"),  # null key
@@ -197,6 +201,7 @@ def test_validate_changes_quarantines_malformed_events(spark):
     }
     assert reasons == {
         "bad-op": "unknown_op",
+        "null-op": "unknown_op",
         "no-ver": "null_version",
         "reserved": "reserved_version",
         "no-key": "null_key:id",

@@ -132,6 +132,50 @@ def test_pack_documents_budget_property(spark, toks, budget):
         assert sum(toks_in_bin) <= budget or len(toks_in_bin) == 1
 
 
+def test_pack_documents_preserves_non_long_id_types(spark):
+    """Output field types derive from the input schema — string doc
+    ids and int token counts must round-trip (ADVICE r2: the schema
+    was hardcoded `long, long`)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        pack_documents,
+    )
+
+    rows = [("doc-a", 50), ("doc-b", 70), ("doc-c", 10)]
+    df = spark.createDataFrame(rows, "doc_id string, token_cnt int")
+    got = pack_documents(df, budget=100, shards=2)
+    assert dict(got.dtypes) == {
+        "doc_id": "string",
+        "token_cnt": "int",
+        "bin_id": "bigint",
+    }
+    out = {r["doc_id"]: r["token_cnt"] for r in got.collect()}
+    assert out == dict(rows)
+
+
+def test_exact_sample_duplicate_rows_deterministic_with_id_col(spark):
+    """Fully duplicate rows tie on the all-columns hash; an explicit
+    unique id_col restores a total order so the cutoff is stable
+    across partitionings (ADVICE r2)."""
+    rows = [(i, "en", "same text") for i in range(40)] + [
+        (100 + i, "fr", "autre") for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    pick = lambda df: {r["doc_id"] for r in df.select("doc_id").collect()}
+    a = pick(
+        stratified_sample(docs, "lang", MIX, exact=True, id_col="doc_id")
+    )
+    b = pick(
+        stratified_sample(
+            docs.repartition(7), "lang", MIX, exact=True, id_col="doc_id"
+        )
+    )
+    assert a == b
+    assert len([d for d in a if d < 100]) == 20  # ceil(40 * 0.5)
+    assert len([d for d in a if d >= 100]) == 4  # ceil(20 * 0.2)
+
+
 def test_pack_documents_deterministic_and_oversize_isolated(spark):
     from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
         pack_documents,
