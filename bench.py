@@ -120,9 +120,14 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
     (approximate by construction), so quality is surfaced here where
     the judge can trend it round-over-round.
 
-    - *_recall_at_k: overlap@TOP_K vs brute-force cosine on the
-      natural embeddings (near-orthogonal — the hard regime for
-      sign-LSH, see tests/test_ann_recall.py).
+    - ivf_* (the documented SEARCH-regime default): recall@3 and
+      recall@10 vs brute-force cosine on the natural embeddings, each
+      with its scanned corpus fraction (nprobe*n_assign/n_centroids).
+      The natural corpus is near-orthogonal — the hard regime where
+      recall tracks scan coverage; clustered corpora buy more recall
+      per scanned byte.
+    - lsh_*: the dedup-regime index on the same task (kept for trend;
+      weak here by design — sign-LSH concentrates cos->1 pairs only).
     - *_planted_hit_rate: fraction of planted true near-duplicates
       (cosine ~0.9999) retrieved at rank 1 — the regime ANN dedup
       actually targets.
@@ -131,7 +136,9 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
 
     from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
-        TOP_K,
+        N_ASSIGN,
+        N_CENTROIDS,
+        NPROBE,
         ann_topk_ivf,
         ann_topk_lsh,
         cosine_topk,
@@ -142,29 +149,34 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
     queries = emb.join(qids, "vec_id").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    exact = {
-        (r["q_id"], r["vec_id"])
-        for r in cosine_topk(queries, emb).collect()
-    }
 
-    def _recall(df) -> float:
+    def _recall(df, exact) -> float:
         got = {(r["q_id"], r["vec_id"]) for r in df.collect()}
         return round(len(exact & got) / len(exact), 4)
 
     out = {
-        "k": TOP_K,
         "n_queries": n_queries,
-        "lsh_recall_at_k": _recall(ann_topk_lsh(emb, qids)),
-        "lsh_multiprobe_recall_at_k": _recall(
-            ann_topk_lsh(emb, qids, multi_probe=1)
-        ),
-        "ivf_recall_at_k": _recall(ann_topk_ivf(emb, qids)),
-        # the recall/scan-fraction knob: nprobe 2->4 doubles the
-        # scanned fraction (4/16 of the corpus) for higher recall
-        "ivf_recall_at_k_nprobe4": _recall(
-            ann_topk_ivf(emb, qids, nprobe=4)
-        ),
+        "ivf_scan_fraction": round(NPROBE * N_ASSIGN / N_CENTROIDS, 4),
+        "ivf_scan_fraction_single_assign": round(NPROBE / N_CENTROIDS, 4),
     }
+    for k in (3, 10):
+        exact = {
+            (r["q_id"], r["vec_id"])
+            for r in cosine_topk(queries, emb, k=k).collect()
+        }
+        out[f"ivf_recall_at_{k}"] = _recall(
+            ann_topk_ivf(emb, qids, k=k), exact
+        )
+        out[f"ivf_recall_at_{k}_single_assign"] = _recall(
+            ann_topk_ivf(emb, qids, k=k, n_assign=1), exact
+        )
+        if k == 3:
+            out["lsh_recall_at_3"] = _recall(
+                ann_topk_lsh(emb, qids), exact
+            )
+            out["lsh_multiprobe_recall_at_3"] = _recall(
+                ann_topk_lsh(emb, qids, multi_probe=1), exact
+            )
 
     # planted near-duplicates: perturb one coordinate by 1%
     offset = 1_000_000
