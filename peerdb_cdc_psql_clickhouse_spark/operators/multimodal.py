@@ -2,11 +2,13 @@
 binary columns with typed metadata, processed with Arrow-batched
 mapInPandas.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked deterministic fake (or NotImplementedError for real
-codecs) — but the Spark-side plumbing is real and tested: schema,
-partition-preserving mapInPandas signature, Arrow batch shape, parquet
-round-trip of binary + struct metadata.
+The container has no image/audio libraries, so real decode is limited
+to formats expressible with stdlib + numpy — BMP, non-interlaced RGB8
+PNG, and PCM16 WAV are decoded for real; mp4 (and fabricated payloads
+that don't carry real container bytes) use a clearly-marked
+deterministic fake. The Spark-side plumbing is identical and tested
+either way: schema, partition-preserving mapInPandas signature, Arrow
+batch shape, parquet round-trip of binary + struct metadata.
 
 Scale notes: binary payloads ride in parquet as-is (no decode on scan);
 mapInPandas streams Arrow batches so peak memory is one batch, not one
@@ -79,10 +81,11 @@ def attach_media(docs: DataFrame) -> DataFrame:
 
 
 # -- real codecs (no external libs) -----------------------------------------
-# BMP (24-bit uncompressed BI_RGB) in pure numpy+struct and WAV PCM16
-# via the stdlib `wave` module: one image and one audio decode path
-# are REAL end-to-end; png/mp4 remain clearly-marked fakes pending
-# actual codec libs.
+# BMP (24-bit uncompressed BI_RGB) in pure numpy+struct, PNG
+# (non-interlaced 8-bit truecolor) via stdlib zlib + numpy
+# un-filtering, and WAV PCM16 via the stdlib `wave` module: two image
+# formats and one audio decode path are REAL end-to-end; mp4 remains
+# a clearly-marked fake pending an actual codec lib.
 
 
 def encode_bmp(arr) -> bytes:
@@ -164,15 +167,119 @@ def decode_wav_pcm16(payload: bytes):
         return samples, w.getframerate()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """RGB uint8 array (h, w, 3) -> non-interlaced 8-bit truecolor
+    .png bytes (stdlib zlib/struct only; scanlines use filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit truecolor .png bytes -> RGB uint8 array
+    (h, w, 3). Pure stdlib zlib inflate + numpy un-filtering: filters
+    None/Up/Sub are vectorized per scanline (Sub is a cumulative sum
+    mod 256), Average/Paeth fall back to the spec's per-pixel
+    recurrence. Interlaced/palette/alpha/16-bit PNGs raise — the
+    honest boundary of a no-dependency decoder."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + length])
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = meta
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only non-interlaced 8-bit truecolor (RGB) PNG"
+        )
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    if len(raw) != stride * h:
+        raise ValueError("PNG scanline data truncated")
+    rows = raw.reshape(h, stride)
+    bpp = 3
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(rows[y, 0]), rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(w * 3, np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prior
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] ->
+            # per-byte-lane cumulative sum (mod 256 distributes over +)
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1)
+        else:  # Average (3) / Paeth (4): sequential per the spec
+            rec = np.zeros(w * 3, dtype=np.int32)
+            for x in range(w * 3):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if ftype == 3:
+                    rec[x] = line[x] + ((a + b) >> 1)
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = line[x] + pred
+                rec[x] &= 0xFF
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
 def decode_media(payload: bytes, mime: str) -> dict:
-    """Decode step. REAL for image/bmp (numpy BMP parser: byte_mean is
-    the true pixel mean) and for audio/wav payloads that actually
-    carry RIFF/WAVE bytes (frame_count = PCM frame count). png/mp4 —
-    and the synthetic text-byte wav payloads attach_media fabricates —
-    fall back to the clearly-marked deterministic fake; real codecs
-    for them need libs absent from this container."""
+    """Decode step. REAL for image/bmp (numpy BMP parser), image/png
+    payloads that actually carry PNG bytes (stdlib-zlib decoder:
+    byte_mean is the true pixel mean), and audio/wav payloads that
+    carry RIFF/WAVE bytes (frame_count = PCM frame count). mp4 — and
+    the synthetic text-byte png/wav payloads attach_media fabricates —
+    fall back to the clearly-marked deterministic fake; a real mp4
+    codec needs libs absent from this container."""
     if mime == "image/bmp":
         arr = decode_bmp(bytes(payload))
+        return {"byte_mean": float(arr.mean()), "frame_count": 1}
+    if mime == "image/png" and bytes(payload[:8]) == _PNG_SIG:
+        arr = decode_png(bytes(payload))
         return {"byte_mean": float(arr.mean()), "frame_count": 1}
     if mime == "audio/wav" and bytes(payload[:4]) == b"RIFF":
         samples, _rate = decode_wav_pcm16(bytes(payload))
@@ -223,30 +330,34 @@ RESIZED_SCHEMA = T.StructType(
 def resize_images(
     media: DataFrame, target_w: int = 224, target_h: int = 224
 ) -> DataFrame:
-    """Image resize over mapInPandas. REAL for image/bmp rows:
-    numpy nearest-neighbor resample (decode -> index-gather ->
-    re-encode BMP). image/png rows keep the clearly-marked
-    deterministic fake (truncate/pad to target_w*target_h/64 bytes)
-    pending a real png lib. Plumbing (Arrow batches, schema, metadata
-    rewrite, zero shuffle) is identical for both."""
+    """Image resize over mapInPandas. REAL for image/bmp rows and for
+    image/png rows carrying actual PNG bytes: numpy nearest-neighbor
+    resample (decode -> index-gather -> re-encode in the same format).
+    png-mime rows with fabricated non-PNG payloads keep the
+    clearly-marked deterministic fake (truncate/pad to
+    target_w*target_h/64 bytes). Plumbing (Arrow batches, schema,
+    metadata rewrite, zero shuffle) is identical for all paths."""
     n_bytes = max(1, target_w * target_h // 64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def nn(arr):
+            h, w, _ = arr.shape
+            ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+            xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+            return arr[ys][:, xs]
+
         for pdf in batches:
             out = []
             for p, meta in zip(pdf["payload"], pdf["meta"]):
                 if meta["mime"] == "image/bmp":
-                    arr = decode_bmp(bytes(p))
-                    h, w, _ = arr.shape
-                    ys = (
-                        np.arange(target_h) * h // target_h
-                    ).clip(0, h - 1)
-                    xs = (
-                        np.arange(target_w) * w // target_w
-                    ).clip(0, w - 1)
-                    out.append(encode_bmp(arr[ys][:, xs]))
+                    out.append(encode_bmp(nn(decode_bmp(bytes(p)))))
+                elif (
+                    meta["mime"] == "image/png"
+                    and bytes(p[:8]) == _PNG_SIG
+                ):
+                    out.append(encode_png(nn(decode_png(bytes(p)))))
                 else:
                     out.append(bytes(p[:n_bytes]).ljust(n_bytes, b"\0"))
             yield pd.DataFrame(
