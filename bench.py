@@ -114,6 +114,119 @@ def cdc_stress(spark, sf_dir: str, n_rows: int = 5000, batch: int = 500) -> dict
         shutil.rmtree(work, ignore_errors=True)
 
 
+# key columns offset per replica so a scaled copy preserves join
+# fan-outs (FKs stay within a copy); region/nation stay fixed like
+# TPC-H dimension tables at higher SF
+_REPL_KEYS = {
+    "customer": {"c_custkey"},
+    "supplier": {"s_suppkey"},
+    "part": {"p_partkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey"},
+    "events": {"event_id", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+_REPL_STRIDE = 10_000_000
+
+
+def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
+    """Write a mult× replica of the testdata (ids offset per copy so
+    keys stay distinct and FK joins keep their per-copy fan-out) in
+    the same layout load_table reads."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.catalog import (
+        TESTDATA_TABLES,
+        load_table,
+    )
+
+    for name in TESTDATA_TABLES:
+        if name == "events":
+            # keep ts as raw long nanos — load_table rebuilds the
+            # timestamp from it and must see the same physical type
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        else:
+            src = load_table(spark, sf_dir, name)
+        keys = _REPL_KEYS.get(name, set())
+        out = src
+        if keys and mult > 1:
+            copies = [src]
+            for i in range(1, mult):
+                copies.append(
+                    src.select(
+                        *[
+                            (F.col(c) + i * _REPL_STRIDE).alias(c)
+                            if c in keys
+                            else F.col(c)
+                            for c in src.columns
+                        ]
+                    )
+                )
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def inventory(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Run every declared query at sf_dir with the noop sink (full
+    computation, no driver collect); each query measured standalone
+    (its persisted frames dropped after). Returns (timings, errors)."""
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            queries[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - isolate per-query faults
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        spark.catalog.clearCache()
+    return timings, errors
+
+
+def scaled_inventory(
+    spark, sf_dir: str, timings_1x: dict, mult: int = 10
+) -> dict:
+    """The declared inventory at a mult× replica (VERDICT r2 #6): the
+    empirical check that no query's per-row cost degrades with data
+    size. Reports per-query seconds plus the worst time ratio; a
+    query is scale-clean when t_Nx <= 2·N·t_1x (≤2× per-row cost)."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_scaled_")
+    try:
+        materialize_scaled(spark, sf_dir, work, mult)
+        spark.catalog.clearCache()
+        timings, errors = inventory(spark, work)
+        ratios = {
+            q: round(t / max(timings_1x.get(q, t), 1e-6), 2)
+            for q, t in timings.items()
+        }
+        worst_q = max(ratios, key=ratios.get) if ratios else None
+        over = {
+            q: r for q, r in ratios.items() if r > 2 * mult
+        }
+        return {
+            "mult": mult,
+            "total_sec": round(sum(timings.values()), 3),
+            "queries": timings,
+            "time_ratio_vs_1x": ratios,
+            "worst_ratio": ratios.get(worst_q),
+            "worst_query": worst_q,
+            "over_2x_per_row_cost": over,
+            **({"errors": errors} if errors else {}),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
     """Recall metrics for the approximate-similarity family (VERDICT
     r1 #7): the driver's correctness check is rows-only for x2b/x2d
@@ -237,23 +350,18 @@ def main() -> None:
             pass
     spark.catalog.clearCache()  # drop warmup persists (reuse() frames)
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in sorted(queries):
-        q = queries[name]
-        t0 = time.perf_counter()
-        try:
-            q.build(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001 - isolate per-query faults
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-        # each query measured standalone: drop its persisted frames
-        spark.catalog.clearCache()
+    timings, errors = inventory(spark, sf_dir)
 
     stress = cdc_stress(spark, sf_dir)
+    # the reference's DECLARED load profile (peerdb_config.yaml:34-35:
+    # 100k records / 5k per batch) streamed through the same mirror —
+    # events at sf0.1 is exactly 100k rows
+    stress_large = cdc_stress(spark, sf_dir, n_rows=100_000, batch=5_000)
     recall = ann_recall(spark, sf_dir)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+    scaled = (
+        scaled_inventory(spark, sf_dir, timings, mult) if mult > 1 else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -265,7 +373,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "cdc_stress": stress,
+                "cdc_stress_large_profile": stress_large,
                 "ann_recall": recall,
+                **({"scaled_inventory": scaled} if scaled else {}),
                 **({"errors": errors} if errors else {}),
             }
         )

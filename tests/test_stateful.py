@@ -132,9 +132,38 @@ def test_entity_progress_evicts_idle_keys_by_event_time(spark, tmp_path):
     assert 9 in live  # the pusher key is active, not evicted
 
 
+def test_entity_progress_tws_gate_is_honest():
+    """When transformWithState is unavailable, the module-level gate
+    must be the DOCUMENTED environment constraint (the TWS runner
+    speaks protobuf to the JVM and this container ships no
+    google.protobuf) — never a silent import bug in our own module —
+    and the vendor-free applyInPandasWithState path must exist as the
+    covered equivalent (its convergence/eviction semantics are
+    asserted by the tests above). On a protobuf-equipped cluster the
+    gate flips and test_entity_progress_tws_converges runs the real
+    TWS query."""
+    from peerdb_cdc_psql_clickhouse_spark.streaming import stateful
+
+    if stateful.entity_progress_tws is None:
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            pass  # the documented env gate — honest
+        else:
+            raise AssertionError(
+                "protobuf importable but entity_progress_tws is None: "
+                "the gate is hiding a real import failure"
+            )
+        assert callable(stateful.entity_progress_with_eviction)
+    else:
+        assert callable(stateful.entity_progress_tws)
+
+
 def test_entity_progress_tws_converges(spark, tmp_path):
     """Same convergence through the Spark 4.x transformWithState API
-    (RocksDB state store)."""
+    (RocksDB state store). Runs only where the env provides protobuf
+    (see test_entity_progress_tws_gate_is_honest for the gate
+    contract)."""
     import datetime as dt
 
     import pytest
@@ -144,7 +173,11 @@ def test_entity_progress_tws_converges(spark, tmp_path):
     )
 
     if entity_progress_tws is None:
-        pytest.skip("transformWithStateInPandas unavailable")
+        pytest.skip(
+            "env gate: google.protobuf absent from this container "
+            "(required by the TWS Python runner); the equivalent "
+            "vendor-free path is asserted by the tests above"
+        )
 
     rows = []
     ops = ["insert", "update", "update", "delete"]
