@@ -26,10 +26,11 @@ TOKENS_MIN = 30
 TOKENS_MAX = 90
 
 
-def _oracle() -> str:
+def _x7_ctes() -> str:
+    """The x7 corpus-selection dataflow as CTEs ending in `x7sel`
+    (shared by the x7 oracle and the composed x7b pipeline oracle)."""
     lang_sql = _text.LANG_ID_ORACLE
-    return f"""
-WITH RECURSIVE {_dedup._closure_ctes()},
+    return f"""{_dedup._closure_ctes()},
 clusters AS (
   SELECT node AS doc_id, MIN(lbl) AS cluster_id
   FROM lab GROUP BY node
@@ -40,14 +41,22 @@ scored AS (
                               t -> t <> '')) AS BIGINT) AS token_cnt,
          l.lang, l.detected_lang
   FROM documents d JOIN lang l USING (doc_id)
-)
-SELECT s.doc_id, s.token_cnt, s.detected_lang,
-       (s.detected_lang = s.lang) AS lang_ok,
-       (c.cluster_id IS NULL OR c.cluster_id = s.doc_id) AS dedup_keep,
-       (s.token_cnt BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
-        AND s.detected_lang = s.lang
-        AND (c.cluster_id IS NULL OR c.cluster_id = s.doc_id)) AS selected
-FROM scored s LEFT JOIN clusters c USING (doc_id)
+), x7sel AS (
+  SELECT s.doc_id, s.token_cnt, s.detected_lang,
+         (s.detected_lang = s.lang) AS lang_ok,
+         (c.cluster_id IS NULL OR c.cluster_id = s.doc_id) AS dedup_keep,
+         (s.token_cnt BETWEEN {TOKENS_MIN} AND {TOKENS_MAX}
+          AND s.detected_lang = s.lang
+          AND (c.cluster_id IS NULL OR c.cluster_id = s.doc_id)) AS selected
+  FROM scored s LEFT JOIN clusters c USING (doc_id)
+)"""
+
+
+def _oracle() -> str:
+    return f"""
+WITH RECURSIVE {_x7_ctes()}
+SELECT doc_id, token_cnt, detected_lang, lang_ok, dedup_keep, selected
+FROM x7sel
 """
 
 
@@ -101,6 +110,7 @@ def pack_documents(
     token_col: str = "token_cnt",
     budget: int = 2048,
     shards: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Sequence packing: assign docs to training-sequence bins so each
     bin's token total stays <= budget (docs larger than the budget get
@@ -114,6 +124,11 @@ def pack_documents(
 
     Output: (id, token_cnt, bin_id); sum(token_cnt) per bin <= budget
     except single-doc oversize bins.
+
+    portable=True shards by the md5-derived hash64 instead of
+    xxhash64, so a SQL oracle (DuckDB) can reproduce the exact bin
+    assignment — used by the declared x7b pipeline; xxhash64 stays
+    the default (cheaper, JVM-side).
     """
     import pandas as pd
 
@@ -157,10 +172,16 @@ def pack_documents(
             }
         )
 
+    if portable:
+        from ..functions.hashing import hash64
+
+        shard_key = hash64(
+            F.concat(F.lit("shard:"), F.col(id_col).cast("string"))
+        ) % n_shards
+    else:
+        shard_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     sharded = docs.select(
-        F.col(id_col),
-        F.col(token_col),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).alias("_shard"),
+        F.col(id_col), F.col(token_col), shard_key.alias("_shard")
     )
     return sharded.groupBy("_shard").applyInPandas(pack, out_schema)
 
@@ -172,6 +193,7 @@ def stratified_sample(
     seed: int = 42,
     exact: bool = False,
     id_col: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Training-mix construction: per-stratum sampling (e.g. language
     or quality band -> target fraction). Strata absent from
@@ -211,7 +233,18 @@ def stratified_sample(
     # retries would resample). With a unique id_col the (hash, id)
     # pair is a total order; otherwise hash all columns (total only
     # for distinct rows — see docstring).
-    if id_col is not None:
+    if portable:
+        # md5-derived hash so a DuckDB oracle reproduces the sample
+        # bit-for-bit (registry determinism rules); requires id_col
+        from ..functions.hashing import hash64
+
+        if id_col is None:
+            raise ValueError("portable sampling requires id_col")
+        order_key = hash64(
+            F.concat(F.lit(f"s{seed}:"), F.col(id_col).cast("string"))
+        )
+        ordering = [order_key.asc(), F.col(id_col).asc()]
+    elif id_col is not None:
         order_key = F.xxhash64(F.lit(seed), F.col(id_col))
         ordering = [order_key.asc(), F.col(id_col).asc()]
     else:
@@ -233,4 +266,101 @@ def stratified_sample(
             & (F.col("_rk") <= F.ceil(F.col("_n") * F.col("_frac")))
         )
         .drop("_rk", "_n", "_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x7b: the FULL training-mix pipeline, declared — select (x7's quality
+# + language + near-dup gate) -> exact stratified sample (the mix
+# recipe over detected language) -> greedy sequence packing. Every
+# stage uses the portable md5-derived hash so the DuckDB oracle
+# replays the identical sample membership and bin assignment; the
+# greedy packer is expressed in SQL as a per-shard recursive CTE
+# walking rows in id order (one step per row — exactly the pandas
+# loop's semantics).
+# ---------------------------------------------------------------------------
+
+X7B_MIX = {"en": 0.6, "fr": 0.5, "es": 0.4}  # de dropped: the recipe
+X7B_SEED = 7
+X7B_BUDGET = 256
+X7B_SHARDS = 4
+_BIN_STRIDE = 1 << 40
+
+
+def _x7b_oracle() -> str:
+    from ..functions.hashing import hash64_sql
+
+    frac_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(X7B_MIX.items())
+    )
+    order_h = hash64_sql(f"CONCAT('s{X7B_SEED}:', CAST(doc_id AS VARCHAR))")
+    shard_h = hash64_sql("CONCAT('shard:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH RECURSIVE {_x7_ctes()},
+sampled AS (
+  SELECT doc_id, token_cnt FROM (
+    SELECT doc_id, token_cnt,
+           ROW_NUMBER() OVER (
+             PARTITION BY detected_lang
+             ORDER BY {order_h}, doc_id) AS rk,
+           COUNT(*) OVER (PARTITION BY detected_lang) AS n,
+           CASE detected_lang {frac_case} END AS frac
+    FROM x7sel WHERE selected)
+  WHERE frac IS NOT NULL AND rk <= CEIL(n * frac)
+),
+ordered AS (
+  SELECT doc_id, token_cnt,
+         {shard_h} % {X7B_SHARDS} AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY {shard_h} % {X7B_SHARDS}
+           ORDER BY doc_id) AS rn
+  FROM sampled
+),
+packed AS (
+  SELECT shard, rn, doc_id, token_cnt,
+         0 AS bin, token_cnt AS acc
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.token_cnt,
+         CASE WHEN p.acc + o.token_cnt > {X7B_BUDGET}
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.acc + o.token_cnt > {X7B_BUDGET}
+              THEN o.token_cnt ELSE p.acc + o.token_cnt END
+  FROM packed p
+  JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, token_cnt,
+       CAST(shard * {_BIN_STRIDE} + bin AS BIGINT) AS bin_id
+FROM packed
+"""
+
+
+@declare(
+    "x7b_training_mix",
+    _x7b_oracle(),
+    doc="brief/training-data pipeline COMPOSED end-to-end: x7 corpus "
+    "selection -> exact stratified sample (mix recipe over detected "
+    "language, portable md5 order hash) -> greedy sequence packing "
+    "(hash-sharded, per-shard greedy in one Arrow batch). Oracle "
+    "replays the packer as a per-shard recursive CTE — sample "
+    "membership AND bin assignment are hash-exact, not just counts.",
+)
+def x7b_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = x7_corpus_select(spark, sf_dir).filter(F.col("selected"))
+    sample = stratified_sample(
+        sel,
+        "detected_lang",
+        X7B_MIX,
+        seed=X7B_SEED,
+        exact=True,
+        id_col="doc_id",
+        portable=True,
+    ).select("doc_id", "token_cnt")
+    return pack_documents(
+        sample,
+        id_col="doc_id",
+        token_col="token_cnt",
+        budget=X7B_BUDGET,
+        shards=X7B_SHARDS,
+        portable=True,
     )

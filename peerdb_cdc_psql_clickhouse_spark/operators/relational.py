@@ -129,12 +129,12 @@ def r8_cross_join_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "r10_version_probe",
-    None,  # engine version can't be oracle-matched; rows-only check
-    doc="O-R10 SELECT version() (monitor.ps1:534,550,566)",
-)
 def r10_version_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-R10 SELECT version() (monitor.ps1:534,550,566). No longer a
+    standalone declared slot: the engine/version columns ride on the
+    r14_replication_slots status row (both are engine-specific
+    rows-only probes), freeing the 50th declared slot for the composed
+    training-mix pipeline (x7b). The API stays for monitor use."""
     return spark.range(1).select(
         F.lit("spark").alias("engine"), F.lit(spark.version).alias("version")
     )
@@ -397,7 +397,9 @@ def r13_seed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="O-R14 SELECT * FROM pg_replication_slots (README.md:240) / "
     "O-C9 flow status: runs a real miniature streaming mirror "
     "(availableNow drain over a spooled change feed) and returns its "
-    "durable progress as the slots DataFrame",
+    "durable progress as the slots DataFrame; carries the O-R10 "
+    "engine/version probe columns (monitor.ps1:534) — both are "
+    "engine-specific status probes, merged to free a declared slot",
 )
 def r14_replication_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -436,7 +438,11 @@ def r14_replication_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         # collect() before the temp dirs vanish
-        out = stream_status(spark, [q])
+        out = stream_status(spark, [q]).select(
+            "*",
+            F.lit("spark").alias("engine"),
+            F.lit(spark.version).alias("engine_version"),
+        )
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:

@@ -48,7 +48,8 @@ QUERY_ORDER = [
     "r2_projection_distinct",
     "r4_scalar_probes",
     "r8_cross_join_group",
-    "r10_version_probe",
+    # (r10 version probe rides on r14_replication_slots' status row —
+    # slot freed for the composed x7b training-mix pipeline)
     "r11_batched_insert",
     "r12_ddl_catalog",
     "r13_seed_join",
@@ -101,6 +102,7 @@ QUERY_ORDER = [
     "x1f_dedup_apply",
     # heaviest last: full corpus pipeline + live streaming probe
     "x7_corpus_select",
+    "x7b_training_mix",
     "r14_replication_slots",
 ]
 

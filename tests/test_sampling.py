@@ -176,6 +176,48 @@ def test_exact_sample_duplicate_rows_deterministic_with_id_col(spark):
     assert len([d for d in a if d >= 100]) == 4  # ceil(20 * 0.2)
 
 
+def test_x7b_training_mix_invariants(spark):
+    """The composed declared pipeline (select -> exact sample -> pack):
+    every output doc was selected by x7, per-stratum counts hit the
+    exact ceil(frac*n) recipe, and every bin respects the token budget
+    (single-doc oversize exempt)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        X7B_BUDGET,
+        X7B_MIX,
+        x7_corpus_select,
+        x7b_training_mix,
+    )
+
+    sel = (
+        x7_corpus_select(spark, SF)
+        .filter(F.col("selected"))
+        .select("doc_id", "detected_lang")
+        .collect()
+    )
+    lang_of = {r["doc_id"]: r["detected_lang"] for r in sel}
+    totals: dict[str, int] = {}
+    for lang in lang_of.values():
+        totals[lang] = totals.get(lang, 0) + 1
+
+    got = x7b_training_mix(spark, SF).collect()
+    assert set(r["doc_id"] for r in got) <= set(lang_of)
+    by_lang: dict[str, int] = {}
+    by_bin: dict[int, list[int]] = {}
+    for r in got:
+        by_lang[lang_of[r["doc_id"]]] = by_lang.get(lang_of[r["doc_id"]], 0) + 1
+        by_bin.setdefault(r["bin_id"], []).append(r["token_cnt"])
+    for lang, frac in X7B_MIX.items():
+        if totals.get(lang):
+            assert by_lang.get(lang, 0) == math.ceil(totals[lang] * frac)
+    assert set(by_lang) <= set(X7B_MIX)  # de never sampled
+    for b, toks in by_bin.items():
+        assert sum(toks) <= X7B_BUDGET or len(toks) == 1, (b, toks)
+
+
 def test_pack_documents_deterministic_and_oversize_isolated(spark):
     from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
         pack_documents,
