@@ -144,6 +144,26 @@ def test_poll_convergence_and_restart_exactly_once(spark, derby_url, tmp_path):
     assert _state(m) == {1: "a2", 3: "c"}
 
 
+def test_pump_drains_backlog_across_polls(spark, derby_url, tmp_path):
+    """pump() is the catchup loop: polls until one empty poll, each
+    poll its own spool batch; total equals the backlog exactly."""
+    write_jdbc(
+        _events(
+            spark,
+            [("insert", v, T0, v % 3, f"v{v}") for v in range(1, 7)],
+        ),
+        derby_url,
+        "outbox",
+        mode="overwrite",
+    )
+    poller = _poller(derby_url, tmp_path)
+    assert poller.pump(spark) == 6
+    assert poller.state()["cursor"] == 6
+    # nothing new: pump returns 0 and moves nothing
+    assert poller.pump(spark) == 0
+    assert poller.state()["cursor"] == 6
+
+
 def test_poll_predicate_pushed_to_remote(spark, derby_url, tmp_path):
     """The incremental read must push `_version > cursor` into the
     remote JDBC scan — each poll is an indexed range scan of the new
