@@ -143,8 +143,9 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
 
     for name in TESTDATA_TABLES:
         if name == "events":
-            # keep ts as raw long nanos — load_table rebuilds the
-            # timestamp from it and must see the same physical type
+            # replicate ts at its physical type (long nanos in older
+            # testdata generations, TIMESTAMP(MICROS) in newer) —
+            # load_table branches on whichever dtype it sees
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         else:

@@ -208,9 +208,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Parquet scan → Catalyst gets
     column pruning + predicate pushdown for free.
 
-    events.ts is physically TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as long nanos and rebuild the timestamp
-    (exact: source values are microsecond-precision).
+    events.ts has shipped as both TIMESTAMP(NANOS) (which Spark's
+    parquet reader rejects — read as long nanos and rebuild) and plain
+    TIMESTAMP(MICROS) across testdata generations; branch on the dtype
+    the reader actually produced so both generations load exactly.
     """
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {name!r}")
@@ -220,9 +221,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(path)
 
 

@@ -24,8 +24,10 @@ from ..registry import all_queries
 SECTIONS = {
     # 1 Show-SystemPerformancePhases (:334-432): per-batch log rollup
     "system_performance": "d10_batch_rollup",
-    # 2 Get-PeerDBServerHealth (:523-583): version/latency probes
-    "server_health": "r10_version_probe",
+    # 2 Get-PeerDBServerHealth (:523-583): version/latency probes —
+    # r10 left the declared registry (rides on r14's status row), so
+    # the monitor binds the builder directly
+    "server_health": "__version_probe__",
     # 3 Get-PeerDBTableStats (:589-697): per-table counts + sizes
     "table_stats": "r4_scalar_probes",
     # 4 Get-PeerDBFlowAnalysis (:703-794): lag + classification + pct
@@ -124,12 +126,15 @@ def monitor_report(
     acts). Each value is a small DataFrame; at scale every section
     stays fully distributed until its final limit/agg. Section 8 is
     the connectivity summary with the pluggable UI prober."""
+    from .relational import r10_version_probe
+
     queries = all_queries()
-    return {
-        section: (
-            connectivity_summary(spark, sf_dir, ui_probe)
-            if qname is None
-            else queries[qname].build(spark, sf_dir)
-        )
-        for section, qname in SECTIONS.items()
-    }
+
+    def build(qname: str | None) -> DataFrame:
+        if qname is None:
+            return connectivity_summary(spark, sf_dir, ui_probe)
+        if qname == "__version_probe__":
+            return r10_version_probe(spark, sf_dir)
+        return queries[qname].build(spark, sf_dir)
+
+    return {section: build(qname) for section, qname in SECTIONS.items()}
