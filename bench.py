@@ -130,10 +130,33 @@ _REPL_KEYS = {
 _REPL_STRIDE = 10_000_000
 
 
+# Per-copy character rotation for document text: a bijective map, so
+# every within-copy duplicate relation is preserved EXACTLY, while
+# cross-copy shingles/hashes diverge. Without it a mult× replica is a
+# corpus with mult× duplicate MULTIPLICITY (every doc gains mult-1
+# verbatim twins), and dedup-family output — hence work — grows
+# quadratically by construction; the scale question we're asking is
+# "mult× more data at the same dup rate". Identity again at
+# i % len == 0, so keep mult <= 13.
+_ROT_ALPHABET = "etaoinshrdluc"
+
+
+def _rot_text(col, i: int):
+    from pyspark.sql import functions as F
+
+    r = i % len(_ROT_ALPHABET)
+    if r == 0:
+        return col
+    return F.translate(
+        col, _ROT_ALPHABET, _ROT_ALPHABET[r:] + _ROT_ALPHABET[:r]
+    )
+
+
 def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
     """Write a mult× replica of the testdata (ids offset per copy so
-    keys stay distinct and FK joins keep their per-copy fan-out) in
-    the same layout load_table reads."""
+    keys stay distinct and FK joins keep their per-copy fan-out;
+    document text rotated per copy so the duplication RATE stays
+    constant) in the same layout load_table reads."""
     from pyspark.sql import functions as F
 
     from peerdb_cdc_psql_clickhouse_spark.catalog import (
@@ -160,6 +183,8 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
                         *[
                             (F.col(c) + i * _REPL_STRIDE).alias(c)
                             if c in keys
+                            else _rot_text(F.col(c), i).alias(c)
+                            if name == "documents" and c == "text"
                             else F.col(c)
                             for c in src.columns
                         ]

@@ -837,3 +837,178 @@ def x1f_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep"),
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-overlap spans: the distributed approximation of exact
+# substring deduplication (the suffix-array method of "Deduplicating
+# Training Data Makes Language Models Better", Lee et al. 2022 —
+# public paper; no code consulted). A suffix array is inherently
+# sequential; the Spark-native equivalent hashes every k-token shingle
+# WITH its position, inverts by hash, and finds runs of consecutive
+# matching positions on each (doc_a, doc_b, offset) diagonal: a run of
+# m consecutive shingle matches == a shared verbatim substring of
+# m + k - 1 tokens. Exact for substrings >= k tokens (no false
+# positives beyond hash collisions at 60 bits; no false negatives).
+#
+# Scale shape: one shuffle keyed by the uniform shingle hash (inverted
+# occurrence lists, the x1d pattern — never a string self-join), pair
+# combos row-local and bounded by SPAN_OCC_CAP^2, then one shuffle
+# keyed by (doc_a, doc_b, diagonal) whose partitions are tiny (matches
+# of ONE doc pair on ONE offset). The occurrence cap is the boilerplate
+# guard: a shingle occurring everywhere ("lorem ipsum dolor sit amet")
+# carries no span signal and would fan out df^2.
+# ---------------------------------------------------------------------------
+
+SPAN_SHINGLE_K = 5  # tokens per positional shingle
+SPAN_MIN_RUN = 4  # consecutive shingle matches => span >= K + MIN_RUN - 1
+SPAN_OCC_CAP = 200  # max occurrences of one shingle hash corpus-wide
+
+
+def shingle_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_SHINGLE_K,
+) -> DataFrame:
+    """(id, pos, h): 60-bit hash of the k-token shingle starting at
+    1-based token position pos. Map-only; the whole corpus pass is one
+    scan projection."""
+    from ..plans.layout import fan_out
+
+    return (
+        fan_out(docs)
+        .select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            id_col,
+            F.posexplode(_shingles_of(F.col("_toks"), k)).alias(
+                "_pos0", "_shingle"
+            ),
+        )
+        .select(
+            id_col,
+            (F.col("_pos0") + 1).cast("long").alias("pos"),
+            hash64(F.col("_shingle")).alias("h"),
+        )
+    )
+
+
+def substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_SHINGLE_K,
+    min_run: int = SPAN_MIN_RUN,
+    occ_cap: int = SPAN_OCC_CAP,
+) -> DataFrame:
+    """All maximal shared-substring spans of >= k + min_run - 1 tokens
+    between any two documents: (doc_a, doc_b, start_a, start_b,
+    match_shingles, span_tokens), doc_a < doc_b, starts 1-based.
+
+    For docs shorter than k tokens the single shingle covers the whole
+    doc, so span_tokens may overstate by up to k-1 there."""
+    from pyspark.sql import Window
+
+    from ..plans.layout import reuse
+
+    sh = shingle_positions(docs, id_col, text_col, k)
+    # inverted occurrence lists: ONE shuffle keyed by the uniform hash;
+    # the occurrence cap bounds the row-local combo explode below
+    lists = reuse(
+        sh.groupBy("h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("pos"))
+            ).alias("occ")
+        )
+        .filter((F.size("occ") >= 2) & (F.size("occ") <= occ_cap))
+    )
+    # STAGE the sorted list before the combo lambdas (the measured 64x
+    # re-sort trap): pairs are ordered entries (x before y), so
+    # x.id <= y.id; the cross-doc filter runs post-explode
+    socc = F.col("_socc")
+    combos = F.flatten(
+        F.transform(
+            socc,
+            lambda x, i: F.transform(
+                F.slice(socc, i + 2, F.size(socc)),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["pos"].alias("pa"),
+                    y["pos"].alias("pb"),
+                ),
+            ),
+        )
+    )
+    matches = (
+        lists.select(F.array_sort("occ").alias("_socc"))
+        .select(F.explode(combos).alias("p"))
+        .select("p.*")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("d", F.col("pa") - F.col("pb"))
+    )
+    # island trick: within one (doc_a, doc_b, diagonal) partition,
+    # consecutive pa values share (pa - row_number) — each island is
+    # one maximal run of consecutive shingle matches
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    return (
+        matches.withColumn("_isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "d", "_isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("match_shingles"),
+        )
+        .filter(F.col("match_shingles") >= min_run)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "start_b",
+            "match_shingles",
+            (F.col("match_shingles") + k - 1).alias("span_tokens"),
+        )
+    )
+
+
+# DuckDB replay of substring_spans on the documents table (pytest
+# oracle — the declared 50-slot surface is full, so parity is asserted
+# in tests/test_substring.py with the same rigor as the driver gate).
+def substring_spans_oracle(
+    k: int = SPAN_SHINGLE_K,
+    min_run: int = SPAN_MIN_RUN,
+    occ_cap: int = SPAN_OCC_CAP,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+), sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {hash64_sql(f"array_to_string(tokens[i:i+{k - 1}], ' ')")} AS h
+  FROM toks,
+       UNNEST(generate_series(1, greatest(len(tokens) - {k} + 1, 1)))
+         AS t(i)
+), capped AS (
+  SELECT * FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY h) BETWEEN 2 AND {occ_cap}
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
+  FROM capped a JOIN capped b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT *, pa - ROW_NUMBER() OVER (
+    PARTITION BY doc_a, doc_b, d ORDER BY pa) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b,
+       MIN(pa) AS start_a, MIN(pb) AS start_b,
+       CAST(COUNT(*) AS BIGINT) AS match_shingles,
+       CAST(COUNT(*) + {k} - 1 AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_a, doc_b, d, grp
+HAVING COUNT(*) >= {min_run}
+"""

@@ -364,3 +364,101 @@ def x7b_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         shards=X7B_SHARDS,
         portable=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle: the training-loader step after
+# select/sample/pack — a reproducible global permutation of the
+# corpus, parameterized by epoch. Order is the portable seeded hash
+# (total: ties broken by the unique id), so the same (corpus, seed)
+# yields the same sequence on any cluster, any partitioning, any
+# engine — and a DuckDB oracle can replay it bit-for-bit.
+#
+# Scale shape: ONE range shuffle on the hash (the sort), then a
+# map-only Arrow pass for local ranks; global positions come from a
+# per-partition row-count offset table (#partitions rows — tiny)
+# joined broadcast. No global window, no single-partition sort.
+# ---------------------------------------------------------------------------
+
+
+def shuffle_corpus(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Input plus `shuffle_pos` — a contiguous 0-based global position
+    under the seed's permutation; rows are range-partitioned and
+    sorted so iterating partitions in order streams the corpus in
+    shuffle order (what a training loader consumes). Epochs are
+    seeds: shuffle_corpus(df, seed=epoch).
+
+    The offset computation re-executes the upstream plan once (one
+    count per range partition); persist/checkpoint heavy upstreams
+    first (plans.layout.reuse) — same discipline as every two-pass
+    operator here."""
+    from ..functions.hashing import hash64
+
+    key = hash64(
+        F.concat(
+            F.lit(f"shuf{seed}:"), F.col(id_col).cast("string")
+        )
+    )
+    n_parts = partitions or int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    ranged = (
+        docs.withColumn("_sk", key)
+        .repartitionByRange(n_parts, F.col("_sk"), F.col(id_col))
+        .sortWithinPartitions("_sk", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    )
+
+    def local_rank(batches):
+        base = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_lrk"] = range(base, base + len(pdf))
+            base += len(pdf)
+            yield pdf
+
+    ranked = ranged.mapInPandas(
+        local_rank, f"{out_fields}, _lrk long"
+    )
+    # per-partition counts -> cumulative offsets: #partitions rows,
+    # the one legitimate driver-side materialization in this operator
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = docs.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long"
+    )
+    return (
+        ranked.join(F.broadcast(off), "_pid")
+        .withColumn("shuffle_pos", F.col("_off") + F.col("_lrk"))
+        .drop("_sk", "_pid", "_lrk", "_off")
+    )
+
+
+def shuffle_oracle(seed: int, id_col: str = "doc_id") -> str:
+    """DuckDB replay of shuffle_corpus positions on the documents
+    table (pytest parity — registry determinism rules)."""
+    from ..functions.hashing import hash64_sql
+
+    h = hash64_sql(f"CONCAT('shuf{seed}:', CAST({id_col} AS VARCHAR))")
+    return f"""
+SELECT {id_col},
+       ROW_NUMBER() OVER (ORDER BY {h}, {id_col}) - 1 AS shuffle_pos
+FROM documents
+"""

@@ -598,3 +598,79 @@ def x2b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit N_PLANES keeps the declared row set stable across sf
     # sizes; the default API auto-scales planes with corpus size
     return ann_topk_lsh(emb, qids, n_planes=N_PLANES, multi_probe=1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic (embedding-space) deduplication — k-means
+# partition, exact pairwise cosine WITHIN each cluster, pairs above
+# threshold are semantic duplicates (Abbas et al. 2023, "SemDeDup:
+# Data-efficient learning at web-scale through semantic
+# deduplication" — public paper; method reimplemented, no code
+# consulted). Complements the lexical family: MinHash/SimHash/n-gram
+# catch near-verbatim copies, SemDeDup catches paraphrases and
+# re-encodings that share no surface text.
+#
+# Scale shape: the clustering caps the quadratic term — pair work is
+# sum over clusters of n_c^2, so n_centroids grows with the corpus
+# (n_c held constant) exactly as the paper operates at web scale. The
+# pair join is an equi-join keyed by centroid_id (AQE skew-split
+# covers lopsided clusters); centroids broadcast during assignment,
+# the corpus is never shuffled except by its cluster key.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def semantic_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    iters: int = 2,
+    n_assign: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, cos) semantic-duplicate candidate pairs, id_a <
+    id_b, cosine >= threshold, both members assigned to a common
+    k-means cluster.
+
+    n_assign > 1 multi-assigns boundary vectors to their 2nd..nth
+    nearest centroids too, trading pair-join fan-in for recall on
+    pairs that straddle a cell boundary (the IVF multi-assign knob)."""
+    cents = kmeans_centroids(emb, n_centroids, iters)
+    assign = ivf_assign(emb, cents, n_assign).select(
+        "centroid_id", "vec_id", "embedding"
+    )
+    a = assign.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_va"),
+    )
+    b = assign.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_vb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # multi-assignment can surface one pair through several shared
+        # cells — thin to distinct ids BEFORE the dot products
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup_apply(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(vec_id, keep): drop every vector that duplicates a lower-id
+    one (min-id canonical, matching the lexical dedup_apply
+    convention; the paper keeps one arbitrary member per group). The
+    pair table is duplicate-sized — broadcastable when dups are rare,
+    plain keyed join otherwise."""
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.select("vec_id").join(
+        drops.withColumn("_drop", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", F.col("_drop").isNull().alias("keep"))

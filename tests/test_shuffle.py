@@ -1,0 +1,68 @@
+"""shuffle_corpus: reproducible global corpus permutation (epoch =
+seed). Asserts the permutation is exact (DuckDB replays it
+bit-for-bit), contiguous, partitioning-independent, and seed-varied.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_SMOKE
+from .oracle_util import duckdb_run
+from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+    shuffle_corpus,
+    shuffle_oracle,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _positions(df) -> dict[int, int]:
+    return {
+        r.doc_id: r.shuffle_pos
+        for r in df.select("doc_id", "shuffle_pos").collect()
+    }
+
+
+def test_positions_match_duckdb_oracle(spark):
+    got = _positions(shuffle_corpus(_docs(spark), seed=3))
+    want = dict(
+        duckdb_run(shuffle_oracle(3), SF_SMOKE)
+        .itertuples(index=False, name=None)
+    )
+    assert got == want
+
+
+def test_contiguous_permutation(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    pos = _positions(shuffle_corpus(docs, seed=0))
+    assert sorted(pos.values()) == list(range(n))
+
+
+def test_partitioning_independent(spark):
+    docs = _docs(spark)
+    a = _positions(shuffle_corpus(docs.repartition(3), seed=11))
+    b = _positions(shuffle_corpus(docs.repartition(13), seed=11, partitions=5))
+    assert a == b
+
+
+def test_epochs_differ(spark):
+    docs = _docs(spark)
+    e0 = _positions(shuffle_corpus(docs, seed=0))
+    e1 = _positions(shuffle_corpus(docs, seed=1))
+    assert e0 != e1
+    # both are permutations of the same id set
+    assert set(e0) == set(e1)
+
+
+def test_partition_order_streams_shuffle_order(spark):
+    # iterating partitions in index order must yield shuffle_pos in
+    # ascending order (what a sequential training loader reads)
+    out = shuffle_corpus(_docs(spark), seed=5)
+    seq = [
+        r.shuffle_pos
+        for part in out.select("shuffle_pos").rdd.glom().collect()
+        for r in part
+    ]
+    assert seq == sorted(seq)

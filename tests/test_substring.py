@@ -1,0 +1,125 @@
+"""substring_spans: exact shared-substring detection via positional
+shingle hashes + diagonal run grouping (the distributed stand-in for
+Lee et al.'s suffix-array exact-substring dedup).
+
+Two layers: hand-built corpora where every span boundary is known in
+advance, then full DuckDB oracle parity on the real documents table —
+the same rigor as the driver's hash gate, minus the 50-slot cap.
+"""
+
+from __future__ import annotations
+
+from .conftest import SF_ORACLE
+from .oracle_util import _norm_frame, duckdb_run
+
+from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+    substring_spans,
+    substring_spans_oracle,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = [f"w{i}" for i in range(100)]
+
+
+def test_single_shared_span_exact_boundaries(spark):
+    # doc 1 tokens 11..30 == doc 2 tokens 6..25 (20 shared tokens),
+    # unique filler everywhere else
+    shared = WORDS[:20]
+    a = [f"a{i}" for i in range(10)] + shared + [f"A{i}" for i in range(10)]
+    b = [f"b{i}" for i in range(5)] + shared + [f"B{i}" for i in range(15)]
+    out = substring_spans(
+        _docs(spark, [(1, " ".join(a)), (2, " ".join(b))])
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 20 shared tokens = 16 consecutive 5-shingle matches
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.start_a, r.start_b) == (11, 6)
+    assert r.match_shingles == 16
+    assert r.span_tokens == 20
+
+
+def test_below_min_run_not_reported(spark):
+    # 8 shared tokens = 4 shingle matches; min_run=5 filters it out
+    shared = WORDS[:8]
+    a = [f"a{i}" for i in range(10)] + shared
+    b = [f"b{i}" for i in range(10)] + shared
+    rows = [(1, " ".join(a)), (2, " ".join(b))]
+    assert substring_spans(_docs(spark, rows), min_run=5).count() == 0
+    hit = substring_spans(_docs(spark, rows), min_run=4).collect()
+    assert len(hit) == 1 and hit[0].span_tokens == 8
+
+
+def test_two_disjoint_spans_stay_separate(spark):
+    # same doc pair, two shared regions separated by unique filler on
+    # BOTH sides -> two island rows, not one merged span
+    s1, s2 = WORDS[:10], WORDS[50:60]
+    a = s1 + [f"a{i}" for i in range(7)] + s2
+    b = s1 + [f"b{i}" for i in range(3)] + s2
+    out = sorted(
+        substring_spans(_docs(spark, [(1, " ".join(a)), (2, " ".join(b))]))
+        .collect(),
+        key=lambda r: r.start_a,
+    )
+    assert [(r.start_a, r.start_b, r.span_tokens) for r in out] == [
+        (1, 1, 10),
+        (18, 14, 10),
+    ]
+
+
+def test_repeated_shingle_within_doc(spark):
+    # the shared phrase occurs TWICE in doc b -> one span per b-side
+    # occurrence (distinct diagonals), boundaries exact
+    shared = WORDS[:10]
+    a = [f"a{i}" for i in range(4)] + shared
+    b = shared + [f"b{i}" for i in range(5)] + shared
+    out = sorted(
+        substring_spans(_docs(spark, [(1, " ".join(a)), (2, " ".join(b))]))
+        .collect(),
+        key=lambda r: r.start_b,
+    )
+    assert [(r.start_a, r.start_b, r.span_tokens) for r in out] == [
+        (5, 1, 10),
+        (5, 16, 10),
+    ]
+
+
+def test_three_docs_pairwise(spark):
+    shared = WORDS[:12]
+    rows = [
+        (i, " ".join([f"x{i}_{j}" for j in range(i)] + shared))
+        for i in (1, 2, 3)
+    ]
+    out = substring_spans(_docs(spark, rows)).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r.span_tokens == 12 for r in out)
+
+
+def test_occ_cap_drops_boilerplate(spark):
+    # a phrase present in ALL 30 docs is boilerplate: with occ_cap
+    # below its fan-out the operator reports nothing, with a loose cap
+    # it reports every pair
+    shared = WORDS[:10]
+    rows = [
+        (i, " ".join([f"u{i}_{j}" for j in range(3)] + shared))
+        for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    assert substring_spans(docs, occ_cap=20).count() == 0
+    assert substring_spans(docs, occ_cap=1000).count() == 30 * 29 / 2
+
+
+def test_oracle_parity_documents(spark):
+    got = substring_spans(
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    ).toPandas()
+    want = duckdb_run(substring_spans_oracle(), SF_ORACLE)
+    assert len(got) > 0, "expected shared spans among planted near-dups"
+    g_rows, g_cols = _norm_frame(got)
+    w_rows, w_cols = _norm_frame(want)
+    assert g_cols == w_cols
+    assert g_rows == w_rows
