@@ -345,6 +345,38 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
     return out
 
 
+def extended_ops(spark, sf_dir: str) -> dict:
+    """Wall seconds for the beyond-the-registry training-data ops
+    (pytest-verified; the 50-slot declared surface is full): substring
+    spans, SemDeDup, epoch shuffle. Full computation via the noop
+    sink, like inventory()."""
+    from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_spans,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        shuffle_corpus,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    jobs = {
+        "substring_spans": lambda: substring_spans(docs),
+        "semantic_neardup": lambda: semantic_neardup_pairs(emb),
+        "shuffle_corpus": lambda: shuffle_corpus(docs),
+    }
+    out = {}
+    for name, build in jobs.items():
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -384,6 +416,7 @@ def main() -> None:
     # events at sf0.1 is exactly 100k rows
     stress_large = cdc_stress(spark, sf_dir, n_rows=100_000, batch=5_000)
     recall = ann_recall(spark, sf_dir)
+    extended = extended_ops(spark, sf_dir)
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
     scaled = (
         scaled_inventory(spark, sf_dir, timings, mult) if mult > 1 else None
@@ -401,6 +434,7 @@ def main() -> None:
                 "cdc_stress": stress,
                 "cdc_stress_large_profile": stress_large,
                 "ann_recall": recall,
+                "extended_ops": extended,
                 **({"scaled_inventory": scaled} if scaled else {}),
                 **({"errors": errors} if errors else {}),
             }

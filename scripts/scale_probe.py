@@ -36,21 +36,56 @@ from peerdb_cdc_psql_clickhouse_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def replicate(df: DataFrame, id_col: str, n: int, id_stride: int) -> DataFrame:
+def replicate(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    id_stride: int,
+    text_col: str | None = None,
+    emb_col: str | None = None,
+) -> DataFrame:
+    """N stacked copies with per-copy distinct ids. Content columns
+    are made copy-distinct too (text: bijective char rotation;
+    embeddings: one per-copy coordinate rescale) so the Nx corpus has
+    Nx the DATA at the same duplicate RATE — without this, dedup-family
+    probes measure quadratic growth in duplicate multiplicity, not the
+    operator's scaling (the bench.materialize_scaled lesson)."""
+    from bench import _rot_text
+
     out = df
     for i in range(1, n):
-        out = out.unionByName(
-            df.withColumn(id_col, F.col(id_col) + i * id_stride)
-        )
+        c = df.withColumn(id_col, F.col(id_col) + i * id_stride)
+        if text_col is not None:
+            c = c.withColumn(text_col, _rot_text(F.col(text_col), i))
+        if emb_col is not None:
+            j = i % 64
+            c = c.withColumn(
+                emb_col,
+                F.transform(
+                    emb_col,
+                    lambda x, k: F.when(
+                        k == j, (x * 1.01 + 0.003 * i).cast("float")
+                    ).otherwise(x),
+                ),
+            )
+        out = out.unionByName(c)
     return out
 
 
 def probe(spark, mult: int) -> dict[str, float]:
     docs = replicate(
-        load_table(spark, SF_DIR, "documents"), "doc_id", mult, 10_000_000
+        load_table(spark, SF_DIR, "documents"),
+        "doc_id",
+        mult,
+        10_000_000,
+        text_col="text",
     )
     emb = replicate(
-        load_table(spark, SF_DIR, "embeddings"), "vec_id", mult, 10_000_000
+        load_table(spark, SF_DIR, "embeddings"),
+        "vec_id",
+        mult,
+        10_000_000,
+        emb_col="embedding",
     )
     ev = load_table(spark, SF_DIR, "events")
     changes = replicate(
@@ -112,6 +147,18 @@ def probe(spark, mult: int) -> dict[str, float]:
             "peerdb_cdc_psql_clickhouse_spark.operators.dedup",
             fromlist=["dup_clusters_star"],
         ).dup_clusters_star(winnow_edges(winnow_fp(fan_out(docs)))),
+        "substring_spans": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.dedup",
+            fromlist=["substring_spans"],
+        ).substring_spans(docs),
+        "semantic_neardup": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.similarity",
+            fromlist=["semantic_neardup_pairs"],
+        ).semantic_neardup_pairs(emb, n_centroids=16 * mult),
+        "shuffle_corpus": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.pipeline",
+            fromlist=["shuffle_corpus"],
+        ).shuffle_corpus(docs),
     }
     res = {}
     for name, build in jobs.items():
