@@ -396,8 +396,17 @@ def shuffle_corpus(
     The offset computation re-executes the upstream plan once (one
     count per range partition); persist/checkpoint heavy upstreams
     first (plans.layout.reuse) — same discipline as every two-pass
-    operator here."""
+    operator here.
+
+    id_col must be UNIQUE: it is the hash tiebreak, so duplicate ids
+    make the order (and therefore positions between the duplicates)
+    partitioning-dependent — the stratified_sample(exact=True) rule."""
     from ..functions.hashing import hash64
+
+    reserved = {"_sk", "_pid", "_lrk", "_off", "shuffle_pos"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(f"column(s) {sorted(clash)} are reserved")
 
     key = hash64(
         F.concat(
@@ -461,4 +470,90 @@ def shuffle_oracle(seed: int, id_col: str = "doc_id") -> str:
 SELECT {id_col},
        ROW_NUMBER() OVER (ORDER BY {h}, {id_col}) - 1 AS shuffle_pos
 FROM documents
+"""
+
+
+def budget_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    budgets: dict[str, int],
+    token_col: str = "token_cnt",
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget stratified selection — the mix recipe real
+    training runs use: per stratum (domain/language/quality band),
+    take documents in seeded-hash order until the stratum's TOKEN
+    budget is reached (first doc to cross the line is included, so
+    every non-empty stratum makes progress even when budget < its
+    first doc). Strata absent from `budgets` are dropped.
+
+    Deterministic and engine-portable: order is (md5 hash of
+    seed||id, id) — a total order for unique ids — and the running
+    sum is integer, so DuckDB replays membership bit-for-bit
+    (tests/test_budget_sample.py). One shuffle keyed by the stratum;
+    per-stratum running sums stream through the window frame.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash64
+
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    budget_map = F.create_map(
+        *[
+            c
+            for k, v in sorted(budgets.items())
+            for c in (F.lit(k), F.lit(int(v)))
+        ]
+    )
+    order_key = hash64(
+        F.concat(F.lit(f"b{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col(token_col)).over(w)
+    return (
+        docs.withColumn("_budget", budget_map.getItem(F.col(stratum_col)))
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("_run", run)
+        # include the boundary-crossing doc: everything BEFORE this row
+        # fit the budget
+        .filter(F.col("_run") - F.col(token_col) < F.col("_budget"))
+        .drop("_budget", "_run")
+    )
+
+
+def budget_sample_oracle(
+    budgets: dict[str, int],
+    seed: int = 42,
+    stratum_expr: str = "lang",
+) -> str:
+    """DuckDB replay over the documents table (token_cnt =
+    whitespace token count, the x3b convention)."""
+    from ..functions.hashing import hash64_sql
+
+    h = hash64_sql(f"CONCAT('b{seed}:', CAST(doc_id AS VARCHAR))")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(budgets.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {stratum_expr} AS stratum,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '')) AS token_cnt,
+         CASE {stratum_expr} {cases} END AS budget,
+         {h} AS hk
+  FROM documents
+), r AS (
+  SELECT *, SUM(token_cnt) OVER (
+    PARTITION BY stratum ORDER BY hk, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d
+)
+SELECT doc_id, stratum, token_cnt FROM r
+WHERE budget IS NOT NULL AND run - token_cnt < budget
 """
