@@ -130,15 +130,21 @@ _REPL_KEYS = {
 _REPL_STRIDE = 10_000_000
 
 
-# Per-copy character rotation for document text: a bijective map, so
-# every within-copy duplicate relation is preserved EXACTLY, while
-# cross-copy shingles/hashes diverge. Without it a mult× replica is a
-# corpus with mult× duplicate MULTIPLICITY (every doc gains mult-1
-# verbatim twins), and dedup-family output — hence work — grows
+# Per-copy content transforms for scaled replicas: bijective maps, so
+# every within-copy duplicate/similarity relation is preserved EXACTLY
+# while cross-copy content diverges. Without them a mult× replica is a
+# corpus with mult× duplicate MULTIPLICITY (every doc/vector gains
+# mult-1 verbatim twins), and dedup-family output — hence work — grows
 # quadratically by construction; the scale question we're asking is
-# "mult× more data at the same dup rate". Identity again at
-# i % len == 0, so keep mult <= 13.
+# "mult× more data at the same dup rate".
+# - text: character rotation (identity again at i % 13 == 0);
+# - embeddings: cyclic coordinate shift — an orthogonal permutation,
+#   so ALL within-copy inner products/cosines are exactly preserved,
+#   while cross-copy cosine of near-orthogonal random vectors ~ 0
+#   (a 1%-of-one-coordinate rescale is NOT enough: review measured
+#   cos >= 0.9996 to the original, i.e. still a planted near-dup).
 _ROT_ALPHABET = "etaoinshrdluc"
+MAX_SCALE_MULT = len(_ROT_ALPHABET)  # 13: transforms are identity past it
 
 
 def _rot_text(col, i: int):
@@ -152,17 +158,34 @@ def _rot_text(col, i: int):
     )
 
 
+def _shift_embedding(col, i: int, dim: int = 64):
+    from pyspark.sql import functions as F
+
+    s = i % dim
+    if s == 0:
+        return col
+    return F.concat(F.slice(col, s + 1, dim - s), F.slice(col, 1, s))
+
+
 def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
     """Write a mult× replica of the testdata (ids offset per copy so
     keys stay distinct and FK joins keep their per-copy fan-out;
-    document text rotated per copy so the duplication RATE stays
-    constant) in the same layout load_table reads."""
+    document text rotated and embeddings coordinate-shifted per copy
+    so the duplication RATE stays constant) in the same layout
+    load_table reads."""
     from pyspark.sql import functions as F
 
     from peerdb_cdc_psql_clickhouse_spark.catalog import (
         TESTDATA_TABLES,
         load_table,
     )
+
+    if mult > MAX_SCALE_MULT:
+        raise ValueError(
+            f"mult={mult} exceeds {MAX_SCALE_MULT}: the per-copy content "
+            "transforms cycle back to identity and replicas regain "
+            "verbatim duplicate multiplicity"
+        )
 
     for name in TESTDATA_TABLES:
         if name == "events":
@@ -185,6 +208,8 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
                             if c in keys
                             else _rot_text(F.col(c), i).alias(c)
                             if name == "documents" and c == "text"
+                            else _shift_embedding(F.col(c), i).alias(c)
+                            if name == "embeddings" and c == "embedding"
                             else F.col(c)
                             for c in src.columns
                         ]

@@ -909,12 +909,11 @@ def substring_spans(
     doc, so span_tokens may overstate by up to k-1 there."""
     from pyspark.sql import Window
 
-    from ..plans.layout import reuse
-
     sh = shingle_positions(docs, id_col, text_col, k)
-    # inverted occurrence lists: ONE shuffle keyed by the uniform hash;
-    # the occurrence cap bounds the row-local combo explode below
-    lists = reuse(
+    # inverted occurrence lists: ONE shuffle keyed by the uniform
+    # hash; the occurrence cap bounds the row-local combo explode
+    # below. Single linear pipeline downstream — nothing to persist.
+    lists = (
         sh.groupBy("h")
         .agg(
             F.collect_list(

@@ -393,17 +393,25 @@ def shuffle_corpus(
     shuffle order (what a training loader consumes). Epochs are
     seeds: shuffle_corpus(df, seed=epoch).
 
-    The offset computation re-executes the upstream plan once (one
-    count per range partition); persist/checkpoint heavy upstreams
-    first (plans.layout.reuse) — same discipline as every two-pass
-    operator here.
+    Positions come from VALUE-based hash-range buckets (fixed stride
+    over hash64's [0, 2^60) output), never from physical partition
+    ids: the offsets job and the rank job must agree on which bucket
+    every row is in, and `repartitionByRange`'s sampled bounds are
+    job-dependent (its reservoir seed varies per job), which silently
+    broke the permutation above ~sample-size rows — caught by review,
+    regression-tested at 200k rows. Buckets are uniform (md5-derived
+    key), so the rank window has no skew. The offsets job re-executes
+    the upstream plan once (one count per bucket); persist heavy
+    upstreams first (plans.layout.reuse).
 
     id_col must be UNIQUE: it is the hash tiebreak, so duplicate ids
     make the order (and therefore positions between the duplicates)
     partitioning-dependent — the stratified_sample(exact=True) rule."""
+    from pyspark.sql import Window
+
     from ..functions.hashing import hash64
 
-    reserved = {"_sk", "_pid", "_lrk", "_off", "shuffle_pos"}
+    reserved = {"_sk", "_bkt", "_lrk", "_off", "shuffle_pos"}
     clash = reserved & set(docs.columns)
     if clash:
         raise ValueError(f"column(s) {sorted(clash)} are reserved")
@@ -416,47 +424,41 @@ def shuffle_corpus(
     n_parts = partitions or int(
         docs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    ranged = (
-        docs.withColumn("_sk", key)
-        .repartitionByRange(n_parts, F.col("_sk"), F.col(id_col))
-        .sortWithinPartitions("_sk", id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    stride = max((1 << 60) // n_parts, 1)
+    keyed = docs.withColumn("_sk", key).withColumn(
+        "_bkt",
+        F.least(
+            F.floor(F.col("_sk") / F.lit(stride)), F.lit(n_parts - 1)
+        ).cast("int"),
     )
-
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in ranged.schema.fields
+    w = Window.partitionBy("_bkt").orderBy(
+        F.col("_sk").asc(), F.col(id_col).asc()
     )
-
-    def local_rank(batches):
-        base = 0
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_lrk"] = range(base, base + len(pdf))
-            base += len(pdf)
-            yield pdf
-
-    ranked = ranged.mapInPandas(
-        local_rank, f"{out_fields}, _lrk long"
-    )
-    # per-partition counts -> cumulative offsets: #partitions rows,
-    # the one legitimate driver-side materialization in this operator
+    ranked = keyed.withColumn("_lrk", F.row_number().over(w) - 1)
+    # per-bucket counts -> cumulative offsets: #buckets rows, the one
+    # legitimate driver-side materialization in this operator
     counts = sorted(
-        (r["_pid"], r["n"])
-        for r in ranged.groupBy("_pid")
+        (r["_bkt"], r["n"])
+        for r in keyed.groupBy("_bkt")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
     offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
+    for bkt, n in counts:
+        offsets.append((bkt, acc))
         acc += n
     off = docs.sparkSession.createDataFrame(
-        offsets, "_pid int, _off long"
+        offsets or [(0, 0)], "_bkt int, _off long"
     )
     return (
-        ranked.join(F.broadcast(off), "_pid")
+        ranked.join(F.broadcast(off), "_bkt")
         .withColumn("shuffle_pos", F.col("_off") + F.col("_lrk"))
-        .drop("_sk", "_pid", "_lrk", "_off")
+        .drop("_sk", "_bkt", "_lrk", "_off")
+        # physical layout for sequential loaders: partitions in index
+        # order stream ascending shuffle_pos (bounds sampling only
+        # places cuts — it cannot reorder an already-total order)
+        .repartitionByRange(n_parts, F.col("shuffle_pos"))
+        .sortWithinPartitions("shuffle_pos")
     )
 
 
@@ -498,8 +500,11 @@ def budget_sample(
 
     from ..functions.hashing import hash64
 
-    if any(b < 0 for b in budgets.values()):
-        raise ValueError("budgets must be non-negative")
+    # b == 0 would silently starve the stratum while the docstring
+    # promises boundary-doc progress; dropping a stratum is spelled
+    # "leave it out of the dict"
+    if any(b <= 0 for b in budgets.values()):
+        raise ValueError("budgets must be positive (omit a stratum to drop it)")
     budget_map = F.create_map(
         *[
             c
@@ -517,7 +522,9 @@ def budget_sample(
     )
     run = F.sum(F.col(token_col)).over(w)
     return (
-        docs.withColumn("_budget", budget_map.getItem(F.col(stratum_col)))
+        docs.withColumn(
+            "_budget", F.element_at(budget_map, F.col(stratum_col))
+        )
         .filter(F.col("_budget").isNotNull())
         .withColumn("_run", run)
         # include the boundary-crossing doc: everything BEFORE this row

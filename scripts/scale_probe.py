@@ -46,28 +46,28 @@ def replicate(
 ) -> DataFrame:
     """N stacked copies with per-copy distinct ids. Content columns
     are made copy-distinct too (text: bijective char rotation;
-    embeddings: one per-copy coordinate rescale) so the Nx corpus has
-    Nx the DATA at the same duplicate RATE — without this, dedup-family
-    probes measure quadratic growth in duplicate multiplicity, not the
-    operator's scaling (the bench.materialize_scaled lesson)."""
-    from bench import _rot_text
+    embeddings: cyclic coordinate shift — an orthogonal permutation,
+    so within-copy cosines are EXACTLY preserved while cross-copy
+    cosine of random vectors ~ 0) so the Nx corpus has Nx the DATA at
+    the same duplicate RATE — without this, dedup-family probes
+    measure quadratic growth in duplicate multiplicity, not the
+    operator's scaling (the bench.materialize_scaled lesson; a mere
+    1%-coordinate rescale left replicas at cos >= 0.9996, still
+    planted near-dups)."""
+    from bench import MAX_SCALE_MULT, _rot_text, _shift_embedding
 
+    if text_col is not None and n > MAX_SCALE_MULT:
+        raise ValueError(
+            f"n={n} exceeds {MAX_SCALE_MULT}: text rotation cycles to "
+            "identity and replicas regain verbatim duplicates"
+        )
     out = df
     for i in range(1, n):
         c = df.withColumn(id_col, F.col(id_col) + i * id_stride)
         if text_col is not None:
             c = c.withColumn(text_col, _rot_text(F.col(text_col), i))
         if emb_col is not None:
-            j = i % 64
-            c = c.withColumn(
-                emb_col,
-                F.transform(
-                    emb_col,
-                    lambda x, k: F.when(
-                        k == j, (x * 1.01 + 0.003 * i).cast("float")
-                    ).otherwise(x),
-                ),
-            )
+            c = c.withColumn(emb_col, _shift_embedding(F.col(emb_col), i))
         out = out.unionByName(c)
     return out
 

@@ -5,6 +5,8 @@ bit-for-bit), contiguous, partitioning-independent, and seed-varied.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .conftest import SF_SMOKE
 from .oracle_util import duckdb_run
 from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
@@ -54,6 +56,25 @@ def test_epochs_differ(spark):
     assert e0 != e1
     # both are permutations of the same id set
     assert set(e0) == set(e1)
+
+
+def test_permutation_at_scale_beyond_range_sampling(spark):
+    # Regression (review find): deriving offsets from
+    # repartitionByRange partition ids broke the permutation once
+    # partitions exceeded the range-exchange sample size (~6k
+    # duplicate positions at 200k rows) — the two jobs drew different
+    # sampled bounds. Value-based hash-range buckets must agree
+    # across jobs at any size.
+    n = 200_000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = shuffle_corpus(df, seed=7, id_col="doc_id")
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("shuffle_pos").alias("d"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+    ).collect()[0]
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (n, n, 0, n - 1)
 
 
 def test_partition_order_streams_shuffle_order(spark):
