@@ -394,7 +394,14 @@ def _l2(a: F.Column, b: F.Column) -> F.Column:
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, n_nearest: int = 1
 ) -> DataFrame:
-    """(vec_id, centroid_id[, rank]) nearest-centroid assignment."""
+    """(vec_id, centroid_id[, rank]) nearest-centroid assignment.
+
+    n_nearest=1 (the k-means-iteration / SemDeDup hot path) avoids the
+    window entirely: min_by with a (l2, centroid_id) struct ordinal is
+    a map-side partial aggregate, so the broadcast crossJoin's n·k
+    scored rows collapse to n rows BEFORE the shuffle — the window
+    variant shuffles and sorts all n·k. Ties break on centroid_id in
+    both paths (deterministic)."""
     from pyspark.sql import Window
 
     dist = _l2(F.col("embedding"), F.col("c_vec"))
@@ -404,6 +411,22 @@ def ivf_assign(
         F.col("c_id").alias("centroid_id"),
         dist.alias("l2"),
     )
+    if n_nearest == 1:
+        return (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    F.struct("centroid_id", "embedding"),
+                    F.struct("l2", "centroid_id"),
+                ).alias("_best")
+            )
+            .select(
+                "vec_id",
+                F.col("_best.embedding").alias("embedding"),
+                F.col("_best.centroid_id").alias("centroid_id"),
+                F.lit(1).alias("crank"),
+            )
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.asc("l2"), F.asc("centroid_id")
     )
@@ -627,6 +650,7 @@ def semantic_neardup_pairs(
     n_centroids: int = N_CENTROIDS,
     iters: int = 2,
     n_assign: int = 1,
+    two_level: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cos) semantic-duplicate candidate pairs, id_a <
     id_b, cosine >= threshold, both members assigned to a common
@@ -634,11 +658,26 @@ def semantic_neardup_pairs(
 
     n_assign > 1 multi-assigns boundary vectors to their 2nd..nth
     nearest centroids too, trading pair-join fan-in for recall on
-    pairs that straddle a cell boundary (the IVF multi-assign knob)."""
+    pairs that straddle a cell boundary (the IVF multi-assign knob).
+
+    two_level=True routes assignment through the coarse quantizer
+    (ivf_assign_two_level, k -> 2*sqrt(k) per-row work; requires
+    n_assign=1): cell membership becomes approximate, but near-dup
+    PAIRS still co-locate — near-identical vectors argmin to the same
+    cell because their inputs are near-identical (planted-pair
+    co-location is pytest-asserted) — so dedup recall holds while the
+    assignment scan shrinks."""
     cents = kmeans_centroids(emb, n_centroids, iters)
-    assign = ivf_assign(emb, cents, n_assign).select(
-        "centroid_id", "vec_id", "embedding"
-    )
+    if two_level:
+        if n_assign != 1:
+            raise ValueError("two_level supports n_assign=1 only")
+        assign = ivf_assign_two_level(emb, cents).select(
+            "centroid_id", "vec_id", "embedding"
+        )
+    else:
+        assign = ivf_assign(emb, cents, n_assign).select(
+            "centroid_id", "vec_id", "embedding"
+        )
     a = assign.select(
         "centroid_id",
         F.col("vec_id").alias("id_a"),
@@ -674,3 +713,86 @@ def semantic_dedup_apply(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     return emb.select("vec_id").join(
         drops.withColumn("_drop", F.lit(True)), "vec_id", "left"
     ).select("vec_id", F.col("_drop").isNull().alias("keep"))
+
+
+def ivf_assign_two_level(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_coarse: int | None = None,
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id) nearest-centroid assignment
+    through a coarse quantizer — the scale path SCALE.md promises for
+    large n·k: instead of scoring all k centroids per vector, k-means
+    the CENTROIDS into ~sqrt(k) coarse groups, argmin each vector over
+    the coarse groups, then argmin over only that group's fine
+    centroids. Per-row work drops k -> n_coarse + k/n_coarse (2*sqrt(k)
+    at the default); both centroid tables stay broadcast, both argmins
+    are map-side min_by partial aggregates — the corpus is never
+    shuffled wider than n rows.
+
+    Approximate by construction (a vector whose true nearest fine
+    centroid sits in a non-nearest coarse group gets its in-group
+    best); agreement with flat assignment is measured in
+    tests/test_semdedup.py and SCALE.md. For a PARTITION consumer
+    (SemDeDup, IVF lists) this trades a little boundary accuracy for
+    the k -> 2*sqrt(k) scan cut."""
+    import math
+
+    k = centroids.count()
+    n_coarse = n_coarse or max(2, int(math.isqrt(k)))
+    as_vecs = centroids.select(
+        F.col("c_id").alias("vec_id"), F.col("c_vec").alias("embedding")
+    )
+    coarse = kmeans_centroids(as_vecs, n_centroids=n_coarse, iters=2)
+    # fine centroid -> its coarse group (k tiny rows)
+    fine_map = ivf_assign(as_vecs, coarse, 1).select(
+        F.col("vec_id").alias("f_id"),
+        F.col("embedding").alias("f_vec"),
+        F.col("centroid_id").alias("g_id"),
+    )
+    g = coarse.select(
+        F.col("c_id").alias("g_id"), F.col("c_vec").alias("g_vec")
+    )
+    # stage 1: vector -> coarse group (n x n_coarse scored, min_by)
+    to_group = (
+        emb.crossJoin(F.broadcast(g))
+        .select(
+            "vec_id",
+            "embedding",
+            "g_id",
+            _l2(F.col("embedding"), F.col("g_vec")).alias("gl2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("g_id", "embedding"), F.struct("gl2", "g_id")
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.embedding").alias("embedding"),
+            F.col("_b.g_id").alias("g_id"),
+        )
+    )
+    # stage 2: vector -> fine centroid within its group
+    return (
+        to_group.join(F.broadcast(fine_map), "g_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("f_id").alias("centroid_id"),
+            _l2(F.col("embedding"), F.col("f_vec")).alias("fl2"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "embedding"),
+                F.struct("fl2", "centroid_id"),
+            ).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.embedding").alias("embedding"),
+            F.col("_b.centroid_id").alias("centroid_id"),
+        )
+    )

@@ -95,3 +95,31 @@ def test_multi_assign_widens_pairs(spark):
         ).collect()
     }
     assert p1 <= p2
+
+
+def test_two_level_assignment_colocates_planted_pairs(spark):
+    # The coarse quantizer may disagree with flat assignment on
+    # boundary vectors (near-orthogonal corpus: agreement ~0.47), but
+    # near-identical vectors argmin to the SAME cell because their
+    # inputs are near-identical — the property SemDeDup needs.
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivf_assign_two_level,
+        kmeans_centroids,
+    )
+
+    planted = _with_planted(spark)
+    cents = kmeans_centroids(planted, n_centroids=16, iters=2)
+    cell = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_two_level(planted, cents).collect()
+    }
+    for i in range(N_PLANT):
+        assert cell[i] == cell[i + OFFSET], f"pair {i} split across cells"
+
+
+def test_two_level_pairs_find_planted_dups(spark):
+    planted = _with_planted(spark)
+    pairs = semantic_neardup_pairs(planted, threshold=0.99, two_level=True)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(N_PLANT):
+        assert (i, i + OFFSET) in got, f"planted dup {i} missed"
