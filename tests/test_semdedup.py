@@ -123,3 +123,38 @@ def test_two_level_pairs_find_planted_dups(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     for i in range(N_PLANT):
         assert (i, i + OFFSET) in got, f"planted dup {i} missed"
+
+
+def test_semantic_pairs_feed_transitive_clustering(spark):
+    # chain-planted paraphrase group: v, v', v'' where v'~v and v''~v'
+    # — pairwise apply would keep v'' if its only pair is with v';
+    # transitive closure through the existing dup_clusters gives ONE
+    # group with the min id as canonical
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    emb = _emb(spark)
+    chain = emb.filter(F.col("vec_id") < 3)
+    v1 = chain.select(
+        (F.col("vec_id") + OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.004).otherwise(x)
+        ).alias("embedding"),
+    )
+    v2 = chain.select(
+        (F.col("vec_id") + 2 * OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.008).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(v1).unionByName(v2)
+    pairs = semantic_neardup_pairs(corpus, threshold=0.999)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    labels = {r.doc_id: r.cluster_id for r in dup_clusters(edges).collect()}
+    for i in range(3):
+        # all three planted variants collapse to the original's id
+        assert labels.get(i + OFFSET) == i
+        assert labels.get(i + 2 * OFFSET) == i
