@@ -391,17 +391,38 @@ def _l2(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _argmin_centroid(scored: DataFrame, cand_col: str) -> DataFrame:
+    """(vec_id, embedding, <cand_col>) — per-vector argmin over scored
+    candidate rows (vec_id, embedding, <cand_col>, l2). min_by with an
+    (l2, id) struct ordinal is a map-side PARTIAL aggregate: the n·k
+    scored rows collapse to n before any shuffle, and ties break
+    deterministically on the candidate id. The shared argmin of
+    ivf_assign and both ivf_assign_two_level stages."""
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct(cand_col, "embedding"),
+                F.struct("l2", cand_col),
+            ).alias("_best")
+        )
+        .select(
+            "vec_id",
+            F.col("_best.embedding").alias("embedding"),
+            F.col(f"_best.{cand_col}").alias(cand_col),
+        )
+    )
+
+
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, n_nearest: int = 1
 ) -> DataFrame:
     """(vec_id, centroid_id[, rank]) nearest-centroid assignment.
 
     n_nearest=1 (the k-means-iteration / SemDeDup hot path) avoids the
-    window entirely: min_by with a (l2, centroid_id) struct ordinal is
-    a map-side partial aggregate, so the broadcast crossJoin's n·k
-    scored rows collapse to n rows BEFORE the shuffle — the window
-    variant shuffles and sorts all n·k. Ties break on centroid_id in
-    both paths (deterministic)."""
+    window entirely via _argmin_centroid — the window variant shuffles
+    and sorts all n·k scored rows. Ties break on centroid_id in both
+    paths (deterministic)."""
     from pyspark.sql import Window
 
     dist = _l2(F.col("embedding"), F.col("c_vec"))
@@ -412,20 +433,8 @@ def ivf_assign(
         dist.alias("l2"),
     )
     if n_nearest == 1:
-        return (
-            scored.groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    F.struct("centroid_id", "embedding"),
-                    F.struct("l2", "centroid_id"),
-                ).alias("_best")
-            )
-            .select(
-                "vec_id",
-                F.col("_best.embedding").alias("embedding"),
-                F.col("_best.centroid_id").alias("centroid_id"),
-                F.lit(1).alias("crank"),
-            )
+        return _argmin_centroid(scored, "centroid_id").withColumn(
+            "crank", F.lit(1)
         )
     w = Window.partitionBy("vec_id").orderBy(
         F.asc("l2"), F.asc("centroid_id")
@@ -671,9 +680,11 @@ def semantic_neardup_pairs(
     if two_level:
         if n_assign != 1:
             raise ValueError("two_level supports n_assign=1 only")
-        assign = ivf_assign_two_level(emb, cents).select(
-            "centroid_id", "vec_id", "embedding"
-        )
+        import math
+
+        assign = ivf_assign_two_level(
+            emb, cents, n_coarse=max(2, int(math.isqrt(n_centroids)))
+        ).select("centroid_id", "vec_id", "embedding")
     else:
         assign = ivf_assign(emb, cents, n_assign).select(
             "centroid_id", "vec_id", "embedding"
@@ -738,61 +749,48 @@ def ivf_assign_two_level(
     the k -> 2*sqrt(k) scan cut."""
     import math
 
-    k = centroids.count()
-    n_coarse = n_coarse or max(2, int(math.isqrt(k)))
+    if n_coarse is None:
+        # the one eager action here; callers that know k (SemDeDup
+        # passes its n_centroids) avoid it by supplying n_coarse
+        n_coarse = max(2, int(math.isqrt(centroids.count())))
     as_vecs = centroids.select(
         F.col("c_id").alias("vec_id"), F.col("c_vec").alias("embedding")
     )
     coarse = kmeans_centroids(as_vecs, n_centroids=n_coarse, iters=2)
-    # fine centroid -> its coarse group (k tiny rows)
+    # fine centroid -> its coarse group (k tiny rows; stage 1 of
+    # ivf_assign reused — the same argmin as every other path)
     fine_map = ivf_assign(as_vecs, coarse, 1).select(
         F.col("vec_id").alias("f_id"),
         F.col("embedding").alias("f_vec"),
         F.col("centroid_id").alias("g_id"),
     )
-    g = coarse.select(
-        F.col("c_id").alias("g_id"), F.col("c_vec").alias("g_vec")
-    )
-    # stage 1: vector -> coarse group (n x n_coarse scored, min_by)
-    to_group = (
-        emb.crossJoin(F.broadcast(g))
-        .select(
+    # kmeans can carry an EMPTY cluster forward (it keeps its previous
+    # centroid) — a coarse group no fine centroid maps to. Vectors
+    # argmin'd into such a group would vanish through the stage-2
+    # inner join (review find), so restrict stage 1 to groups that
+    # actually have members. Tiny semi-join of two <=k-row frames.
+    g = coarse.join(
+        fine_map.select("g_id").distinct(),
+        coarse.c_id == F.col("g_id"),
+        "semi",
+    ).select(F.col("c_id").alias("g_id"), F.col("c_vec").alias("g_vec"))
+    # stage 1: vector -> coarse group (n x n_coarse scored)
+    to_group = _argmin_centroid(
+        emb.crossJoin(F.broadcast(g)).select(
             "vec_id",
             "embedding",
             "g_id",
-            _l2(F.col("embedding"), F.col("g_vec")).alias("gl2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("g_id", "embedding"), F.struct("gl2", "g_id")
-            ).alias("_b")
-        )
-        .select(
-            "vec_id",
-            F.col("_b.embedding").alias("embedding"),
-            F.col("_b.g_id").alias("g_id"),
-        )
+            _l2(F.col("embedding"), F.col("g_vec")).alias("l2"),
+        ),
+        "g_id",
     )
     # stage 2: vector -> fine centroid within its group
-    return (
-        to_group.join(F.broadcast(fine_map), "g_id")
-        .select(
+    return _argmin_centroid(
+        to_group.join(F.broadcast(fine_map), "g_id").select(
             "vec_id",
             "embedding",
             F.col("f_id").alias("centroid_id"),
-            _l2(F.col("embedding"), F.col("f_vec")).alias("fl2"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("centroid_id", "embedding"),
-                F.struct("fl2", "centroid_id"),
-            ).alias("_b")
-        )
-        .select(
-            "vec_id",
-            F.col("_b.embedding").alias("embedding"),
-            F.col("_b.centroid_id").alias("centroid_id"),
-        )
+            _l2(F.col("embedding"), F.col("f_vec")).alias("l2"),
+        ),
+        "centroid_id",
     )

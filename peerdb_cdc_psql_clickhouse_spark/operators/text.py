@@ -168,14 +168,23 @@ FROM grams
     "inside lambdas — the measured 64x x3f lesson).",
 )
 def x3b_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_signals(load_table(spark, sf_dir, "documents"))
+
+
+def doc_signals(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """The x3b signal battery over an arbitrary documents frame.
+    `passthrough` columns (e.g. source, n_chars) ride the SAME single
+    scan projection — consumers that need them alongside the signals
+    (corpus_report) must never join the battery back to its own input
+    (a corpus-to-corpus shuffle at scale)."""
     from ..functions.numeric import fround
 
-    docs = load_table(spark, sf_dir, "documents")
     staged = detect_language(docs, "text").select(
         "doc_id",
         "lang",
         "detected_lang",
         "text",
+        *passthrough,
         tokens_col(F.col("text")).alias("_toks"),
     )
     grams = staged.withColumn(
@@ -213,6 +222,7 @@ def x3b_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ngram_frac"),
         "lang",
         "detected_lang",
+        *passthrough,
     )
 
 

@@ -16,7 +16,7 @@ from peerdb_cdc_psql_clickhouse_spark.operators.report import (
 )
 
 
-def test_sections_present_and_lazy(spark):
+def test_sections_present(spark):
     rep = corpus_report(spark, SF_ORACLE)
     assert set(rep) == {
         "volume",
@@ -25,6 +25,17 @@ def test_sections_present_and_lazy(spark):
         "duplication",
         "length_histogram",
     }
+
+
+def test_section_subset_skips_expensive_build(spark):
+    # duplication's transitive closure runs at build time (documented)
+    # — a caller asking only for cheap sections must not pay for it
+    rep = corpus_report(spark, SF_ORACLE, sections=("volume",))
+    assert set(rep) == {"volume"}
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown sections"):
+        corpus_report(spark, SF_ORACLE, sections=("volume", "nope"))
 
 
 def test_volume_matches_duckdb(spark):

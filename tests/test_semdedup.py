@@ -113,6 +113,11 @@ def test_two_level_assignment_colocates_planted_pairs(spark):
         r.vec_id: r.centroid_id
         for r in ivf_assign_two_level(planted, cents).collect()
     }
+    # the assignment contract: EVERY vector gets exactly one cell —
+    # review found vectors could vanish through the stage-2 inner join
+    # when a coarse group had no fine members (kmeans empty-cluster
+    # carryover); the semi-join fix pins this
+    assert len(cell) == planted.count()
     for i in range(N_PLANT):
         assert cell[i] == cell[i + OFFSET], f"pair {i} split across cells"
 
