@@ -539,3 +539,102 @@ def contamination_flags(
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM perplexity scoring — the CCNet-style quality signal
+# (public method: score documents by a language model's perplexity;
+# CCNet used a wiki-trained KenLM). No pretrained model ships here, so
+# the LM is TRAINED DISTRIBUTED from a reference corpus (bigrams,
+# add-k smoothing) and applied as a join — both halves are DataFrame
+# jobs, usable at 100 TB:
+#   train: one shuffle each for bigram and unigram counts;
+#   score: doc bigrams LEFT JOIN the count tables (unseen pairs get
+#   the smoothed floor), one agg per doc. Vocab size enters as a
+#   broadcast scalar.
+# ---------------------------------------------------------------------------
+
+LM_ADD_K = 0.5
+
+
+def ngram_lm_scores(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = LM_ADD_K,
+) -> DataFrame:
+    """(id, n_bigrams, avg_log2p, ppl): per-document average bigram
+    log2-probability and perplexity under an add-k-smoothed bigram LM
+    trained on `train_docs` (default: the scored corpus itself —
+    self-perplexity, the repetition/outlier signal; pass a clean
+    reference corpus for the CCNet-style quality filter).
+
+    P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k*V), V = training vocab.
+    Docs with < 2 tokens score NULL (no bigrams).
+    """
+    from ..plans.layout import fan_out
+
+    train = train_docs if train_docs is not None else docs
+
+    def bigrams(frame: DataFrame, keep_id: bool) -> DataFrame:
+        staged = fan_out(frame).select(
+            *([F.col(id_col)] if keep_id else []),
+            tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        toks = F.col("_toks")
+        # explicit n>=2 guard: sequence(1, n-1) DESCENDS for n<2
+        # ([1, 0] — then slice(toks, 0, 2) throws); an empty array
+        # explodes to zero rows, which is exactly the "no bigrams"
+        # contract for short docs
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return staged.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.explode(pairs).alias("bigram"),
+        )
+
+    bi_counts = (
+        bigrams(train, keep_id=False)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    uni_counts = (
+        fan_out(train)
+        .select(F.explode(tokens_col(F.col(text_col))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("_v")
+    )
+
+    doc_bi = bigrams(docs, keep_id=True).withColumn(
+        "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
+    )
+    scored = (
+        doc_bi.join(bi_counts, "bigram", "left")
+        .join(uni_counts, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log2(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(add_k))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(add_k) * F.col("_v")
+                )
+            ).alias("_lp"),
+        )
+    )
+    avg = F.sum("_lp") / F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg.alias("avg_log2p"),
+        F.pow(F.lit(2.0), -avg).alias("ppl"),
+    )
