@@ -382,16 +382,36 @@ def extended_ops(spark, sf_dir: str) -> dict:
     from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
         shuffle_corpus,
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.report import (
+        corpus_report,
+    )
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         semantic_neardup_pairs,
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import (
+        ngram_lm_scores,
+    )
+
+    from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def report_cheap():
+        rep = corpus_report(
+            spark, sf_dir, sections=("volume", "language_mix", "quality")
+        )
+        out = rep["volume"].select(F.lit(1).alias("one"))
+        for name in ("language_mix", "quality"):
+            out = out.union(rep[name].select(F.lit(1).alias("one")))
+        return out
+
     jobs = {
         "substring_spans": lambda: substring_spans(docs),
         "semantic_neardup": lambda: semantic_neardup_pairs(emb),
         "shuffle_corpus": lambda: shuffle_corpus(docs),
+        "ngram_lm_scores": lambda: ngram_lm_scores(docs),
+        "corpus_report_cheap": report_cheap,
     }
     out = {}
     for name, build in jobs.items():
