@@ -123,3 +123,70 @@ def test_oracle_parity_documents(spark):
     w_rows, w_cols = _norm_frame(want)
     assert g_cols == w_cols
     assert g_rows == w_rows
+
+
+# -- independent DP oracle ---------------------------------------------------
+# The DuckDB parity oracle replays the SAME shingle-hash algorithm; this
+# one is algorithm-independent: classic O(n*m) common-substring dynamic
+# programming per doc pair, enumerating maximal shared token runs with
+# their 1-based start positions. Hash collisions aside (60-bit md5 on
+# tiny corpora: none), the operator must agree exactly.
+
+
+def _dp_spans(tok_a, tok_b, min_tokens):
+    n, m = len(tok_a), len(tok_b)
+    run = [[0] * (m + 1) for _ in range(n + 1)]
+    spans = []
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if tok_a[i - 1] == tok_b[j - 1]:
+                run[i][j] = run[i - 1][j - 1] + 1
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            r = run[i][j]
+            if r >= min_tokens and (
+                i == n or j == m or run[i + 1][j + 1] <= r
+            ):
+                # maximal: cannot be extended right
+                spans.append((i - r + 1, j - r + 1, r))
+    return spans
+
+
+def test_dp_oracle_randomized(spark):
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [f"t{i}" for i in range(40)]
+    k, min_run = 5, 3
+    min_tokens = k + min_run - 1  # 7
+    docs = []
+    for d in range(8):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+        docs.append(words)
+    # plant guaranteed overlaps
+    chunk = [rng.choice(vocab) for _ in range(12)]
+    docs[1][3:3] = chunk
+    docs[4][0:0] = chunk
+    docs[6].extend(chunk[:9])
+
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in substring_spans(
+            _docs(
+                spark,
+                [(i, " ".join(w)) for i, w in enumerate(docs)],
+            ),
+            k=k,
+            min_run=min_run,
+            occ_cap=10_000,
+        ).collect()
+    }
+    want = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if len(docs[a]) < k or len(docs[b]) < k:
+                continue
+            for sa, sb, ln in _dp_spans(docs[a], docs[b], min_tokens):
+                want.add((a, b, sa, sb, ln))
+    assert got == want
+    assert want, "planted overlaps must produce spans"
