@@ -373,8 +373,9 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
 def extended_ops(spark, sf_dir: str) -> dict:
     """Wall seconds for the beyond-the-registry training-data ops
     (pytest-verified; the 50-slot declared surface is full): substring
-    spans, SemDeDup, epoch shuffle. Full computation via the noop
-    sink, like inventory()."""
+    spans, SemDeDup, epoch shuffle, LM perplexity scoring, and the
+    cheap corpus-report sections. Full computation via the noop sink,
+    like inventory()."""
     from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
     from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
         substring_spans,

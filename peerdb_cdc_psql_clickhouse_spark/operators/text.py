@@ -571,10 +571,17 @@ def ngram_lm_scores(
     reference corpus for the CCNet-style quality filter).
 
     P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k*V), V = training vocab.
-    Docs with < 2 tokens score NULL (no bigrams).
-    """
-    from ..plans.layout import fan_out
+    Docs with < 2 tokens produce NO output row (no bigrams to score —
+    left-join the result back to the corpus to enumerate them).
 
+    add_k must be > 0: unsmoothed MLE (k=0) turns unseen bigrams into
+    log2(0) = NULL, which a count-based average would silently absorb
+    into a plausible wrong score.
+    """
+    from ..plans.layout import fan_out, reuse
+
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (smoothing floor)")
     train = train_docs if train_docs is not None else docs
 
     def bigrams(frame: DataFrame, keep_id: bool) -> DataFrame:
@@ -599,10 +606,19 @@ def ngram_lm_scores(
             F.explode(pairs).alias("bigram"),
         )
 
-    bi_counts = (
-        bigrams(train, keep_id=False)
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("c2"))
+    doc_bi = bigrams(docs, keep_id=True).withColumn(
+        "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
+    )
+    if train_docs is None:
+        # self-train: the scored corpus's bigram stream IS the
+        # training stream — share one tokenization pass instead of
+        # re-deriving it (the corpus_report reuse discipline)
+        doc_bi = reuse(doc_bi)
+        train_bi = doc_bi.select("bigram")
+    else:
+        train_bi = bigrams(train, keep_id=False)
+    bi_counts = train_bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c2")
     )
     uni_counts = (
         fan_out(train)
@@ -612,10 +628,6 @@ def ngram_lm_scores(
     )
     vocab = uni_counts.agg(
         F.count(F.lit(1)).cast("double").alias("_v")
-    )
-
-    doc_bi = bigrams(docs, keep_id=True).withColumn(
-        "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
     )
     scored = (
         doc_bi.join(bi_counts, "bigram", "left")
@@ -632,7 +644,10 @@ def ngram_lm_scores(
             ).alias("_lp"),
         )
     )
-    avg = F.sum("_lp") / F.count(F.lit(1))
+    # count('_lp'), not count(*): if a degenerate input ever yields a
+    # NULL log-prob despite the add_k guard, the average goes NULL
+    # instead of silently averaging over fewer terms
+    avg = F.sum("_lp") / F.count("_lp")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         avg.alias("avg_log2p"),

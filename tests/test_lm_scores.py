@@ -59,11 +59,12 @@ def test_matches_python_lm_on_real_corpus(spark):
         for r in ngram_lm_scores(docs).collect()
     }
     assert set(got) == set(want)
+    texts = dict(rows)
     for doc_id, expected in want.items():
         n, avg, ppl = got[doc_id]
         assert avg == pytest.approx(expected, abs=1e-9)
         assert ppl == pytest.approx(2.0 ** -expected, rel=1e-9)
-        assert n == len(_toks(dict(rows)[doc_id])) - 1
+        assert n == len(_toks(texts[doc_id])) - 1
 
 
 def test_tiny_corpus_exact(spark):
@@ -107,3 +108,11 @@ def test_reference_corpus_direction(spark):
         for r in ngram_lm_scores(score, train_docs=ref).collect()
     }
     assert got[100] < got[101]
+
+
+def test_zero_add_k_rejected(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="add_k"):
+        ngram_lm_scores(docs, add_k=0.0)
