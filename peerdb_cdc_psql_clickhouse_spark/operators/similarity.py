@@ -794,3 +794,53 @@ def ivf_assign_two_level(
         ),
         "centroid_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss
+# with ±1 entries, Achlioptas 2001 — public result): project d-dim
+# embeddings to out_dim via deterministic sign matrices, scaled
+# 1/sqrt(out_dim) so norms/distances are preserved in expectation.
+# Preprocessing for the similarity family: a 4x narrower vector makes
+# every downstream dot product (brute top-k, k-means assignment,
+# SemDeDup pair cosines) 4x cheaper at a quantified recall cost.
+# Row-local, zero shuffle; the sign matrix ships as plan literals
+# (same discipline as hyperplane_bucket), seeded apart from the LSH
+# planes so buckets and projections stay independent.
+# ---------------------------------------------------------------------------
+
+_PROJ_SEED = 7001  # plane-index offset: disjoint from LSH plane ids
+
+
+def project_embeddings(
+    emb: DataFrame,
+    out_dim: int = 16,
+    dim: int = EMB_DIM,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Input plus `out_col`: array<float> of out_dim JL components
+    (component j = dot(vec, signs_j) / sqrt(out_dim))."""
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    comps = []
+    for j in range(out_dim):
+        plane = F.array(
+            *[F.lit(s) for s in _plane_signs(_PROJ_SEED + j, dim)]
+        )
+        comps.append(
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        plane,
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * inv
+            ).cast("float")
+        )
+    return emb.withColumn(out_col, F.array(*comps))
