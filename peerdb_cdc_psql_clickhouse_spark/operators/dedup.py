@@ -1011,3 +1011,71 @@ SELECT doc_a, doc_b,
 FROM isl GROUP BY doc_a, doc_b, d, grp
 HAVING COUNT(*) >= {min_run}
 """
+
+
+def substring_dedup_apply(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022
+    remove all but one copy of each duplicated substring): given
+    substring_spans output, cut every reported token range from the
+    HIGHER-id member of each pair (doc_a < doc_b, so content survives
+    exactly in its lowest-id carrier), and rebuild the text.
+
+    Output: (id, text, removed_tokens) for EVERY input doc; untouched
+    docs pass through with removed_tokens = 0. Text is rebuilt from
+    whitespace tokens joined by single spaces — the token model's
+    inherent normalization (same convention as the span positions).
+
+    Scale shape: the interval table is duplicate-sized (one row per
+    span) — grouped to per-doc sorted lists (one small shuffle),
+    joined to the corpus keyed by id (broadcastable when dups are
+    rare), then everything is row-local array work: a position is
+    dropped when any interval covers it, overlaps need no explicit
+    merging. Per-doc cost O(tokens x spans-on-doc)."""
+    iv_lists = (
+        spans.select(
+            F.col("doc_b").alias(id_col),
+            F.struct(
+                F.col("start_b").alias("s"),
+                (F.col("start_b") + F.col("span_tokens")).alias("e"),
+            ).alias("_iv"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("_iv")).alias("_ivs"))
+    )
+    # rebuild from ORIGINAL-case tokens: span positions come from the
+    # lowercased hashing tokenization, but whitespace splitting is
+    # case-independent, so positions line up 1:1 and the output keeps
+    # the source casing (the lowercase variant leaked into output
+    # text until a test caught it)
+    raw_toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    staged = docs.join(iv_lists, id_col, "left").select(
+        id_col, raw_toks.alias("_toks"), "_ivs"
+    )
+    toks = F.col("_toks")
+    ivs = F.col("_ivs")
+    # empty-doc guard: sequence(1, 0) DESCENDS — produce [] explicitly
+    idx = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.when(ivs.isNull(), idx).otherwise(
+        F.filter(
+            idx,
+            lambda p: ~F.exists(
+                ivs, lambda iv: (p >= iv["s"]) & (p < iv["e"])
+            ),
+        )
+    )
+    return staged.select(
+        id_col,
+        F.concat_ws(
+            " ", F.transform(kept, lambda p: F.element_at(toks, p))
+        ).alias(text_col),
+        (F.size(toks) - F.size(kept)).cast("long").alias("removed_tokens"),
+    )

@@ -190,3 +190,88 @@ def test_dp_oracle_randomized(spark):
                 want.add((a, b, sa, sb, ln))
     assert got == want
     assert want, "planted overlaps must produce spans"
+
+
+# -- apply step --------------------------------------------------------------
+
+
+def test_apply_removes_span_from_higher_id_only(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    shared = WORDS[:20]
+    a = [f"a{i}" for i in range(5)] + shared
+    b = [f"b{i}" for i in range(3)] + shared + [f"B{i}" for i in range(4)]
+    docs = _docs(spark, [(1, " ".join(a)), (2, " ".join(b))])
+    spans = substring_spans(docs)
+    out = {
+        r.doc_id: (r.text, r.removed_tokens)
+        for r in substring_dedup_apply(docs, spans).collect()
+    }
+    # doc 1 (lowest id) keeps its content verbatim (token-joined)
+    assert out[1] == (" ".join(a), 0)
+    # doc 2 loses exactly the shared 20 tokens, keeps its filler
+    want_b = [f"b{i}" for i in range(3)] + [f"B{i}" for i in range(4)]
+    assert out[2] == (" ".join(want_b), 20)
+
+
+def test_apply_python_reference_randomized(spark):
+    # independent apply: take the (already DP-verified) span set and
+    # remove ranges in plain Python; texts must match exactly
+    import random
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"v{i}" for i in range(30)]
+    docs_tok = []
+    chunk = [rng.choice(vocab) for _ in range(15)]
+    for d in range(6):
+        w = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        if d in (1, 3, 5):
+            pos = rng.randint(0, len(w))
+            w[pos:pos] = chunk
+        docs_tok.append(w)
+    docs = _docs(
+        spark, [(i, " ".join(w)) for i, w in enumerate(docs_tok)]
+    )
+    spans = substring_spans(docs, occ_cap=10_000)
+    span_rows = spans.collect()
+    removed = {i: set() for i in range(len(docs_tok))}
+    for r in span_rows:
+        for p in range(r.start_b, r.start_b + r.span_tokens):
+            removed[r.doc_b].add(p)
+    want = {
+        i: (
+            " ".join(
+                t
+                for p, t in enumerate(w, start=1)
+                if p not in removed[i]
+            ),
+            len(removed[i]),
+        )
+        for i, w in enumerate(docs_tok)
+    }
+    got = {
+        r.doc_id: (r.text, r.removed_tokens)
+        for r in substring_dedup_apply(docs, spans).collect()
+    }
+    assert got == want
+    assert any(n for _t, n in want.values()), "chunk must be removed somewhere"
+
+
+def test_apply_empty_and_short_docs_pass_through(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    docs = _docs(spark, [(1, ""), (2, "one"), (3, "two tokens")])
+    spans = substring_spans(docs)
+    out = {
+        r.doc_id: (r.text, r.removed_tokens)
+        for r in substring_dedup_apply(docs, spans).collect()
+    }
+    assert out == {1: ("", 0), 2: ("one", 0), 3: ("two tokens", 0)}
