@@ -407,8 +407,15 @@ def extended_ops(spark, sf_dir: str) -> dict:
             out = out.union(rep[name].select(F.lit(1).alias("one")))
         return out
 
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
     jobs = {
         "substring_spans": lambda: substring_spans(docs),
+        "substring_dedup_apply": lambda: substring_dedup_apply(
+            docs, substring_spans(docs)
+        ),
         "semantic_neardup": lambda: semantic_neardup_pairs(emb),
         "shuffle_corpus": lambda: shuffle_corpus(docs),
         "ngram_lm_scores": lambda: ngram_lm_scores(docs),
