@@ -1079,3 +1079,79 @@ def substring_dedup_apply(
         ).alias(text_col),
         (F.size(toks) - F.size(kept)).cast("long").alias("removed_tokens"),
     )
+
+
+def substring_spans_against(
+    new_docs: DataFrame,
+    corpus_sh: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_SHINGLE_K,
+    min_run: int = SPAN_MIN_RUN,
+    occ_cap: int = SPAN_OCC_CAP,
+) -> DataFrame:
+    """Incremental substring screen: shared-substring spans between
+    each NEW document and the HISTORICAL corpus only — never
+    old-vs-old (already screened when those docs arrived) and never
+    new-vs-new (run substring_spans on the batch for that). The
+    batch-arrival shape of exact-substring dedup, mirroring the
+    MinHash stream screen (stream_neardup_candidates).
+
+    corpus_sh is shingle_positions() of the history — the persistent
+    index: write it once, append each accepted batch's positions, and
+    every screen joins against it without rescanning old text.
+
+    Output: (new_id, old_id, start_new, start_old, match_shingles,
+    span_tokens); ids share a namespace only if the caller says so —
+    no id ordering is applied across the two sides.
+
+    Scale shape: per-hash occurrence lists built from the HISTORY
+    (occ-capped exactly like the batch operator), keyed join from the
+    (small) batch side, then the same per-(pair, diagonal) island
+    grouping — cost scales with the batch, not the corpus."""
+    from pyspark.sql import Window
+
+    new_sh = shingle_positions(new_docs, id_col, text_col, k).select(
+        F.col(id_col).alias("new_id"),
+        F.col("pos").alias("pn"),
+        "h",
+    )
+    hist_lists = (
+        corpus_sh.groupBy("h")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("pos"))
+            ).alias("occ")
+        )
+        .filter(F.size("occ") <= occ_cap)
+    )
+    matches = (
+        new_sh.join(hist_lists, "h")
+        .select("new_id", "pn", F.explode("occ").alias("o"))
+        .select(
+            "new_id",
+            F.col("o.id").alias("old_id"),
+            "pn",
+            F.col("o.pos").alias("po"),
+            (F.col("pn") - F.col("o.pos")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("new_id", "old_id", "d").orderBy("pn")
+    return (
+        matches.withColumn("_isl", F.col("pn") - F.row_number().over(w))
+        .groupBy("new_id", "old_id", "d", "_isl")
+        .agg(
+            F.min("pn").alias("start_new"),
+            F.min("po").alias("start_old"),
+            F.count(F.lit(1)).alias("match_shingles"),
+        )
+        .filter(F.col("match_shingles") >= min_run)
+        .select(
+            "new_id",
+            "old_id",
+            "start_new",
+            "start_old",
+            "match_shingles",
+            (F.col("match_shingles") + k - 1).alias("span_tokens"),
+        )
+    )

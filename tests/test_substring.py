@@ -275,3 +275,86 @@ def test_apply_empty_and_short_docs_pass_through(spark):
         for r in substring_dedup_apply(docs, spans).collect()
     }
     assert out == {1: ("", 0), 2: ("one", 0), 3: ("two tokens", 0)}
+
+
+# -- incremental screen (new batch vs historical index) ----------------------
+
+
+def test_incremental_screen_new_vs_history_only(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        shingle_positions,
+        substring_spans_against,
+    )
+
+    chunk = WORDS[:15]
+    # history: docs 1,2 share chunk with each other (old-old — must
+    # NOT be reported); doc 3 is clean
+    old_rows = [
+        (1, " ".join([f"o1_{i}" for i in range(4)] + chunk)),
+        (2, " ".join(chunk + [f"o2_{i}" for i in range(6)])),
+        (3, " ".join(f"o3_{i}" for i in range(20))),
+    ]
+    # batch: doc 100 shares chunk with history AND with doc 101
+    # (new-new — must NOT be reported); doc 102 clean
+    new_rows = [
+        (100, " ".join([f"n0_{i}" for i in range(2)] + chunk)),
+        (101, " ".join(chunk)),
+        (102, " ".join(f"n2_{i}" for i in range(15))),
+    ]
+    hist = shingle_positions(_docs(spark, old_rows))
+    out = substring_spans_against(_docs(spark, new_rows), hist).collect()
+    got = {
+        (r.new_id, r.old_id, r.start_new, r.start_old, r.span_tokens)
+        for r in out
+    }
+    # every (new with chunk) x (old with chunk) pair, exact boundaries
+    assert got == {
+        (100, 1, 3, 5, 15),
+        (100, 2, 3, 1, 15),
+        (101, 1, 1, 5, 15),
+        (101, 2, 1, 1, 15),
+    }
+
+
+def test_incremental_screen_agrees_with_batch_operator(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        shingle_positions,
+        substring_spans_against,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"q{i}" for i in range(25)]
+    chunk = [rng.choice(vocab) for _ in range(10)]
+    old_rows, new_rows = [], []
+    for i in range(5):
+        w = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        if i % 2:
+            w[2:2] = chunk
+        old_rows.append((i, " ".join(w)))
+    for i in range(5):
+        w = [rng.choice(vocab) for _ in range(rng.randint(5, 30))]
+        if i % 2 == 0:
+            w.extend(chunk)
+        new_rows.append((100 + i, " ".join(w)))
+
+    hist = shingle_positions(_docs(spark, old_rows))
+    inc = {
+        (r.new_id, r.old_id, r.start_new, r.start_old, r.span_tokens)
+        for r in substring_spans_against(
+            _docs(spark, new_rows), hist, occ_cap=10_000
+        ).collect()
+    }
+    # reference: the batch operator over the union, restricted to
+    # cross (old, new) pairs — ids chosen so old < new always
+    union = substring_spans(
+        _docs(spark, old_rows + new_rows), occ_cap=10_000
+    ).collect()
+    want = {
+        (r.doc_b, r.doc_a, r.start_b, r.start_a, r.span_tokens)
+        for r in union
+        if r.doc_a < 100 <= r.doc_b
+    }
+    assert inc == want
+    assert want, "planted overlaps must appear"
