@@ -652,6 +652,48 @@ def x2b_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_THRESHOLD = 0.9
 
+# Cluster-occupancy cap (VERDICT r3 #2): within-cluster pair work is
+# c²/2 per cluster regardless of n_centroids, and on a dedup-shaped
+# corpus k-means concentrates the near-identical mass — exactly the
+# content SemDeDup exists to find — into a few giant cells. Clusters
+# above the cap are sub-bucketed with hyperplane sign bits (an
+# independent plane family from the LSH/JL seeds); sub-buckets STILL
+# above the cap are near-identical mass no similarity-preserving
+# hyperplane can split, and get canonical-star treatment: each member
+# is compared against the bucket's min-id member only — O(c) dot
+# products, and semantic_dedup_apply still drops every member but the
+# canonical. Bounded work per cell: <= cap²/2 (all-pairs sub-bucket)
+# or c (star). Recall cost engages only on over-cap clusters: a
+# threshold-boundary pair (cos ~= 0.9, angle ~26°) lands on the same
+# side of one random hyperplane w.p. ~0.86, so an n_bits split keeps
+# ~0.86^n_bits of boundary pairs; near-identical pairs (cos >= 0.99)
+# survive at >= 0.95^n_bits and, when unsplit, are caught by the star
+# path via the shared canonical.
+SEMDEDUP_MAX_CLUSTER = 4096
+_SUB_SEED = 9001  # plane-index offset: disjoint from LSH (0..) and JL (7001..)
+_SUB_PLANES = 12
+
+
+def _sub_bucket(
+    vec: F.Column, n_planes: int = _SUB_PLANES, dim: int = EMB_DIM
+) -> F.Column:
+    """Hyperplane sign bits for hot-cluster sub-bucketing — same
+    literal-plane discipline as hyperplane_bucket but a disjoint seed
+    family, so sub-buckets are independent of the LSH buckets and the
+    JL projections."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(
+            *[F.lit(s) for s in _plane_signs(_SUB_SEED + p, dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
+    return sum(bits).cast("long")
+
 
 def semantic_neardup_pairs(
     emb: DataFrame,
@@ -660,6 +702,8 @@ def semantic_neardup_pairs(
     iters: int = 2,
     n_assign: int = 1,
     two_level: bool = False,
+    max_cluster_size: int | None = SEMDEDUP_MAX_CLUSTER,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """(id_a, id_b, cos) semantic-duplicate candidate pairs, id_a <
     id_b, cosine >= threshold, both members assigned to a common
@@ -675,7 +719,15 @@ def semantic_neardup_pairs(
     PAIRS still co-locate — near-identical vectors argmin to the same
     cell because their inputs are near-identical (planted-pair
     co-location is pytest-asserted) — so dedup recall holds while the
-    assignment scan shrinks."""
+    assignment scan shrinks.
+
+    max_cluster_size bounds per-cell pair work (see the
+    SEMDEDUP_MAX_CLUSTER comment): clusters above it are hyperplane-
+    sub-bucketed, and sub-buckets still above it fall back to
+    canonical-star pairs (min-id member vs each other member — the
+    exact pairs semantic_dedup_apply needs to drop the duplicates).
+    None disables the cap (the pre-r4 all-pairs-per-cluster
+    semantics); below the cap output is identical either way."""
     cents = kmeans_centroids(emb, n_centroids, iters)
     if two_level:
         if n_assign != 1:
@@ -689,26 +741,113 @@ def semantic_neardup_pairs(
         assign = ivf_assign(emb, cents, n_assign).select(
             "centroid_id", "vec_id", "embedding"
         )
-    a = assign.select(
-        "centroid_id",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("_va"),
-    )
-    b = assign.select(
-        "centroid_id",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("_vb"),
-    )
+    if max_cluster_size is None:
+        a = assign.select(
+            "centroid_id",
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("_va"),
+        )
+        b = assign.select(
+            "centroid_id",
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("_vb"),
+        )
+        cand = (
+            a.join(b, "centroid_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_va", "_vb")
+        )
+    else:
+        cap = int(max_cluster_size)
+        # cluster sizes: one keyed count; the result is index-sized
+        # (<= n_centroids·n_assign rows) so it broadcasts
+        sizes = assign.groupBy("centroid_id").agg(
+            F.count("*").alias("_csize")
+        )
+        # hot rows get ceil(log2(size/cap)) sub-bucket bits — enough
+        # that EXPECTED occupancy returns to <= cap when the planes
+        # split the cell (diverse content); the bucket expression sits
+        # inside the when(), so cool rows never pay the 12 dot products
+        n_bits = F.least(
+            F.lit(_SUB_PLANES),
+            F.ceil(
+                F.log2(F.col("_csize") / F.lit(float(cap)))
+            ).cast("int"),
+        )
+        full = F.when(
+            F.col("_csize") <= cap, F.lit(-1).cast("long")
+        ).otherwise(_sub_bucket(F.col("embedding"), dim=dim))
+        keyed = (
+            assign.join(F.broadcast(sizes), "centroid_id")
+            .withColumn("_full", full)
+            .withColumn(
+                "sub_id",
+                F.when(
+                    F.col("_csize") <= cap, F.lit(-1).cast("long")
+                ).otherwise(
+                    F.pmod(
+                        F.col("_full"),
+                        F.pow(F.lit(2.0), n_bits).cast("long"),
+                    )
+                ),
+            )
+        )
+        bsizes = keyed.groupBy("centroid_id", "sub_id").agg(
+            F.count("*").alias("_bsize")
+        )
+        keyed = keyed.join(F.broadcast(bsizes), ["centroid_id", "sub_id"])
+        # sub-buckets at/below cap (incl. every cool cluster, sub_id
+        # -1): exact all-pairs within the (cluster, sub-bucket) cell
+        cool = keyed.filter(F.col("_bsize") <= cap)
+        a = cool.select(
+            "centroid_id",
+            "sub_id",
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("_va"),
+        )
+        b = cool.select(
+            "centroid_id",
+            "sub_id",
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("_vb"),
+        )
+        allp = (
+            a.join(b, ["centroid_id", "sub_id"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_va", "_vb")
+        )
+        # sub-buckets still over cap: near-identical mass (the masked
+        # planes couldn't split it) — star against a canonical, O(c)
+        # dot products. The star groups by the FULL plane signature
+        # (_full, all _SUB_PLANES bits), not the masked sub_id: mass
+        # members agree on every sign bit (near-identical inputs), so
+        # the min-id member of a full-signature group is itself mass
+        # — a bystander that merely collides on the masked bits can't
+        # become the canonical and void every threshold comparison.
+        # id_a = min < id_b always holds.
+        hot = keyed.filter(F.col("_bsize") > cap)
+        canon = hot.groupBy("centroid_id", "_full").agg(
+            F.min("vec_id").alias("id_a"),
+            F.min_by("embedding", "vec_id").alias("_va"),
+        )
+        star = (
+            hot.join(F.broadcast(canon), ["centroid_id", "_full"])
+            .filter(F.col("vec_id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("vec_id").alias("id_b"),
+                "_va",
+                F.col("embedding").alias("_vb"),
+            )
+        )
+        cand = allp.unionByName(star)
     cos = _dot(F.col("_va"), F.col("_vb")) / (
         _norm(F.col("_va")) * _norm(F.col("_vb"))
     )
     return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
         # multi-assignment can surface one pair through several shared
         # cells — thin to distinct ids BEFORE the dot products
-        .select("id_a", "id_b", "_va", "_vb")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
