@@ -900,27 +900,50 @@ def substring_spans(
     k: int = SPAN_SHINGLE_K,
     min_run: int = SPAN_MIN_RUN,
     occ_cap: int = SPAN_OCC_CAP,
+    hot_path: bool = True,
 ) -> DataFrame:
     """All maximal shared-substring spans of >= k + min_run - 1 tokens
     between any two documents: (doc_a, doc_b, start_a, start_b,
     match_shingles, span_tokens), doc_a < doc_b, starts 1-based.
+
+    Shingles occurring in <= occ_cap places pair all-ways (exact).
+    Shingles occurring in MORE than occ_cap places — boilerplate
+    repeated across thousands of documents, the highest-value target
+    of exact-substring dedup (VERDICT r3: pre-r4 these were silently
+    DROPPED) — take a canonical-star path: every occurrence pairs with
+    the corpus-wide minimum (id, pos) occurrence only, O(occurrences)
+    instead of O(occurrences²). Star matches flow through the same
+    diagonal-island machinery, so a hot boilerplate block still
+    surfaces as one maximal span per (canonical, other) doc pair, and
+    substring_dedup_apply cuts it from every doc but the canonical
+    carrier. Non-canonical pair spans of hot content are intentionally
+    not emitted (that is the complexity bound); hot_path=False
+    restores the pre-r4 drop semantics.
 
     For docs shorter than k tokens the single shingle covers the whole
     doc, so span_tokens may overstate by up to k-1 there."""
     from pyspark.sql import Window
 
     sh = shingle_positions(docs, id_col, text_col, k)
-    # inverted occurrence lists: ONE shuffle keyed by the uniform
-    # hash; the occurrence cap bounds the row-local combo explode
-    # below. Single linear pipeline downstream — nothing to persist.
-    lists = (
-        sh.groupBy("h")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("pos"))
-            ).alias("occ")
-        )
-        .filter((F.size("occ") >= 2) & (F.size("occ") <= occ_cap))
+    # occurrence COUNTS first (map-combined partial agg): the
+    # collect_list below must never materialize a hot shingle's full
+    # occurrence list (pre-r4 it built the list and then filtered it
+    # out — an executor-memory hazard exactly on boilerplate). The
+    # count join and both downstream groupBys key on h, so the
+    # partitioning is reused across the pipeline.
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    cool_sh = sh.join(
+        cnt.filter(
+            (F.col("_n") >= 2) & (F.col("_n") <= occ_cap)
+        ).select("h"),
+        "h",
+    )
+    # inverted occurrence lists: keyed by the uniform hash; the
+    # occurrence cap bounds the row-local combo explode below.
+    lists = cool_sh.groupBy("h").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("id"), F.col("pos"))
+        ).alias("occ")
     )
     # STAGE the sorted list before the combo lambdas (the measured 64x
     # re-sort trap): pairs are ordered entries (x before y), so
@@ -947,6 +970,37 @@ def substring_spans(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("d", F.col("pa") - F.col("pb"))
     )
+    if hot_path:
+        # hot shingles: one canonical occurrence per hash (lexicographic
+        # min (id, pos) — a map-side partial min, no list built), every
+        # other occurrence pairs against it. Consecutive boilerplate
+        # shingles share the same min doc at consecutive positions, so
+        # star matches land on one diagonal and island-group into the
+        # full span; the block's context-blended edge shingles are
+        # rarer, fall under the cap, and extend the same islands via
+        # the pairwise path. Within-canonical-doc repeats drop with
+        # the c_id < id filter (same doc_a < doc_b convention).
+        hot_canon = (
+            sh.join(cnt.filter(F.col("_n") > occ_cap).select("h"), "h")
+            .groupBy("h")
+            .agg(
+                F.min(
+                    F.struct(F.col(id_col).alias("id"), F.col("pos"))
+                ).alias("_c")
+            )
+        )
+        hot_matches = (
+            sh.join(hot_canon, "h")
+            .filter(F.col("_c.id") < F.col(id_col))
+            .select(
+                F.col("_c.id").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.col("_c.pos").alias("pa"),
+                F.col("pos").alias("pb"),
+                (F.col("_c.pos") - F.col("pos")).alias("d"),
+            )
+        )
+        matches = matches.unionByName(hot_matches)
     # island trick: within one (doc_a, doc_b, diagonal) partition,
     # consecutive pa values share (pa - row_number) — each island is
     # one maximal run of consecutive shingle matches
@@ -994,11 +1048,21 @@ WITH toks AS (
 ), capped AS (
   SELECT * FROM sh
   QUALIFY COUNT(*) OVER (PARTITION BY h) BETWEEN 2 AND {occ_cap}
+), hot AS (
+  SELECT h, doc_id AS c_id, pos AS c_pos
+  FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY h) > {occ_cap}
+     AND ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1
 ), m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
   FROM capped a JOIN capped b
     ON a.h = b.h AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT hot.c_id AS doc_a, sh.doc_id AS doc_b,
+         hot.c_pos AS pa, sh.pos AS pb, hot.c_pos - sh.pos AS d
+  FROM sh JOIN hot
+    ON sh.h = hot.h AND hot.c_id < sh.doc_id
 ), isl AS (
   SELECT *, pa - ROW_NUMBER() OVER (
     PARTITION BY doc_a, doc_b, d ORDER BY pa) AS grp
@@ -1108,7 +1172,15 @@ def substring_spans_against(
     Scale shape: per-hash occurrence lists built from the HISTORY
     (occ-capped exactly like the batch operator), keyed join from the
     (small) batch side, then the same per-(pair, diagonal) island
-    grouping — cost scales with the batch, not the corpus."""
+    grouping — cost scales with the batch, not the corpus.
+
+    Cap semantics vs the batch operator (ADVICE r3): the cap here
+    applies to the HISTORY-side occurrence list only, while
+    substring_spans caps the combined (all-docs) list and routes
+    over-cap shingles to its canonical-star path. Screen/batch parity
+    is therefore exact only when no shingle approaches occ_cap from
+    either side; near the boundary the screen can report spans the
+    batch operator expresses as star pairs (or vice versa)."""
     from pyspark.sql import Window
 
     new_sh = shingle_positions(new_docs, id_col, text_col, k).select(

@@ -99,18 +99,76 @@ def test_three_docs_pairwise(spark):
     assert all(r.span_tokens == 12 for r in out)
 
 
-def test_occ_cap_drops_boilerplate(spark):
+def test_occ_cap_routes_boilerplate_to_star(spark):
     # a phrase present in ALL 30 docs is boilerplate: with occ_cap
-    # below its fan-out the operator reports nothing, with a loose cap
-    # it reports every pair
+    # below its fan-out the r4 hot path reports one star span per
+    # non-canonical doc (O(occ), not O(occ²)); hot_path=False restores
+    # the pre-r4 silent drop; a loose cap reports every pair
     shared = WORDS[:10]
     rows = [
         (i, " ".join([f"u{i}_{j}" for j in range(3)] + shared))
         for i in range(30)
     ]
     docs = _docs(spark, rows)
-    assert substring_spans(docs, occ_cap=20).count() == 0
+    star = substring_spans(docs, occ_cap=20).collect()
+    assert {(r.doc_a, r.doc_b) for r in star} == {
+        (0, i) for i in range(1, 30)
+    }
+    assert all(
+        (r.start_a, r.start_b, r.span_tokens) == (4, 4, 10) for r in star
+    )
+    assert substring_spans(docs, occ_cap=20, hot_path=False).count() == 0
     assert substring_spans(docs, occ_cap=1000).count() == 30 * 29 / 2
+
+
+def test_hot_boilerplate_apply_removes_all_but_canonical(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_dedup_apply,
+    )
+
+    shared = WORDS[:10]
+    rows = [
+        (i, " ".join([f"u{i}_{j}" for j in range(3)] + shared))
+        for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    spans = substring_spans(docs, occ_cap=20)
+    out = {
+        r.doc_id: (r.text, r.removed_tokens)
+        for r in substring_dedup_apply(docs, spans).collect()
+    }
+    # canonical carrier (doc 0) keeps the boilerplate verbatim
+    assert out[0] == (" ".join([f"u0_{j}" for j in range(3)] + shared), 0)
+    for i in range(1, 30):
+        assert out[i] == (" ".join(f"u{i}_{j}" for j in range(3)), 10), i
+
+
+def test_hot_path_duckdb_parity_planted(spark):
+    # mixed corpus — hot boilerplate in 25 docs + a cool chunk shared
+    # by 2 docs + unique noise — against the DuckDB replay including
+    # the star branch; exact row-set agreement
+    import duckdb
+
+    boiler = WORDS[:10]
+    cool = WORDS[40:52]
+    rows = []
+    for i in range(25):
+        toks = [f"n{i}_{j}" for j in range(i % 4)] + boiler
+        if i in (3, 7):
+            toks = toks + cool
+        rows.append((i, " ".join(toks)))
+    docs = _docs(spark, rows)
+    got = substring_spans(docs, occ_cap=10).toPandas()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute(
+        substring_spans_oracle(occ_cap=10)
+    ).fetchdf()
+    g_rows, g_cols = _norm_frame(got)
+    w_rows, w_cols = _norm_frame(want)
+    assert g_cols == w_cols
+    assert g_rows == w_rows
+    assert len(g_rows) >= 24, "hot star spans + cool pair span expected"
 
 
 def test_oracle_parity_documents(spark):
