@@ -386,6 +386,7 @@ def shuffle_corpus(
     seed: int = 0,
     id_col: str = "doc_id",
     partitions: int | None = None,
+    assert_permutation: bool = False,
 ) -> DataFrame:
     """Input plus `shuffle_pos` — a contiguous 0-based global position
     under the seed's permutation; rows are range-partitioned and
@@ -406,7 +407,14 @@ def shuffle_corpus(
 
     id_col must be UNIQUE: it is the hash tiebreak, so duplicate ids
     make the order (and therefore positions between the duplicates)
-    partitioning-dependent — the stratified_sample(exact=True) rule."""
+    partitioning-dependent — the stratified_sample(exact=True) rule.
+
+    assert_permutation=True runs a post-hoc invariant job (ADVICE r3:
+    the offsets job and the rank job execute the upstream plan twice,
+    so a NONDETERMINISTIC input — or one whose source files change
+    between the jobs — silently breaks the permutation): asserts
+    shuffle_pos is exactly 0..n-1 distinct. Opt-in because it is one
+    extra pass; deterministic inputs don't need it."""
     from pyspark.sql import Window
 
     from ..functions.hashing import hash64
@@ -450,7 +458,7 @@ def shuffle_corpus(
     off = docs.sparkSession.createDataFrame(
         offsets or [(0, 0)], "_bkt int, _off long"
     )
-    return (
+    out = (
         ranked.join(F.broadcast(off), "_bkt")
         .withColumn("shuffle_pos", F.col("_off") + F.col("_lrk"))
         .drop("_sk", "_bkt", "_lrk", "_off")
@@ -460,6 +468,23 @@ def shuffle_corpus(
         .repartitionByRange(n_parts, F.col("shuffle_pos"))
         .sortWithinPartitions("shuffle_pos")
     )
+    if assert_permutation:
+        chk = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("shuffle_pos")).alias("d"),
+            F.min("shuffle_pos").alias("lo"),
+            F.max("shuffle_pos").alias("hi"),
+        ).collect()[0]
+        if chk.n and not (
+            chk.n == chk.d and chk.lo == 0 and chk.hi == chk.n - 1
+        ):
+            raise AssertionError(
+                "shuffle_pos is not a permutation of 0..n-1 "
+                f"(n={chk.n}, distinct={chk.d}, range=[{chk.lo},{chk.hi}]); "
+                "the input plan is nondeterministic between jobs — "
+                "persist it (plans.layout.reuse) before shuffling"
+            )
+    return out
 
 
 def shuffle_oracle(seed: int, id_col: str = "doc_id") -> str:

@@ -51,6 +51,12 @@ def corpus_report(
     - duplication: corpus-level — clusters, member docs, drop count,
       dup fraction (winnowing-fingerprint cluster pipeline);
     - length_histogram: docs per LENGTH_BUCKET-token band.
+
+    Caching note (ADVICE r3): the shared signals frame is persisted
+    via reuse() and stays cached for as long as the returned sections
+    are live — repeated report builds in a long-lived session should
+    `spark.catalog.clearCache()` between builds (bench.py does), or
+    unpersist selectively once the sections have been materialized.
     """
     from ..functions.numeric import fround
     from ..plans.layout import reuse

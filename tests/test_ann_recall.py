@@ -124,10 +124,10 @@ def test_kmeans_refinement_reduces_inertia_and_keeps_neardup_recall(
     seeds = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    refined = kmeans_centroids(emb, iters=2)
+    refined = kmeans_centroids(emb, n_centroids=16, iters=2)
     assert inertia(refined) < inertia(seeds) * 0.95
 
-    again = kmeans_centroids(emb, iters=2)
+    again = kmeans_centroids(emb, n_centroids=16, iters=2)
     assert (
         refined.orderBy("c_id").collect()
         == again.orderBy("c_id").collect()
@@ -141,6 +141,42 @@ def test_kmeans_refinement_reduces_inertia_and_keeps_neardup_recall(
         1 for r in got if r["vec_id"] == r["q_id"] - OFFSET and r["rank"] == 1
     )
     assert hits >= int(N_PLANTED * 0.9)
+
+
+def test_ivf_prerank_finds_planted_neardups(spark, planted):
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ann_topk_ivf_prerank,
+    )
+
+    qids = planted.select("vec_id").filter(F.col("vec_id") >= OFFSET)
+    got = ann_topk_ivf_prerank(planted, qids, k=1).collect()
+    hits = sum(
+        1 for r in got if r["vec_id"] == r["q_id"] - OFFSET and r["rank"] == 1
+    )
+    # a JL projection of a near-identical pair stays near-identical
+    # (distortion is relative), so the pre-rank cut cannot lose it
+    assert hits >= int(N_PLANTED * 0.9)
+
+
+def test_ivf_prerank_recall_floor_on_natural_data(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ann_topk_ivf_prerank,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 5)
+    queries = emb.join(qids, "vec_id").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in cosine_topk(queries, emb).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in ann_topk_ivf_prerank(emb, qids).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF+prerank recall {recall}"
 
 
 def test_ivf_recall_vs_brute_force_on_natural_data(spark):

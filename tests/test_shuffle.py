@@ -49,6 +49,16 @@ def test_partitioning_independent(spark):
     assert a == b
 
 
+def test_assert_permutation_passes_deterministic_input(spark):
+    # the opt-in invariant job (ADVICE r3): on a deterministic input
+    # the check is silent; it exists to catch inputs that change
+    # between the offsets job and the rank job
+    docs = _docs(spark)
+    n = docs.count()
+    pos = _positions(shuffle_corpus(docs, seed=5, assert_permutation=True))
+    assert sorted(pos.values()) == list(range(n))
+
+
 def test_epochs_differ(spark):
     docs = _docs(spark)
     e0 = _positions(shuffle_corpus(docs, seed=0))
