@@ -808,6 +808,7 @@ def semantic_neardup_pairs(
     two_level: bool = False,
     max_cluster_size: int | None = SEMDEDUP_MAX_CLUSTER,
     dim: int = EMB_DIM,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos) semantic-duplicate candidate pairs, id_a <
     id_b, cosine >= threshold, both members assigned to a common
@@ -831,8 +832,16 @@ def semantic_neardup_pairs(
     canonical-star pairs (min-id member vs each other member — the
     exact pairs semantic_dedup_apply needs to drop the duplicates).
     None disables the cap (the pre-r4 all-pairs-per-cluster
-    semantics); below the cap output is identical either way."""
-    cents = kmeans_centroids(emb, n_centroids, iters)
+    semantics); below the cap output is identical either way.
+
+    Pass `centroids` to pin the quantizer (screen/batch parity with
+    semantic_neardup_against uses this); default trains k-means on
+    the input."""
+    cents = (
+        centroids
+        if centroids is not None
+        else kmeans_centroids(emb, n_centroids, iters)
+    )
     if two_level:
         if n_assign != 1:
             raise ValueError("two_level supports n_assign=1 only")
@@ -967,6 +976,124 @@ def semantic_dedup_apply(emb: DataFrame, pairs: DataFrame) -> DataFrame:
     return emb.select("vec_id").join(
         drops.withColumn("_drop", F.lit(True)), "vec_id", "left"
     ).select("vec_id", F.col("_drop").isNull().alias("keep"))
+
+
+def semantic_neardup_against(
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    hist_assign: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup screen (VERDICT r3 #6): semantic near-dup
+    pairs between each NEW embedding and the HISTORICAL corpus only —
+    never old-vs-old (screened when those rows arrived) and never
+    new-vs-new (run semantic_neardup_pairs on the batch for that).
+    The embedding-space face of substring_spans_against /
+    stream_neardup_candidates.
+
+    centroids: the persisted quantizer (kmeans_centroids output —
+    train once on the history, keep it fixed so assignments stay
+    comparable across batches); hist_assign: the persisted assignment
+    table (ivf_assign output, columns centroid_id/vec_id/embedding —
+    append each accepted batch's rows). At 100 TB hist_assign is
+    written bucketed by centroid_id, so the screen join prunes to the
+    batch's cells.
+
+    Output: (new_id, old_id, cos), cosine >= threshold. Cost per
+    batch: |batch| x k centroid scores (broadcast argmin) + the keyed
+    join touching only the batch's cells. Cap semantics: unlike
+    semantic_neardup_pairs, no cluster-occupancy star path — a hot
+    history cell costs |batch ∩ cell| x |cell|; keep the history
+    SemDeDup'd (its hot mass collapsed to canonicals) and that factor
+    stays bounded."""
+    new_assign = ivf_assign(new_emb, centroids, n_assign).select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("_vn"),
+        "centroid_id",
+    )
+    hist = hist_assign.select(
+        "centroid_id",
+        F.col(id_col).alias("old_id"),
+        F.col(vec_col).alias("_vh"),
+    )
+    cos = _dot(F.col("_vn"), F.col("_vh")) / (
+        _norm(F.col("_vn")) * _norm(F.col("_vh"))
+    )
+    return (
+        new_assign.join(hist, "centroid_id")
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id", "_vn", "_vh")
+        .dropDuplicates(["new_id", "old_id"])
+        .select("new_id", "old_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _literal_centroid_argmin(vec: F.Column, cents: list) -> F.Column:
+    """Row-local nearest-centroid id from plan-literal centroids —
+    the streaming-safe argmin: no groupBy, no shuffle, so it composes
+    with append-mode streams. cents: [(c_id, [floats]), ...]."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2(
+                    vec, F.array(*[F.lit(float(x)) for x in cv])
+                ).alias("l2"),
+                F.lit(int(cid)).cast("long").alias("c_id"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return F.array_min(scored)["c_id"]
+
+
+def stream_semantic_neardup_candidates(
+    emb_stream: DataFrame,
+    centroids: DataFrame,
+    hist_assign: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming face of semantic_neardup_against: flag arriving
+    embeddings that semantically duplicate the historical corpus
+    (mirrors stream_neardup_candidates for MinHash).
+
+    The centroid argmin is rebuilt as PLAN LITERALS (the quantizer is
+    index-sized by construction — same discipline as the hyperplane
+    literals), because ivf_assign's groupBy argmin would be a stateful
+    streaming aggregate. Assignment is therefore map-only on the
+    stream side; the only join is the stream-static equi-join on
+    centroid_id — no stream state, append mode. Single-assignment
+    regime, so (new, old) pairs are already distinct (no stateful
+    dropDuplicates needed)."""
+    cents = [
+        (r["c_id"], list(r["c_vec"])) for r in centroids.collect()
+    ]
+    assigned = emb_stream.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("_vn"),
+        _literal_centroid_argmin(F.col(vec_col), cents).alias(
+            "centroid_id"
+        ),
+    )
+    hist = hist_assign.select(
+        "centroid_id",
+        F.col(id_col).alias("old_id"),
+        F.col(vec_col).alias("_vh"),
+    )
+    cos = _dot(F.col("_vn"), F.col("_vh")) / (
+        _norm(F.col("_vn")) * _norm(F.col("_vh"))
+    )
+    return (
+        assigned.join(hist, "centroid_id")
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
 
 
 def ivf_assign_two_level(

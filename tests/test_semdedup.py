@@ -220,6 +220,88 @@ def test_cap_no_trigger_matches_uncapped(spark):
     assert capped == uncapped
 
 
+def test_incremental_screen_matches_batch_cross_pairs(spark):
+    # screen(new, history) must equal the batch operator's cross
+    # (old, new) pairs when both use the SAME pinned quantizer —
+    # the substring_spans_against parity contract, embedding-space
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        semantic_neardup_against,
+    )
+
+    emb = _emb(spark)
+    old = emb  # full corpus is the screened history
+    # new batch: planted near-copies of historical vectors 0..N_PLANT
+    new = _with_planted(spark).filter(F.col("vec_id") >= OFFSET)
+    cents = kmeans_centroids(old, n_centroids=8, iters=2).localCheckpoint()
+    hist = ivf_assign(old, cents, 1).select(
+        "centroid_id", "vec_id", "embedding"
+    )
+    got = {
+        (r.new_id, r.old_id)
+        for r in semantic_neardup_against(
+            new, cents, hist, threshold=0.9
+        ).collect()
+    }
+    union = old.unionByName(new)
+    batch = semantic_neardup_pairs(
+        union, threshold=0.9, centroids=cents, max_cluster_size=None
+    )
+    new_ids = {r.vec_id for r in new.select("vec_id").collect()}
+    old_ids = {r.vec_id for r in old.select("vec_id").collect()}
+    want = set()
+    for r in batch.collect():
+        if r.id_a in new_ids and r.id_b in old_ids:
+            want.add((r.id_a, r.id_b))
+        elif r.id_b in new_ids and r.id_a in old_ids:
+            want.add((r.id_b, r.id_a))
+    assert got == want
+    assert want, "planted near-copies must pair with their originals"
+
+
+def test_stream_semantic_screen_against_history(spark, tmp_path):
+    # a streaming batch with a near-copy of a historical vector and a
+    # novel vector: the near-copy flags against its original, the
+    # novel row stays clean — append mode, no stream state
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        stream_semantic_neardup_candidates,
+    )
+
+    emb = _emb(spark)
+    cents = kmeans_centroids(emb, n_centroids=8, iters=2).localCheckpoint()
+    hist = ivf_assign(emb, cents, 1).select(
+        "centroid_id", "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") == 7).collect()[0]
+    near_copy = [x * 1.01 if i == 0 else x for i, x in enumerate(base["embedding"])]
+    import random
+
+    rng = random.Random(123)
+    novel = [rng.gauss(0, 1) for _ in range(len(near_copy))]
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(900001, near_copy), (900002, novel)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(feed)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(feed)
+    flagged = stream_semantic_neardup_candidates(
+        stream, cents, hist, threshold=0.99
+    )
+    got = []
+    q = (
+        flagged.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {(r["new_id"], r["old_id"]): r["cos"] for r in got}
+    assert (900001, 7) in hits and hits[(900001, 7)] >= 0.99
+    assert not any(n == 900002 for (n, _o) in hits)
+
+
 def test_semantic_pairs_feed_transitive_clustering(spark):
     # chain-planted paraphrase group: v, v', v'' where v'~v and v''~v'
     # — pairwise apply would keep v'' if its only pair is with v';
