@@ -908,7 +908,17 @@ def semantic_neardup_pairs(
         bsizes = keyed.groupBy("centroid_id", "sub_id").agg(
             F.count("*").alias("_bsize")
         )
-        keyed = keyed.join(F.broadcast(bsizes), ["centroid_id", "sub_id"])
+        # the capped pipeline reads this frame from FOUR branches
+        # (both all-pairs sides, star members, star canonicals) on top
+        # of the k-means + argmin assignment lineage — share it via
+        # reuse() or the assignment recomputes per branch (measured
+        # 4x wall at the 4x hot-mass probe). At 100 TB this is the
+        # materialized assignment table the paper also persists.
+        from ..plans.layout import reuse
+
+        keyed = reuse(
+            keyed.join(F.broadcast(bsizes), ["centroid_id", "sub_id"])
+        )
         # sub-buckets at/below cap (incl. every cool cluster, sub_id
         # -1): exact all-pairs within the (cluster, sub-bucket) cell
         cool = keyed.filter(F.col("_bsize") <= cap)

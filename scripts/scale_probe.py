@@ -125,6 +125,50 @@ def probe(spark, mult: int) -> dict[str, float]:
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("prior_id"))
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ann_topk_ivf_prerank,
+        semantic_neardup_against,
+        semantic_neardup_pairs,
+    )
+
+    # r4 hot-path probes: plant adversarial mass that GROWS with mult,
+    # so the occupancy-capped paths are exercised at every scale —
+    # linear growth here is the evidence the caps bound the work.
+    base_vec = [
+        float(x)
+        for x in load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    mass = spark.range(500 * mult).select(
+        (F.col("id") + 50_000_000).alias("vec_id"),
+        F.transform(
+            F.array(*[F.lit(x) for x in base_vec]),
+            lambda x, i: F.when(
+                i == 0, x * (F.lit(1.0) + F.col("id") / F.lit(1e7))
+            ).otherwise(x),
+        ).alias("embedding"),
+    )
+    emb_hot = emb.select("vec_id", "embedding").unionByName(mass)
+    boiler = " ".join(f"bp{j}" for j in range(40))
+    hot_docs = docs.select("doc_id", "text").unionByName(
+        spark.range(300 * mult).select(
+            (F.col("id") + 50_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("hdr"), F.col("id").cast("string"),
+                F.lit(" filler words "), F.lit(boiler),
+            ).alias("text"),
+        )
+    )
+    qids = emb.select("vec_id").filter(F.col("vec_id") < 50)
+    seeds = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 64)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+    )
     jobs = {
         "minhash_lsh": lambda: lsh_candidate_pairs(
             minhash_signature(docs, "doc_id", "text"), "doc_id"
@@ -159,6 +203,34 @@ def probe(spark, mult: int) -> dict[str, float]:
             "peerdb_cdc_psql_clickhouse_spark.operators.pipeline",
             fromlist=["shuffle_corpus"],
         ).shuffle_corpus(docs),
+        # r4: mult x 500 near-identical vectors land in one k-means
+        # cell; the occupancy cap must keep pair work O(mass) (star),
+        # not O(mass^2)
+        "semantic_hotmass_capped": lambda: semantic_neardup_pairs(
+            emb_hot, n_centroids=16 * mult, max_cluster_size=256
+        ),
+        # r4: boilerplate block in mult x 300 docs is over occ_cap at
+        # every mult — the canonical-star hot-shingle path
+        "substring_hot": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.dedup",
+            fromlist=["substring_spans"],
+        ).substring_spans(hot_docs),
+        # r4: JL pre-rank search — fixed query set, growing corpus
+        "ivf_prerank": lambda: ann_topk_ivf_prerank(
+            emb.select("vec_id", "embedding"), qids
+        ),
+        # r4: incremental screen — fixed 500-row batch vs mult x
+        # history (recomputes the history assignment each run; against
+        # the production-persisted table only the join remains)
+        "semantic_screen_500batch": lambda: semantic_neardup_against(
+            mass.limit(500),
+            seeds,
+            __import__(
+                "peerdb_cdc_psql_clickhouse_spark.operators.similarity",
+                fromlist=["ivf_assign"],
+            ).ivf_assign(emb.select("vec_id", "embedding"), seeds, 1)
+            .select("centroid_id", "vec_id", "embedding"),
+        ),
     }
     res = {}
     for name, build in jobs.items():
