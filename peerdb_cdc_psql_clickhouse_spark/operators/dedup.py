@@ -1176,11 +1176,15 @@ def substring_spans_against(
 
     Cap semantics vs the batch operator (ADVICE r3): the cap here
     applies to the HISTORY-side occurrence list only, while
-    substring_spans caps the combined (all-docs) list and routes
-    over-cap shingles to its canonical-star path. Screen/batch parity
-    is therefore exact only when no shingle approaches occ_cap from
-    either side; near the boundary the screen can report spans the
-    batch operator expresses as star pairs (or vice versa)."""
+    substring_spans caps the combined (all-docs) list. Shingles hot in
+    HISTORY (> occ_cap occurrences) mirror the batch operator's r4
+    canonical-star path: each NEW occurrence pairs against the
+    history's min (id, pos) occurrence only — so a new doc made of
+    known boilerplate still flags (pre-r4 it silently passed the
+    screen), at O(batch) extra cost. Screen/batch parity is exact only
+    when no shingle approaches occ_cap from either side; near the
+    boundary the two sides can express the same content as pairwise
+    vs star spans."""
     from pyspark.sql import Window
 
     new_sh = shingle_positions(new_docs, id_col, text_col, k).select(
@@ -1188,14 +1192,25 @@ def substring_spans_against(
         F.col("pos").alias("pn"),
         "h",
     )
+    # counts first so a hot shingle's occurrence list is never
+    # materialized (same executor-memory discipline as the batch
+    # operator); one partial-agg pass over the history index
+    hist_stats = corpus_sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(
+            F.struct(F.col(id_col).alias("id"), F.col("pos"))
+        ).alias("_c"),
+    )
     hist_lists = (
-        corpus_sh.groupBy("h")
+        corpus_sh.join(
+            hist_stats.filter(F.col("_n") <= occ_cap).select("h"), "h"
+        )
+        .groupBy("h")
         .agg(
             F.collect_list(
                 F.struct(F.col(id_col).alias("id"), F.col("pos"))
             ).alias("occ")
         )
-        .filter(F.size("occ") <= occ_cap)
     )
     matches = (
         new_sh.join(hist_lists, "h")
@@ -1208,6 +1223,24 @@ def substring_spans_against(
             (F.col("pn") - F.col("o.pos")).alias("d"),
         )
     )
+    # history-hot shingles: pair each NEW occurrence against the
+    # history's canonical occurrence only (the batch operator's star
+    # path) — O(batch occurrences), and island grouping below still
+    # assembles consecutive hot matches into one span
+    hot_matches = (
+        new_sh.join(
+            hist_stats.filter(F.col("_n") > occ_cap).select("h", "_c"),
+            "h",
+        )
+        .select(
+            "new_id",
+            F.col("_c.id").alias("old_id"),
+            "pn",
+            F.col("_c.pos").alias("po"),
+            (F.col("pn") - F.col("_c.pos")).alias("d"),
+        )
+    )
+    matches = matches.unionByName(hot_matches)
     w = Window.partitionBy("new_id", "old_id", "d").orderBy("pn")
     return (
         matches.withColumn("_isl", F.col("pn") - F.row_number().over(w))

@@ -72,6 +72,136 @@ def replicate(
     return out
 
 
+# Composed replicas (VERDICT r3 #8 — the 2-decade curve): one bijective
+# family caps at 13 copies, so compose TWO independent families.
+# Text: rot1 over "etaoinshrdluc" composed with rot2 over the DISJOINT
+# alphabet below — copy (i, j) applies rot1^i ∘ rot2^j, bijective and
+# distinct for all 169 combos, so within-copy shingle/dup structure is
+# exactly preserved while cross-copy text diverges. Embeddings: cyclic
+# coordinate shift (64 values) composed with a deterministic ±1
+# sign-flip pattern per copy — both orthogonal transforms, so every
+# within-copy cosine is bit-identically preserved and cross-copy
+# vectors stay near-orthogonal.
+_ROT2_ALPHABET = "mfwygpbvkxjqz"
+
+
+def _rot2_text(col, j: int):
+    if j % len(_ROT2_ALPHABET) == 0:
+        return col
+    r = j % len(_ROT2_ALPHABET)
+    return F.translate(
+        col, _ROT2_ALPHABET, _ROT2_ALPHABET[r:] + _ROT2_ALPHABET[:r]
+    )
+
+
+def _sign_flip(col, j: int, dim: int = 64):
+    import hashlib
+
+    if j == 0:
+        return col
+    signs = [
+        1.0
+        if int(hashlib.md5(f"sf{j}:{i}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+        else -1.0
+        for i in range(dim)
+    ]
+    return F.zip_with(
+        col,
+        F.array(*[F.lit(s) for s in signs]),
+        lambda x, s: (x * s).cast("float"),
+    )
+
+
+def replicate_composed(
+    df, id_col: str, n: int, id_stride: int,
+    text_col: str | None = None, emb_col: str | None = None,
+):
+    """n stacked copies via the composed transform families — valid to
+    13 x 13 = 169 copies at the same duplicate rate."""
+    from bench import MAX_SCALE_MULT, _rot_text, _shift_embedding
+
+    if n > MAX_SCALE_MULT * len(_ROT2_ALPHABET):
+        raise ValueError(f"n={n} exceeds composed guard {13 * 13}")
+    out = df
+    for c in range(1, n):
+        i, j = c % MAX_SCALE_MULT, c // MAX_SCALE_MULT
+        rep = df.withColumn(id_col, F.col(id_col) + c * id_stride)
+        if text_col is not None:
+            rep = rep.withColumn(
+                text_col, _rot2_text(_rot_text(F.col(text_col), i), j)
+            )
+        if emb_col is not None:
+            rep = rep.withColumn(
+                emb_col, _sign_flip(_shift_embedding(F.col(emb_col), i), j)
+            )
+        out = out.unionByName(rep)
+    return out
+
+
+def probe_composed(spark, mult: int) -> dict[str, float]:
+    """The dedup-family heavy hitters on a composed-replica corpus —
+    run at mult ~100 for the measured 2-decade curve. SemDeDup runs in
+    its documented scale configuration: quantizer = offline prefix
+    seeds (16·mult cells, constant cell size), two-level assignment
+    (k → 2√k per-row work), occupancy cap on."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        substring_spans,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        shuffle_corpus,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    docs = replicate_composed(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
+        "doc_id", mult, 10_000_000, text_col="text",
+    )
+    emb = replicate_composed(
+        load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        "vec_id", mult, 10_000_000, emb_col="embedding",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    changes = replicate_composed(
+        ev.select(
+            (F.col("event_id") % 257).alias("entity_id"),
+            F.lit("update").alias("_op"),
+            F.col("event_id").alias("_version"),
+            F.col("ts").alias("_ts"),
+            F.col("value"),
+        ),
+        "_version", mult, 10_000_000,
+    )
+    n_cells = 16 * mult
+    seeds = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    jobs = {
+        "minhash_lsh": lambda: lsh_candidate_pairs(
+            minhash_signature(docs, "doc_id", "text"), "doc_id"
+        ),
+        "simhash": lambda: simhash(docs, "doc_id", "text"),
+        "cosine_neardup": lambda: cosine_neardup_pairs(emb),
+        "substring_spans": lambda: substring_spans(docs),
+        "semantic_capped_2lvl": lambda: semantic_neardup_pairs(
+            emb, centroids=seeds, two_level=True,
+            n_centroids=n_cells, max_cluster_size=256,
+        ),
+        "cdc_apply": lambda: latest_state(changes, ["entity_id"]),
+        "shuffle_corpus": lambda: shuffle_corpus(docs),
+    }
+    res = {}
+    for name, build in jobs.items():
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        res[name] = round(time.perf_counter() - t0, 2)
+    return res
+
+
 def probe(spark, mult: int) -> dict[str, float]:
     docs = replicate(
         load_table(spark, SF_DIR, "documents"),
@@ -241,16 +371,25 @@ def probe(spark, mult: int) -> dict[str, float]:
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    args = sys.argv[1:]
+    composed = False
+    if args and args[0] == "--composed":
+        composed, args = True, args[1:]
+    mults = [int(a) for a in args] or ([1, 10, 100] if composed else [1, 4, 10])
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
-    out = {}
+    fn = probe_composed if composed else probe
     for m in mults:
-        out[m] = probe(spark, m)
-        print(json.dumps({"mult": m, **out[m]}), flush=True)
+        res = fn(spark, m)
+        print(
+            json.dumps(
+                {"mult": m, **({"composed": True} if composed else {}), **res}
+            ),
+            flush=True,
+        )
     spark.stop()
 
 

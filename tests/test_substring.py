@@ -374,6 +374,37 @@ def test_incremental_screen_new_vs_history_only(spark):
     }
 
 
+def test_incremental_screen_flags_history_hot_boilerplate(spark):
+    # boilerplate present in MORE than occ_cap history docs: a new doc
+    # carrying it must still flag (r4 star path) — against the
+    # history's min (id, pos) occurrence only — and a clean new doc
+    # must not
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        shingle_positions,
+        substring_spans_against,
+    )
+
+    boiler = WORDS[:10]
+    old_rows = [
+        (i, " ".join([f"h{i}_{j}" for j in range(2)] + boiler))
+        for i in range(30)
+    ]
+    new_rows = [
+        (100, " ".join([f"n_{j}" for j in range(4)] + boiler)),
+        (101, " ".join(f"z_{j}" for j in range(20))),
+    ]
+    hist = shingle_positions(_docs(spark, old_rows))
+    out = substring_spans_against(
+        _docs(spark, new_rows), hist, occ_cap=20
+    ).collect()
+    got = {
+        (r.new_id, r.old_id, r.start_new, r.start_old, r.span_tokens)
+        for r in out
+    }
+    # canonical history occurrence is doc 0 at pos 3 (2 filler tokens)
+    assert got == {(100, 0, 5, 3, 10)}
+
+
 def test_incremental_screen_agrees_with_batch_operator(spark):
     from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
         shingle_positions,
