@@ -425,32 +425,55 @@ def _argmin_centroid(scored: DataFrame, cand_col: str) -> DataFrame:
 def ivf_assign(
     emb: DataFrame, centroids: DataFrame, n_nearest: int = 1
 ) -> DataFrame:
-    """(vec_id, centroid_id[, rank]) nearest-centroid assignment.
+    """(vec_id, embedding, centroid_id, crank) n-nearest-centroid
+    assignment. Ties break on centroid_id (deterministic).
 
-    n_nearest=1 (the k-means-iteration / SemDeDup hot path) avoids the
-    window entirely via _argmin_centroid — the window variant shuffles
-    and sorts all n·k scored rows. Ties break on centroid_id in both
-    paths (deterministic)."""
-    from pyspark.sql import Window
-
+    n_nearest=1 (the k-means-iteration / SemDeDup hot path) is a
+    map-side min_by partial aggregate (_argmin_centroid). n_nearest>1
+    (the search-index multi-assign default) is ALSO shuffle-free
+    since r4: the centroid table collapses to ONE array row
+    (collect_list of an index-sized broadcast — the same size class
+    as the broadcast itself), each vector scores the array row-locally
+    and array_sort + slice keep the top n before a posexplode. The
+    pre-r4 variant shuffled and window-sorted all n·k scored rows —
+    the largest shuffle in the index build at 100 TB; now nothing
+    wider than n·n_nearest rows ever exists."""
     dist = _l2(F.col("embedding"), F.col("c_vec"))
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "embedding",
-        F.col("c_id").alias("centroid_id"),
-        dist.alias("l2"),
-    )
     if n_nearest == 1:
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            F.col("c_id").alias("centroid_id"),
+            dist.alias("l2"),
+        )
         return _argmin_centroid(scored, "centroid_id").withColumn(
             "crank", F.lit(1)
         )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.asc("l2"), F.asc("centroid_id")
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("c_id", "c_vec")).alias("_cents")
+    )
+    top = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    _l2(F.col("embedding"), c["c_vec"]).alias("l2"),
+                    c["c_id"].alias("centroid_id"),
+                ),
+            )
+        ),
+        1,
+        n_nearest,
     )
     return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n_nearest)
-        .select("vec_id", "embedding", "centroid_id", "crank")
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "embedding", F.posexplode(top).alias("_i", "_t"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("_t.centroid_id").alias("centroid_id"),
+            (F.col("_i") + 1).cast("int").alias("crank"),
+        )
     )
 
 
