@@ -1025,9 +1025,9 @@ def substring_spans(
     )
 
 
-# DuckDB replay of substring_spans on the documents table (pytest
-# oracle — the declared 50-slot surface is full, so parity is asserted
-# in tests/test_substring.py with the same rigor as the driver gate).
+# DuckDB replay of substring_spans on the documents table — the
+# declared x1g oracle (promoted r4 after the d16-d18 merge freed a
+# slot) and the pytest parity oracle in tests/test_substring.py.
 def substring_spans_oracle(
     k: int = SPAN_SHINGLE_K,
     min_run: int = SPAN_MIN_RUN,
@@ -1075,6 +1075,26 @@ SELECT doc_a, doc_b,
 FROM isl GROUP BY doc_a, doc_b, d, grp
 HAVING COUNT(*) >= {min_run}
 """
+
+
+_X1G_DOC = (
+    "O-X1/brief: exact-substring duplicate spans (Lee et al. 2022 "
+    "suffix-array dedup re-expressed for Spark): all maximal shared "
+    f"token runs >= {SPAN_SHINGLE_K + SPAN_MIN_RUN - 1} tokens between "
+    "any two documents, via positional k-token shingle hashing + the "
+    "diagonal-island window. Scale shape: one shingle-keyed shuffle; "
+    "<= occ_cap occurrences pair all-ways (bounded row-local combo "
+    "explode), hotter shingles — cross-corpus boilerplate — take the "
+    "canonical-star path (every occurrence vs the corpus-min "
+    "occurrence, O(occ) not O(occ^2)); occurrence counts precede "
+    "collect_list so no hot list is ever materialized. Promoted from "
+    "pytest-only to the declared hash surface in r4."
+)
+
+
+@declare("x1g_substring_spans", substring_spans_oracle(), doc=_X1G_DOC)
+def x1g_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_spans(load_table(spark, sf_dir, "documents"))
 
 
 def substring_dedup_apply(

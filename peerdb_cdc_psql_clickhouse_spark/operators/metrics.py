@@ -413,63 +413,76 @@ def d15_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def first_seen(df: DataFrame, key_col: str, order_col: str) -> DataFrame:
+    """O-D16: deterministic dropDuplicates — first row per key by an
+    explicit order (monitor.ps1:449-450,487-490)."""
+    rn = F.row_number().over(Window.partitionBy(key_col).orderBy(order_col))
+    return df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+
 @declare(
-    "d16_first_seen",
+    "d16_rank_ops",
     """
-SELECT user_id, event_id, event_type FROM (
+SELECT 'first_seen' AS op, user_id AS id1, event_id AS id2,
+       event_type AS tag
+FROM (
   SELECT user_id, event_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
   FROM events
 ) WHERE rn = 1
-""",
-    doc="O-D16 dedup by first-seen key (processed-containers set, "
-    "monitor.ps1:449-450,487-490) — deterministic dropDuplicates via "
-    "row_number over an explicit order",
+UNION ALL
+SELECT 'latest_file' AS op, doc_id AS id1, n_chars AS id2,
+       CAST(NULL AS VARCHAR) AS tag
+FROM (
+  SELECT doc_id, n_chars FROM documents
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 1
 )
-def d16_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("event_id"))
-    return (
-        ev.select("user_id", "event_id", "event_type", rn.alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-
-
-@declare(
-    "d17_latest_file",
-    "SELECT doc_id, n_chars FROM documents "
-    "ORDER BY n_chars DESC, doc_id ASC LIMIT 1",
-    doc="O-D17 file ranking by mtime desc, head-1 auto-select-latest "
-    "(monitor.ps1:141-145,215-216); n_chars plays mtime",
-)
-def d17_latest_file(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "n_chars")
-        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
-        .limit(1)
-    )
-
-
-@declare(
-    "d18_head_tail",
-    """
-SELECT event_id, event_type FROM (
+UNION ALL
+SELECT 'head_tail' AS op, event_id AS id1, CAST(NULL AS BIGINT) AS id2,
+       event_type AS tag
+FROM (
   SELECT event_id, event_type,
          ROW_NUMBER() OVER (ORDER BY event_id ASC) AS rn_head,
          ROW_NUMBER() OVER (ORDER BY event_id DESC) AS rn_tail
   FROM events
 ) WHERE rn_head <= 5 OR rn_tail <= 5
 """,
-    doc="O-D18 head-and-tail sampling: first 5 + last 5 batches "
-    "(monitor.ps1:375-379)",
+    doc="O-D16 + O-D17 + O-D18 (merged r4 to free declared slots for "
+    "the substring-dedup / LM-perplexity promotions; same op-labeled "
+    "union pattern as r11): first-seen dedup via row_number==1 "
+    "(monitor.ps1:449-450,487-490), file ranking by mtime desc head-1 "
+    "(monitor.ps1:141-145,215-216; n_chars plays mtime), and "
+    "head-and-tail sampling first-5 + last-5 (monitor.ps1:375-379). "
+    "All three are rank/window ops; each branch keeps its exact "
+    "pre-merge plan shape.",
 )
-def d18_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d16_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    fs = first_seen(
+        ev.select("user_id", "event_id", "event_type"),
+        "user_id",
+        "event_id",
+    ).select(
+        F.lit("first_seen").alias("op"),
+        F.col("user_id").alias("id1"),
+        F.col("event_id").alias("id2"),
+        F.col("event_type").alias("tag"),
+    )
+    latest = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(1)
+        .select(
+            F.lit("latest_file").alias("op"),
+            F.col("doc_id").alias("id1"),
+            F.col("n_chars").cast("long").alias("id2"),
+            F.lit(None).cast("string").alias("tag"),
+        )
+    )
     rn_head = F.row_number().over(Window.orderBy(F.asc("event_id")))
     rn_tail = F.row_number().over(Window.orderBy(F.desc("event_id")))
-    return (
+    ht = (
         ev.select(
             "event_id",
             "event_type",
@@ -477,8 +490,14 @@ def d18_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             rn_tail.alias("rn_tail"),
         )
         .filter((F.col("rn_head") <= 5) | (F.col("rn_tail") <= 5))
-        .select("event_id", "event_type")
+        .select(
+            F.lit("head_tail").alias("op"),
+            F.col("event_id").alias("id1"),
+            F.lit(None).cast("long").alias("id2"),
+            F.col("event_type").alias("tag"),
+        )
     )
+    return fs.unionByName(latest).unionByName(ht)
 
 
 @declare(

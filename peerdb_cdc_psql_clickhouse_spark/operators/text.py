@@ -563,6 +563,7 @@ def ngram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     add_k: float = LM_ADD_K,
+    quantize: int | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, avg_log2p, ppl): per-document average bigram
     log2-probability and perplexity under an add-k-smoothed bigram LM
@@ -577,6 +578,13 @@ def ngram_lm_scores(
     add_k must be > 0: unsmoothed MLE (k=0) turns unseen bigrams into
     log2(0) = NULL, which a count-based average would silently absorb
     into a plausible wrong score.
+
+    quantize=N switches to the cross-engine-deterministic profile the
+    declared x3h query needs: per-bigram log2-probs are fixed-point
+    floor-rounded to N dp BEFORE the sum, the sum runs in DECIMAL
+    (order-insensitive exact), and avg/ppl are floor-rounded — so the
+    result hashes identically against the DuckDB oracle. Default None
+    keeps full double precision for API callers.
     """
     from ..plans.layout import fan_out, reuse
 
@@ -634,27 +642,97 @@ def ngram_lm_scores(
     vocab = uni_counts.agg(
         F.count(F.lit(1)).cast("double").alias("_v")
     )
+    lp = F.log2(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("_v"))
+    )
+    if quantize is not None:
+        from ..functions.numeric import fround
+
+        lp = fround(lp, quantize)
     scored = (
         doc_bi.join(bi_counts, "bigram", "left")
         .join(uni_counts, "w1", "left")
         .crossJoin(F.broadcast(vocab))
-        .select(
-            id_col,
-            F.log2(
-                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(add_k))
-                / (
-                    F.coalesce(F.col("c1"), F.lit(0))
-                    + F.lit(add_k) * F.col("_v")
-                )
-            ).alias("_lp"),
-        )
+        .select(id_col, lp.alias("_lp"))
     )
     # count('_lp'), not count(*): if a degenerate input ever yields a
     # NULL log-prob despite the add_k guard, the average goes NULL
     # instead of silently averaging over fewer terms
+    if quantize is not None:
+        from ..functions.numeric import fround
+
+        dec_sum = F.sum(
+            F.col("_lp").cast(f"decimal(28,{quantize})")
+        ).cast("double")
+        avg = fround(dec_sum / F.count("_lp"), quantize)
+        return scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg.alias("avg_log2p"),
+            fround(F.pow(F.lit(2.0), -avg), 4).alias("ppl"),
+        )
     avg = F.sum("_lp") / F.count("_lp")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         avg.alias("avg_log2p"),
         F.pow(F.lit(2.0), -avg).alias("ppl"),
+    )
+
+
+LM_QUANT = 6  # fixed-point dp for the declared-query log-prob stream
+
+
+def _lm_oracle_sql(add_k: float, q: int = LM_QUANT) -> str:
+    from ..functions.numeric import fround_sql
+
+    lp = fround_sql(f"log2((c2.c2 + {add_k}) / (uni.c1 + {add_k} * v.v))", q)
+    avg = fround_sql(
+        f"CAST(SUM(CAST(lp AS DECIMAL(28,{q}))) AS DOUBLE) / COUNT(lp)", q
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tokens
+  FROM documents
+), bi AS (
+  SELECT doc_id, tokens[i] AS w1,
+         tokens[i] || ' ' || tokens[i + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(tokens) - 1)) AS t(i)
+  WHERE len(tokens) >= 2
+), c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bi GROUP BY 1),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(tokens) AS w1 FROM toks) GROUP BY 1
+), v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+lp AS (
+  SELECT bi.doc_id, {lp} AS lp
+  FROM bi JOIN c2 USING (bigram) JOIN uni USING (w1) CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, {avg} AS avg_log2p
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_log2p,
+       {fround_sql("POW(2.0, -avg_log2p)", 4)} AS ppl
+FROM per_doc
+"""
+
+
+@declare(
+    "x3h_lm_perplexity",
+    _lm_oracle_sql(LM_ADD_K),
+    doc="O-X3/brief: per-document perplexity under an add-k-smoothed "
+    "bigram LM self-trained on the corpus (the CCNet quality-filter "
+    "shape; self-perplexity doubles as a repetition/outlier signal). "
+    "Distributed shape: the scored corpus's bigram stream IS the "
+    "training stream (one shared tokenization pass via reuse()); LM "
+    "training = two partial-agg counts; scoring = two keyed joins + "
+    "one broadcast scalar (vocab size) + per-doc agg. Promoted from "
+    "pytest-only to the declared hash surface in r4: per-bigram "
+    f"log2-probs fixed-point rounded at {LM_QUANT} dp then DECIMAL-"
+    "summed, so the float stream hashes identically vs DuckDB.",
+)
+def x3h_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_lm_scores(
+        load_table(spark, sf_dir, "documents"), quantize=LM_QUANT
     )

@@ -80,9 +80,11 @@ QUERY_ORDER = [
     "d13_date_arith",
     "d14_regex_extract",
     "d15_unit_normalize",
-    "d16_first_seen",
-    "d17_latest_file",
-    "d18_head_tail",
+    # r4: d16/d17/d18 merged into one op-labeled union (all three are
+    # rank/window ops) to free two declared slots for the substring-
+    # dedup and LM-perplexity promotions below — same consolidation
+    # pattern as r3's r10 -> r14 merge.
+    "d16_rank_ops",
     "d19_container_health",
     "d20_error_top3",
     # text analysis
@@ -90,6 +92,7 @@ QUERY_ORDER = [
     "x3b_doc_signals",
     "x3f_winnowing",
     "x3g_tfidf",
+    "x3h_lm_perplexity",
     # temporal joins
     "x6_asof_join",
     "x6b_range_join",
@@ -100,6 +103,7 @@ QUERY_ORDER = [
     "x1d_ngram_jaccard",
     "x1e_dup_clusters",
     "x1f_dedup_apply",
+    "x1g_substring_spans",
     # heaviest last: full corpus pipeline + live streaming probe
     "x7_corpus_select",
     "x7b_training_mix",
