@@ -1280,3 +1280,171 @@ def substring_spans_against(
             (F.col("match_shingles") + k - 1).alias("span_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4 / FineWeb style): drop every repeated LINE
+# corpus-wide, keeping one canonical copy. Catches the boilerplate the
+# document-level family can't (nav bars, cookie banners, license
+# headers repeated across millions of pages) at line granularity,
+# complementing substring_spans (token runs) with the cheaper
+# newline-delimited form real web-corpus pipelines apply first.
+#
+# Scale shape: lines explode map-only off the corpus scan; occurrence
+# stats are one line-hash-keyed shuffle with map-side partial agg (the
+# canonical = MIN(struct(id, line_no)) is a partial min — no occurrence
+# list is ever materialized, so a line repeated in 10^7 docs costs one
+# combiner cell, the substring-family hot-path discipline); the
+# keep/drop decision joins stats back on the SAME key (partitioning
+# reused, no second shuffle of the corpus); doc rebuild is one
+# doc-keyed shuffle of surviving lines. Nothing is all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def line_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(line_hash, occurrences, canon_id, canon_line_no): corpus-wide
+    occurrence count and canonical (lowest (id, line_no)) carrier per
+    distinct line. Blank/whitespace-only lines are ignored (they are
+    separators, not content — and the all-pairs hot key at scale)."""
+    lines = _doc_lines(docs, id_col, text_col)
+    return lines.groupBy("line_hash").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.min(F.struct(F.col("_id").alias("id"), F.col("line_no"))).alias(
+            "_c"
+        ),
+    ).select(
+        "line_hash",
+        "occurrences",
+        F.col("_c.id").alias("canon_id"),
+        F.col("_c.line_no").alias("canon_line_no"),
+    )
+
+
+def _doc_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(_id, line_no, line, line_hash): non-blank lines with 1-based
+    positions. Lines are matched EXACTLY as they appear (no trim/case
+    fold) — line dedup is an exact-duplicate screen by contract."""
+    from ..plans.layout import fan_out
+
+    return (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias(
+                "_ln0", "line"
+            ),
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .select(
+            "_id",
+            (F.col("_ln0") + 1).cast("long").alias("line_no"),
+            "line",
+            hash64(F.col("line")).alias("line_hash"),
+        )
+    )
+
+
+def line_dedup_apply(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every line occurring >= min_count times corpus-wide from
+    all docs except its canonical carrier (lowest (id, line_no)), and
+    rebuild each doc's text from its surviving lines in order.
+
+    Output: (id, text, removed_lines) for EVERY input doc — untouched
+    docs pass through verbatim (original text, including blank lines);
+    docs that lose lines are rebuilt newline-joined from non-blank
+    survivors (the token-model normalization, same convention as
+    substring_dedup_apply's whitespace rebuild)."""
+    lines = _doc_lines(docs, id_col, text_col)
+    stats = line_stats(docs, id_col, text_col)
+    keep = (
+        lines.join(stats, "line_hash")
+        .withColumn(
+            "_keep",
+            (F.col("occurrences") < min_count)
+            | (
+                (F.col("canon_id") == F.col("_id"))
+                & (F.col("canon_line_no") == F.col("line_no"))
+            ),
+        )
+    )
+    rebuilt = keep.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("_new_text"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("removed_lines"),
+    )
+    return (
+        docs.join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.when(
+                F.coalesce(F.col("removed_lines"), F.lit(0)) == 0,
+                F.col(text_col),
+            )
+            .otherwise(F.col("_new_text"))
+            .alias(text_col),
+            F.coalesce(F.col("removed_lines"), F.lit(0))
+            .cast("long")
+            .alias("removed_lines"),
+        )
+    )
+
+
+def line_dedup_oracle(min_count: int = 2) -> str:
+    """DuckDB replay of line_dedup_apply over the documents table
+    (pytest parity; the declared surface is at its 50-query cap)."""
+    return f"""
+WITH lines AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+       UNNEST(generate_series(1, len(ls))) AS t(i)
+  WHERE trim(ls[i]) <> ''
+), cnts AS (
+  SELECT line, COUNT(*) AS occurrences FROM lines GROUP BY line
+), canon AS (
+  SELECT line, doc_id AS canon_id, line_no AS canon_line_no
+  FROM lines
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY line ORDER BY doc_id, line_no) = 1
+), keep AS (
+  SELECT l.doc_id, l.line_no, l.line,
+         (cnts.occurrences < {min_count}
+          OR (canon.canon_id = l.doc_id
+              AND canon.canon_line_no = l.line_no)) AS keep_it
+  FROM lines l JOIN cnts USING (line) JOIN canon USING (line)
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN keep_it THEN line END, chr(10)
+                    ORDER BY line_no) AS new_text,
+         CAST(COUNT(*) FILTER (WHERE NOT keep_it) AS BIGINT)
+           AS removed_lines
+  FROM keep GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN COALESCE(r.removed_lines, 0) = 0 THEN d.text
+            ELSE COALESCE(r.new_text, '') END AS text,
+       COALESCE(r.removed_lines, 0) AS removed_lines
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
