@@ -541,6 +541,139 @@ def contamination_flags(
     )
 
 
+
+# -- Bloom-filter contamination screen (scale path) -------------------------
+#
+# contamination_flags broadcasts the benchmark's distinct n-grams —
+# right when the benchmark is an eval set (thousands of grams), wrong
+# when screening against a LARGE reference (another corpus's shingle
+# table, millions+ of grams): the broadcast grows with the reference
+# and the corpus pays a join. A Bloom filter fixes the cost: the
+# reference compresses to a FIXED m-bit array (128 KiB default)
+# shipped as a plan literal, and the corpus side becomes one scan of
+# row-local arithmetic — no join, no shuffle, no false NEGATIVES
+# (every truly-shared gram always hits; a tunable false-positive rate
+# inflates shared_ngrams slightly, the right direction for a
+# contamination screen, which quarantines for exact re-check).
+#
+# Public construction: standard Bloom with Kirsch-Mitzenmacher double
+# hashing (h_i = a + i*b — same functions.hashing.hash_pair the
+# MinHash family uses), 32-bit words so the probe-side bit test stays
+# in exact-double range (word / 2^bit with word < 2^32 is exact; Spark
+# lacks variable-distance shifts inside lambdas).
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB of filter
+BLOOM_K = 5
+
+
+class BloomFilter:
+    """Driver-held bloom bitset: m_bits/32 uint32 words in a plain
+    list (plan-literal friendly). Build with bloom_build()."""
+
+    def __init__(self, m_bits: int, k: int, words: list[int], n_items: int):
+        self.m_bits = m_bits
+        self.k = k
+        self.words = words
+        self.n_items = n_items
+
+    @property
+    def fp_rate(self) -> float:
+        """Theoretical false-positive rate (1 - e^{-kn/m})^k."""
+        import math
+
+        return (1.0 - math.exp(-self.k * self.n_items / self.m_bits)) ** self.k
+
+
+def _bloom_positions(col: F.Column, m_bits: int, k: int) -> F.Column:
+    """array<long> of the k bloom bit positions for a string column."""
+    from ..functions.hashing import hash_pair
+
+    a, b = hash_pair(col)
+    return F.array(*[(a + i * b) % F.lit(m_bits) for i in range(k)])
+
+
+def bloom_build(
+    items: DataFrame,
+    col: str = "gram",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> BloomFilter:
+    """Distributed build: bit positions computed corpus-side, then the
+    DISTINCT positions come back to the driver — a collect bounded by
+    the filter size m_bits (1M rows max at the default), never by the
+    reference's row count. The words array is what callers ship into
+    bloom_contamination_flags (128 KiB literal at defaults)."""
+    pos_rows = (
+        items.select(
+            F.explode(_bloom_positions(F.col(col), m_bits, k)).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    n_items = items.count()
+    words = [0] * ((m_bits + 31) // 32)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 5] |= 1 << (p & 31)
+    return BloomFilter(m_bits, k, words, n_items)
+
+
+def bloom_contamination_flags(
+    docs: DataFrame,
+    bloom: BloomFilter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """contamination_flags' output contract — (id, shared_ngrams,
+    contaminated) — against a Bloom filter instead of a broadcast gram
+    join. shared_ngrams counts distinct doc grams whose k bloom bits
+    are ALL set: a superset of the exact count (no false negatives;
+    ~fp_rate of clean grams inflate it). One corpus scan, zero
+    shuffle past the per-doc agg; the filter rides the plan as an
+    array literal, so a 10M-gram reference costs the same 128 KiB as
+    a 10k-gram one."""
+    from ..operators.dedup import _shingles_of, _tokens
+
+    words_lit = F.lit(bloom.words)
+    m, k = bloom.m_bits, bloom.k
+
+    def gram_hit(gram: F.Column) -> F.Column:
+        # all k bits set <=> the gram is (probably) in the reference.
+        # Bit test without variable shifts: word is uint32 in a long,
+        # word / 2^bit stays exact in double, floor%2 extracts the bit
+        return F.forall(
+            _bloom_positions(gram, m, k),
+            lambda pos: F.floor(
+                F.element_at(
+                    words_lit, (F.floor(pos / F.lit(32.0)) + 1).cast("int")
+                )
+                / F.pow(F.lit(2.0), pos % 32)
+            ).cast("long")
+            % 2
+            == 1,
+        )
+
+    staged = docs.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(_shingles_of(F.col("_toks"), n)).alias("_grams"),
+    )
+    counted = staged.select(
+        F.col(id_col),
+        F.size(F.filter(F.col("_grams"), gram_hit))
+        .cast("long")
+        .alias("shared_ngrams"),
+    )
+    return counted.select(
+        id_col,
+        "shared_ngrams",
+        (F.col("shared_ngrams") >= min_shared).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-gram LM perplexity scoring — the CCNet-style quality signal
 # (public method: score documents by a language model's perplexity;
