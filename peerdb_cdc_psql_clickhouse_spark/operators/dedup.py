@@ -1448,3 +1448,118 @@ SELECT d.doc_id,
        COALESCE(r.removed_lines, 0) AS removed_lines
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+def line_stats_merge(history: DataFrame, batch_docs: DataFrame,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Fold a new batch into a persisted line_stats table: union the
+    batch's stats and re-aggregate on line_hash (occurrences add,
+    canonical = min of the two candidates). Keyed entirely by
+    line_hash — at 100 TB this is one shuffle of history-stats (tiny
+    vs the corpus: one row per DISTINCT line) plus the batch's.
+    Line text is not stored in stats; the hash alone drives dedup."""
+    batch = line_stats(batch_docs, id_col, text_col)
+    return (
+        history.unionByName(batch)
+        .groupBy("line_hash")
+        .agg(
+            F.sum("occurrences").cast("long").alias("occurrences"),
+            F.min(
+                F.struct(
+                    F.col("canon_id").alias("id"),
+                    F.col("canon_line_no").alias("line_no"),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            "line_hash",
+            "occurrences",
+            F.col("_c.id").alias("canon_id"),
+            F.col("_c.line_no").alias("canon_line_no"),
+        )
+    )
+
+
+def line_dedup_against(
+    new_docs: DataFrame,
+    history_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingestion line screen: strip from each NEW doc every
+    line already present in the HISTORICAL corpus (its canonical
+    carrier lives in history, so new copies are always redundant).
+    Same output contract as line_dedup_apply: (id, text,
+    removed_lines) for every batch doc, untouched docs verbatim.
+
+    new-vs-history ONLY (the substring_spans_against convention):
+    batch-internal duplicates are the eventual batch operator's job —
+    run line_dedup_apply within the batch first if both screens are
+    wanted. Cost scales with the BATCH (its lines joined against the
+    keyed stats table), not with corpus size; matches the batch
+    operator exactly when batch ids sort after history ids (then the
+    corpus-wide canonical is always the history copy)."""
+    lines = _doc_lines(new_docs, id_col, text_col)
+    hist = history_stats.select("line_hash").withColumn(
+        "_in_hist", F.lit(True)
+    )
+    keep = lines.join(hist, "line_hash", "left").withColumn(
+        "_keep", F.col("_in_hist").isNull()
+    )
+    rebuilt = keep.groupBy("_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("line_no"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("_new_text"),
+        F.sum(F.when(~F.col("_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("removed_lines"),
+    )
+    return (
+        new_docs.join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .select(
+            id_col,
+            F.when(
+                F.coalesce(F.col("removed_lines"), F.lit(0)) == 0,
+                F.col(text_col),
+            )
+            .otherwise(F.col("_new_text"))
+            .alias(text_col),
+            F.coalesce(F.col("removed_lines"), F.lit(0))
+            .cast("long")
+            .alias("removed_lines"),
+        )
+    )
+
+
+def stream_line_dedup_candidates(
+    doc_stream: DataFrame,
+    history_stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming face of the line screen: flag arriving docs' lines
+    that duplicate historical content. Stream side is map-only
+    (split + posexplode + hash); the ONLY join is stream-static on
+    line_hash against the persisted stats table — append mode, no
+    stream state (the stream_neardup_candidates shape). Output one
+    row per duplicated line: (id, line_no, canon_id, canon_line_no);
+    a foreachBatch consumer can regroup per doc and apply the cut."""
+    lines = _doc_lines(doc_stream, id_col, text_col)
+    return lines.join(history_stats, "line_hash").select(
+        F.col("_id").alias(id_col),
+        "line_no",
+        "canon_id",
+        "canon_line_no",
+    )

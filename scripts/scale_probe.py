@@ -180,6 +180,27 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
     seeds = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import (
+        bloom_build,
+        bloom_contamination_flags,
+    )
+
+    hot_line = " ".join(f"bl{j}" for j in range(12))
+    line_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"), F.lit(" start\n"),
+            F.lit(hot_line), F.lit("\ntail "), F.col("text"),
+        ).alias("text"),
+    )
+    bloom = bloom_build(
+        spark.range(2000).select(
+            F.concat(F.lit("ref gram "), F.col("id").cast("string")).alias(
+                "gram"
+            )
+        ),
+        "gram",
+    )
     jobs = {
         "minhash_lsh": lambda: lsh_candidate_pairs(
             minhash_signature(docs, "doc_id", "text"), "doc_id"
@@ -352,6 +373,16 @@ def probe(spark, mult: int) -> dict[str, float]:
         # r4: incremental screen — fixed 500-row batch vs mult x
         # history (recomputes the history assignment each run; against
         # the production-persisted table only the join remains)
+        # r4 late: line dedup with a hot line planted in EVERY doc
+        # (mult x 60k occurrences of one line) — the partial-min
+        # canonical must keep this linear, no occurrence list
+        "line_dedup_hot": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.dedup",
+            fromlist=["line_dedup_apply"],
+        ).line_dedup_apply(line_docs),
+        # r4 late: bloom contamination screen — fixed 128 KiB filter,
+        # growing corpus; map-only, expect flat per-row cost
+        "bloom_screen": lambda: bloom_contamination_flags(docs, bloom),
         "semantic_screen_500batch": lambda: semantic_neardup_against(
             mass.limit(500),
             seeds,

@@ -140,3 +140,92 @@ def test_oracle_parity_real_documents(spark):
     w_rows, w_cols = _norm_frame(want)
     assert g_cols == w_cols
     assert g_rows == w_rows
+
+
+# -- incremental + streaming screens ----------------------------------------
+
+
+def test_screen_matches_batch_operator_when_ids_ordered(spark):
+    history = _docs(
+        spark,
+        [
+            (1, f"intro one\n{BOILER}\nbody one"),
+            (2, f"{NAV}\nbody two"),
+        ],
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, f"{BOILER}\nfresh text ten"),
+            (11, f"fresh text eleven\n{NAV}\n{BOILER}"),
+            (12, "entirely novel content"),
+        ],
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        line_dedup_against,
+    )
+
+    got = {
+        r["doc_id"]: (r["text"], r["removed_lines"])
+        for r in line_dedup_against(batch, line_stats(history)).collect()
+    }
+    # the batch operator over history+batch, restricted to batch ids
+    # (batch ids sort after history ids and the batch has no internal
+    # repeats, so the corpus canonical is always the history copy)
+    want = {
+        r["doc_id"]: (r["text"], r["removed_lines"])
+        for r in line_dedup_apply(history.unionByName(batch)).collect()
+        if r["doc_id"] >= 10
+    }
+    assert got == want
+    assert got[10] == ("fresh text ten", 1)
+    assert got[11] == ("fresh text eleven", 2)
+    assert got[12] == ("entirely novel content", 0)
+
+
+def test_stats_merge_accumulates(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        line_stats_merge,
+    )
+
+    h0 = line_stats(_docs(spark, [(1, f"a\n{BOILER}")]))
+    merged = line_stats_merge(h0, _docs(spark, [(7, f"{BOILER}\nz")]))
+    by_occ = {
+        r["occurrences"]: (r["canon_id"], r["canon_line_no"])
+        for r in merged.collect()
+    }
+    # BOILER now 2 occurrences, canonical still (1, 2)
+    assert by_occ[2] == (1, 2)
+    # a third fold re-checks canonical stability with a lower id
+    merged2 = line_stats_merge(merged, _docs(spark, [(0, BOILER)]))
+    row = merged2.filter("occurrences = 3").collect()[0]
+    assert (row["canon_id"], row["canon_line_no"]) == (0, 1)
+
+
+def test_stream_line_screen(spark, tmp_path):
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        stream_line_dedup_candidates,
+    )
+
+    history = _docs(spark, [(1, f"one\n{BOILER}"), (2, f"{NAV}\ntwo")])
+    stats = line_stats(history)
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(901, f"{BOILER}\nnovel line"), (902, "all novel here")],
+        "doc_id long, text string",
+    ).write.parquet(feed)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        feed
+    )
+    got = []
+    q = (
+        stream_line_dedup_candidates(stream, stats)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flagged = {(r["doc_id"], r["line_no"], r["canon_id"]) for r in got}
+    assert flagged == {(901, 1, 1)}
