@@ -631,12 +631,19 @@ def bloom_contamination_flags(
     join. shared_ngrams counts distinct doc grams whose k bloom bits
     are ALL set: a superset of the exact count (no false negatives;
     ~fp_rate of clean grams inflate it). One corpus scan, zero
-    shuffle past the per-doc agg; the filter rides the plan as an
-    array literal, so a 10M-gram reference costs the same 128 KiB as
-    a 10k-gram one."""
+    shuffle past the per-doc agg; the filter ships as ONE array cell
+    in a broadcast 1-row frame — NOT a plan literal: an F.lit(list)
+    of 32k words compiles to a 32k-child CreateArray whose
+    analysis/codegen costs ~16 s of fixed overhead per query
+    (measured; the broadcast form is ~1.7 s and carries the same
+    128 KiB). A 10M-gram reference costs the same as a 10k-gram one
+    either way."""
     from ..operators.dedup import _shingles_of, _tokens
 
-    words_lit = F.lit(bloom.words)
+    words_df = docs.sparkSession.createDataFrame(
+        [(bloom.words,)], "_bloom_w array<bigint>"
+    )
+    words_lit = F.col("_bloom_w")
     m, k = bloom.m_bits, bloom.k
 
     def gram_hit(gram: F.Column) -> F.Column:
@@ -655,11 +662,15 @@ def bloom_contamination_flags(
             == 1,
         )
 
-    staged = docs.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col),
-        F.array_distinct(_shingles_of(F.col("_toks"), n)).alias("_grams"),
+    staged = (
+        docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(_shingles_of(F.col("_toks"), n)).alias(
+                "_grams"
+            ),
+        )
+        .crossJoin(F.broadcast(words_df))
     )
     counted = staged.select(
         F.col(id_col),
