@@ -589,3 +589,80 @@ WITH d AS (
 SELECT doc_id, stratum, token_cnt FROM r
 WHERE budget IS NOT NULL AND run - token_cnt < budget
 """
+
+
+# ---------------------------------------------------------------------------
+# clean_corpus — the full dedup-cleaning chain as ONE composition
+# (the sequence real pretraining pipelines run, coarsest-to-finest:
+# whole-document exact dedup -> repeated-line removal -> shared-
+# substring removal). Each stage is the already-verified operator;
+# this entry point wires them with the right sharing/persist points
+# so users get the production shape, not a lineage bomb.
+# ---------------------------------------------------------------------------
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+    lines: bool = True,
+    substrings: bool = True,
+    line_min_count: int = 2,
+    span_kwargs: dict | None = None,
+) -> DataFrame:
+    """Chained corpus cleaning: (id, text, removed_lines,
+    removed_tokens) — exact-duplicate docs DROPPED (lowest-id copy
+    survives), then duplicated lines cut (line_dedup_apply), then
+    shared substrings cut (substring_spans + substring_dedup_apply),
+    each stage operating on the previous stage's output. Disabled
+    stages contribute zero-cost passthroughs (their count column still
+    appears, as 0).
+
+    Near-idempotent: every stage keeps exactly one canonical copy of
+    whatever it dedups, so a second pass removes nothing
+    (pytest-asserted) — except in the degenerate corner where
+    cleaning EMPTIES two docs into identical residue (e.g. ""), which
+    the second exact stage then collapses; filter empties between
+    passes if re-running.
+
+    Scale notes: stage order matters — exact dedup first shrinks the
+    corpus for everything downstream at one cheap hash-shuffle; line
+    dedup is two line-keyed shuffles; the substring stage is the
+    expensive one and runs LAST on minimal data. The substring stage
+    consumes its input twice (span mining + apply), so the line-stage
+    output is shared via reuse() — at 100 TB pass a materialized
+    frame or swap reuse for a checkpoint between stages.
+    """
+    from ..plans.layout import reuse
+    from .dedup import (
+        exact_dedup,
+        line_dedup_apply,
+        substring_dedup_apply,
+        substring_spans,
+    )
+
+    cur = docs.select(id_col, text_col)
+    if exact:
+        keep = exact_dedup(cur, text_col, id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        cur = cur.join(keep, id_col)  # survivors only (lowest id wins)
+    if lines:
+        cur = line_dedup_apply(
+            cur, id_col, text_col, min_count=line_min_count
+        )
+    else:
+        cur = cur.withColumn("removed_lines", F.lit(0).cast("long"))
+    if substrings:
+        cur = reuse(cur)
+        spans = substring_spans(
+            cur, id_col, text_col, **(span_kwargs or {})
+        )
+        cut = substring_dedup_apply(cur, spans, id_col, text_col)
+        cur = cur.drop(text_col).join(cut, id_col).select(
+            id_col, text_col, "removed_lines", "removed_tokens"
+        )
+    else:
+        cur = cur.withColumn("removed_tokens", F.lit(0).cast("long"))
+    return cur

@@ -1,0 +1,86 @@
+"""clean_corpus: the composed exact -> line -> substring cleaning
+chain. Hand corpus with all three duplication modes planted, stage
+toggles, and the near-idempotence property (second pass removes
+nothing)."""
+
+from __future__ import annotations
+
+from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import clean_corpus
+
+WORDS = [f"w{i}" for i in range(60)]
+SPAN = " ".join(WORDS[:20])  # 20 shared tokens -> substring hit
+LINE = "all rights reserved worldwide"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark):
+    return _docs(
+        spark,
+        [
+            # 1+2: exact duplicates (2 dropped entirely)
+            (1, "identical full document content here"),
+            (2, "identical full document content here"),
+            # 3: canonical carriers of LINE and SPAN
+            (3, f"{LINE}\nunique body three {SPAN}"),
+            # 4: repeats LINE (cut) and SPAN (cut), keeps own tail
+            (4, f"{LINE}\nown intro four {SPAN} own tail four"),
+            # 5: clean
+            (5, "entirely original five"),
+        ],
+    )
+
+
+def test_all_three_stages_fire(spark):
+    out = {
+        r["doc_id"]: (r["text"], r["removed_lines"], r["removed_tokens"])
+        for r in clean_corpus(_corpus(spark)).collect()
+    }
+    assert set(out) == {1, 3, 4, 5}  # doc 2 dropped by exact stage
+    assert out[1] == ("identical full document content here", 0, 0)
+    assert out[3][1:] == (0, 0)  # canonical keeps everything
+    # doc 4 lost the LINE (1 line) and the SPAN (20 tokens)
+    assert out[4][1] == 1
+    assert out[4][2] == 20
+    assert "own intro four" in out[4][0]
+    assert "own tail four" in out[4][0]
+    assert SPAN not in out[4][0]
+    assert LINE not in out[4][0]
+    assert out[5] == ("entirely original five", 0, 0)
+
+
+def test_stage_toggles(spark):
+    docs = _corpus(spark)
+    no_sub = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in clean_corpus(docs, substrings=False).collect()
+    }
+    assert set(no_sub) == {1, 3, 4, 5} and all(
+        v == 0 for v in no_sub.values()
+    )
+    no_exact = clean_corpus(docs, exact=False)
+    assert no_exact.count() == 5  # doc 2 survives
+    # line stage off: LINE keeps both copies, SPAN still cut
+    no_lines = {
+        r["doc_id"]: (r["text"], r["removed_lines"])
+        for r in clean_corpus(docs, lines=False).collect()
+    }
+    assert no_lines[4][1] == 0
+    assert LINE in no_lines[4][0]
+
+
+def test_second_pass_is_noop(spark):
+    first = clean_corpus(_corpus(spark)).select("doc_id", "text")
+    again = clean_corpus(first).collect()
+    assert {r["doc_id"] for r in again} == {1, 3, 4, 5}
+    assert all(
+        r["removed_lines"] == 0 and r["removed_tokens"] == 0
+        for r in again
+    )
+    texts_1 = {
+        r["doc_id"]: r["text"] for r in first.collect()
+    }
+    texts_2 = {r["doc_id"]: r["text"] for r in again}
+    assert texts_1 == texts_2
