@@ -610,6 +610,8 @@ def clean_corpus(
     substrings: bool = True,
     line_min_count: int = 2,
     span_kwargs: dict | None = None,
+    decontaminate=None,
+    min_shared: int = 2,
 ) -> DataFrame:
     """Chained corpus cleaning: (id, text, removed_lines,
     removed_tokens) — exact-duplicate docs DROPPED (lowest-id copy
@@ -633,6 +635,13 @@ def clean_corpus(
     consumes its input twice (span mining + apply), so the line-stage
     output is shared via reuse() — at 100 TB pass a materialized
     frame or swap reuse for a checkpoint between stages.
+
+    `decontaminate` drops benchmark-overlapping docs FIRST (on the
+    original text, before any dedup work is spent on them): pass a
+    benchmark DataFrame with a `text` column for the exact broadcast
+    screen, or a text.BloomFilter for the fixed-size scale screen
+    (one-sided error — only clean docs can be over-dropped, never a
+    contaminated doc kept). `min_shared` is the screen's threshold.
     """
     from ..plans.layout import reuse
     from .dedup import (
@@ -643,6 +652,24 @@ def clean_corpus(
     )
 
     cur = docs.select(id_col, text_col)
+    if decontaminate is not None:
+        from .text import (
+            BloomFilter,
+            bloom_contamination_flags,
+            contamination_flags,
+        )
+
+        if isinstance(decontaminate, BloomFilter):
+            flags = bloom_contamination_flags(
+                cur, decontaminate, id_col, text_col, min_shared=min_shared
+            )
+        else:
+            flags = contamination_flags(
+                cur, decontaminate, id_col, text_col, min_shared=min_shared
+            )
+        cur = cur.join(
+            flags.filter(~F.col("contaminated")).select(id_col), id_col
+        )
     if exact:
         keep = exact_dedup(cur, text_col, id_col).select(
             F.col("keep_id").alias(id_col)

@@ -1247,3 +1247,107 @@ def project_embeddings(
             ).cast("float")
         )
     return emb.withColumn(out_col, F.array(*comps))
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, search many — the production ANN
+# lifecycle (FAISS-style index files, re-expressed as parquet + Spark
+# partition pruning). The inverted lists land on disk PARTITIONED BY
+# centroid_id, so a search's nprobe cells prune to nprobe directories
+# at the SCAN — the other (n_centroids - nprobe)/n_centroids of a
+# 100 TB index is never read, which is the property that makes IVF an
+# index rather than a re-scan.
+# ---------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """Handle to a persisted IVF index (see build_ivf_index)."""
+
+    def __init__(self, path: str, centroids: DataFrame, lists: DataFrame):
+        self.path = path
+        self.centroids = centroids
+        self.lists = lists
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = N_CENTROIDS,
+    n_assign: int = N_ASSIGN,
+    refine_iters: int = 3,
+) -> IvfIndex:
+    """Build + persist: k-means-refined centroids (deterministic
+    Lloyd's) and multi-assigned inverted lists, written as
+      path/centroids/   (c_id, c_vec)          — one small file
+      path/lists/       (vec_id, embedding) partitioned by centroid_id
+    Index build is the one full-corpus pass; every later search reads
+    nprobe partitions. Rebuild (or fold new vectors in with
+    ivf_assign + append) when the corpus drifts."""
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, n_centroids, iters=refine_iters)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents_saved = spark.read.parquet(f"{path}/centroids")
+    (
+        ivf_assign(emb, cents_saved, n_assign)
+        .select("centroid_id", "vec_id", "embedding")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    return load_ivf_index(spark, path)
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    return IvfIndex(
+        path,
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        lists=spark.read.parquet(f"{path}/lists"),
+    )
+
+
+def search_ivf_index(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Top-k cosine over the persisted lists of the queries' nprobe
+    nearest cells. `queries`: (vec_id, embedding). The probed cell ids
+    are collected (bounded by |queries| x nprobe — the query batch is
+    small by contract) and pushed as an IN filter on the PARTITION
+    column, so the parquet scan prunes to those directories; the
+    candidate join then broadcasts the query set. Same output contract
+    as ann_topk_ivf: (q_id, vec_id, cosine_sim, rank)."""
+    from pyspark.sql import Window
+
+    probes = ivf_assign(queries, index.centroids, nprobe).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        "centroid_id",
+    )
+    cells = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    cand = (
+        index.lists.filter(F.col("centroid_id").isin(cells))
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
+        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
+    )
+    scored = cand.select(
+        "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "vec_id", "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

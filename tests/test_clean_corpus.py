@@ -84,3 +84,46 @@ def test_second_pass_is_noop(spark):
     }
     texts_2 = {r["doc_id"]: r["text"] for r in again}
     assert texts_1 == texts_2
+
+
+def test_decontaminate_stage_drops_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [("what is the capital of assyria and its rivers",)],
+        "text string",
+    )
+    docs = _corpus(spark).unionByName(
+        _docs(
+            spark,
+            [(6, "padding what is the capital of assyria and its "
+                 "rivers more padding")],
+        )
+    )
+    # exact-screen path
+    ids = {
+        r["doc_id"]
+        for r in clean_corpus(docs, decontaminate=bench).collect()
+    }
+    assert ids == {1, 3, 4, 5}  # 6 dropped (contaminated), 2 (exact dup)
+    # bloom path gives the same verdicts here (fp ~ 0 at default m)
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        _shingles_of,
+        _tokens,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import bloom_build
+    from pyspark.sql import functions as F
+
+    grams = (
+        bench.select(_tokens(F.col("text")).alias("_toks"))
+        .select(
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("_toks"), 3))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    bloom = bloom_build(grams)
+    ids_b = {
+        r["doc_id"]
+        for r in clean_corpus(docs, decontaminate=bloom).collect()
+    }
+    assert ids_b == ids

@@ -1,0 +1,82 @@
+"""Persisted IVF index lifecycle: build -> load -> search with
+partition-pruned scans; search results match the in-memory operator
+and reach brute-force recall at full probe coverage."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    load_ivf_index,
+    search_ivf_index,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_build_layout_and_pruned_search(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    idx = build_ivf_index(emb, path, n_centroids=16, n_assign=1)
+    cell_dirs = glob.glob(f"{path}/lists/centroid_id=*")
+    assert 2 <= len(cell_dirs) <= 16
+    # every corpus vector indexed exactly once at n_assign=1
+    assert idx.lists.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = search_ivf_index(idx, queries, k=3, nprobe=4)
+    out = res.collect()
+    assert {r["q_id"] for r in out} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    # partition pruning reaches the scan: the physical plan carries a
+    # partition filter on centroid_id
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
+
+
+def test_full_probe_matches_brute_force(spark, tmp_path):
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_centroids=8, n_assign=1
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in search_ivf_index(idx, queries, k=3, nprobe=8).collect()
+    }
+    qframe = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    want = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(qframe, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_load_reopens_same_index(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, n_assign=2)
+    idx = load_ivf_index(spark, path)
+    assert idx.centroids.count() == 8
+    assert idx.lists.count() == 2 * emb.count()
+    res = search_ivf_index(
+        idx, emb.filter(F.col("vec_id") == 0), k=3, nprobe=2
+    )
+    assert res.count() == 3
