@@ -637,51 +637,76 @@ def bloom_contamination_flags(
     analysis/codegen costs ~16 s of fixed overhead per query
     (measured; the broadcast form is ~1.7 s and carries the same
     128 KiB). A 10M-gram reference costs the same as a 10k-gram one
-    either way."""
+    either way.
+
+    Probe staging: grams explode to rows so the md5 is computed ONCE
+    per gram as a staged column — the earlier in-lambda form
+    re-derived it per bloom position (2k md5 evaluations per gram;
+    measured 6x slower at 10x scale). The a + i*b positions, the word
+    lookups, and the bit tests are all arithmetic off that one staged
+    hex column; the per-doc count is a map-combined agg on id (the
+    explode never shuffles gram rows)."""
+    from ..functions.hashing import HASH_PAIR_LIM
     from ..operators.dedup import _shingles_of, _tokens
 
     words_df = docs.sparkSession.createDataFrame(
         [(bloom.words,)], "_bloom_w array<bigint>"
     )
-    words_lit = F.col("_bloom_w")
     m, k = bloom.m_bits, bloom.k
 
-    def gram_hit(gram: F.Column) -> F.Column:
-        # all k bits set <=> the gram is (probably) in the reference.
-        # Bit test without variable shifts: word is uint32 in a long,
-        # word / 2^bit stays exact in double, floor%2 extracts the bit
-        return F.forall(
-            _bloom_positions(gram, m, k),
-            lambda pos: F.floor(
-                F.element_at(
-                    words_lit, (F.floor(pos / F.lit(32.0)) + 1).cast("int")
-                )
-                / F.pow(F.lit(2.0), pos % 32)
-            ).cast("long")
-            % 2
-            == 1,
-        )
-
-    staged = (
+    gram_rows = (
         docs.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
         .select(
             F.col(id_col),
-            F.array_distinct(_shingles_of(F.col("_toks"), n)).alias(
-                "_grams"
-            ),
+            F.explode(
+                F.array_distinct(_shingles_of(F.col("_toks"), n))
+            ).alias("_gram"),
         )
         .crossJoin(F.broadcast(words_df))
+        .withColumn("_m", F.md5(F.col("_gram")))
     )
-    counted = staged.select(
-        F.col(id_col),
-        F.size(F.filter(F.col("_grams"), gram_hit))
-        .cast("long")
-        .alias("shared_ngrams"),
+    hexes = F.col("_m")
+    a = F.conv(F.substring(hexes, 1, 15), 16, 10).cast("long") % HASH_PAIR_LIM
+    b = F.conv(F.substring(hexes, 17, 15), 16, 10).cast("long") % HASH_PAIR_LIM
+    staged = gram_rows.select(
+        id_col, "_bloom_w", a.alias("_a"), b.alias("_b")
     )
-    return counted.select(
-        id_col,
-        "shared_ngrams",
-        (F.col("shared_ngrams") >= min_shared).alias("contaminated"),
+
+    def bit_set(pos: F.Column) -> F.Column:
+        # word is uint32 in a long; word / 2^bit stays exact in
+        # double, floor%2 extracts the bit (no variable shifts needed)
+        word = F.element_at(
+            F.col("_bloom_w"), (F.floor(pos / F.lit(32.0)) + 1).cast("int")
+        )
+        return (
+            F.floor(word / F.pow(F.lit(2.0), pos % 32)).cast("long") % 2
+            == 1
+        )
+
+    hit = bit_set((F.col("_a")) % F.lit(m))
+    for i in range(1, k):
+        hit = hit & bit_set((F.col("_a") + i * F.col("_b")) % F.lit(m))
+    shared = (
+        staged.select(id_col, hit.alias("_hit"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0))
+            .cast("long")
+            .alias("shared_ngrams")
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("shared_ngrams"), F.lit(0).cast("long")
+            ).alias("shared_ngrams"),
+            (
+                F.coalesce(F.col("shared_ngrams"), F.lit(0)) >= min_shared
+            ).alias("contaminated"),
+        )
     )
 
 
@@ -879,4 +904,135 @@ FROM per_doc
 def x3h_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_scores(
         load_table(spark, sf_dir, "documents"), quantize=LM_QUANT
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trained character-n-gram language ID (Cavnar-Trenkle 1994 "N-Gram-
+# Based Text Categorization" — the classic out-of-place rank method,
+# the public ancestor of langid/fastText profiles). Unlike the
+# marker-word heuristic (detect_language), this TRAINS on a labeled
+# corpus: per-language profiles of the top-K character n-grams by
+# frequency rank, classification = argmin sum of rank displacements.
+#
+# Distributed shape:
+#   train: one char-gram explode (row-local) + one (lang, gram) count
+#          shuffle + per-lang top-K window -> a langs x K profile
+#          table, tiny by construction (broadcast forever after);
+#   classify: per-doc top-M grams (one (doc, gram) shuffle + window),
+#          broadcast-join the profile, one per-doc argmin agg.
+# ---------------------------------------------------------------------------
+
+LANGID_N = 3
+LANGID_PROFILE_K = 200
+LANGID_DOC_M = 50
+
+
+def train_langid_profiles(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    n: int = LANGID_N,
+    top_k: int = LANGID_PROFILE_K,
+) -> DataFrame:
+    """(lang, gram, rank): per-language frequency-rank profile of the
+    top_k character n-grams. Ties broken by gram for determinism."""
+    from pyspark.sql import Window
+
+    grams = _explode_char_grams(docs, text_col, n, keep=[lang_col])
+    counts = grams.groupBy(lang_col, "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("_c"), F.asc("gram")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col(lang_col).alias("lang"), "gram", "rank")
+    )
+
+
+def _explode_char_grams(
+    docs: DataFrame, text_col: str, n: int, keep: list
+) -> DataFrame:
+    staged = docs.select(
+        *keep,
+        F.concat(
+            F.lit("_"),
+            F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "_"),
+            F.lit("_"),
+        ).alias("_pt"),
+    )
+    pt = F.col("_pt")
+    idx = F.when(
+        F.length(pt) >= n, F.sequence(F.lit(1), F.length(pt) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return staged.select(
+        *keep,
+        F.explode(
+            F.transform(idx, lambda i: F.substring(pt, i, n))
+        ).alias("gram"),
+    )
+
+
+def classify_language(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = LANGID_N,
+    top_k: int = LANGID_PROFILE_K,
+    doc_m: int = LANGID_DOC_M,
+) -> DataFrame:
+    """(id, predicted_lang, oop_distance): out-of-place classification
+    against trained profiles. Distance per language = sum over the
+    doc's top doc_m grams of |doc_rank - profile_rank|, with top_k as
+    the displacement for grams absent from the profile (the
+    Cavnar-Trenkle max-penalty convention). Docs with NO grams (empty
+    text) get no row — left-join downstream to enumerate.
+
+    The profile table is langs x top_k rows — broadcast by
+    construction; a doc never shuffles against the corpus."""
+    from pyspark.sql import Window
+
+    grams = _explode_char_grams(docs, text_col, n, keep=[F.col(id_col)])
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("gram"))
+    doc_prof = (
+        counts.withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= doc_m)
+        .select(id_col, "gram", "doc_rank")
+    )
+    langs = profiles.select("lang").distinct()
+    # every (doc gram, lang) pair scores: matched -> |dr - pr|,
+    # unmatched -> top_k. The doc profile crosses the tiny lang list,
+    # then left-joins the broadcast profile on (lang, gram).
+    scored = (
+        doc_prof.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profiles), ["lang", "gram"], "left")
+        .select(
+            id_col,
+            "lang",
+            F.coalesce(
+                F.abs(F.col("doc_rank") - F.col("rank")),
+                F.lit(top_k),
+            ).alias("_disp"),
+        )
+    )
+    dist = scored.groupBy(id_col, "lang").agg(
+        F.sum("_disp").cast("long").alias("oop_distance")
+    )
+    best = dist.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("lang"), F.col("oop_distance")),
+            F.struct(F.col("oop_distance"), F.col("lang")),
+        ).alias("_best")
+    )
+    return best.select(
+        id_col,
+        F.col("_best.lang").alias("predicted_lang"),
+        F.col("_best.oop_distance").alias("oop_distance"),
     )

@@ -214,6 +214,13 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
         ),
         "cdc_apply": lambda: latest_state(changes, ["entity_id"]),
         "shuffle_corpus": lambda: shuffle_corpus(docs),
+        # r4 late: the line-dedup hot path and bloom screen on the
+        # composed corpus (hot line in EVERY doc grows with mult)
+        "line_dedup_hot": lambda: __import__(
+            "peerdb_cdc_psql_clickhouse_spark.operators.dedup",
+            fromlist=["line_dedup_apply"],
+        ).line_dedup_apply(line_docs),
+        "bloom_screen": lambda: bloom_contamination_flags(docs, bloom),
     }
     res = {}
     for name, build in jobs.items():
@@ -319,6 +326,27 @@ def probe(spark, mult: int) -> dict[str, float]:
             F.col("vec_id").alias("c_id"),
             F.col("embedding").alias("c_vec"),
         )
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import (
+        bloom_build,
+        bloom_contamination_flags,
+    )
+
+    hot_line = " ".join(f"bl{j}" for j in range(12))
+    line_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"), F.lit(" start\n"),
+            F.lit(hot_line), F.lit("\ntail "), F.col("text"),
+        ).alias("text"),
+    )
+    bloom = bloom_build(
+        spark.range(2000).select(
+            F.concat(F.lit("ref gram "), F.col("id").cast("string")).alias(
+                "gram"
+            )
+        ),
+        "gram",
     )
     jobs = {
         "minhash_lsh": lambda: lsh_candidate_pairs(

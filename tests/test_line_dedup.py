@@ -229,3 +229,51 @@ def test_stream_line_screen(spark, tmp_path):
     q.awaitTermination(120)
     flagged = {(r["doc_id"], r["line_no"], r["canon_id"]) for r in got}
     assert flagged == {(901, 1, 1)}
+
+
+def test_randomized_python_oracle(spark):
+    """Randomized corpora vs an independent pure-Python reference
+    implementation (same contract: corpus-wide line counts, lowest
+    (doc_id, line_no) canonical, non-blank survivors rebuilt)."""
+    import random
+
+    rng = random.Random(20260814)
+    pool = [f"line {i}" for i in range(12)] + ["", "  "]
+    for trial in range(5):
+        rows = [
+            (
+                did,
+                "\n".join(
+                    rng.choice(pool)
+                    for _ in range(rng.randint(0, 8))
+                ),
+            )
+            for did in range(rng.randint(1, 12))
+        ]
+        got = {
+            r["doc_id"]: (r["text"], r["removed_lines"])
+            for r in line_dedup_apply(_docs(spark, rows)).collect()
+        }
+
+        # independent reference
+        occ: dict[str, list[tuple[int, int]]] = {}
+        for did, text in rows:
+            for ln0, line in enumerate(text.split("\n")):
+                if line.strip():
+                    occ.setdefault(line, []).append((did, ln0 + 1))
+        canon = {line: min(ps) for line, ps in occ.items()}
+        want = {}
+        for did, text in rows:
+            kept, removed = [], 0
+            for ln0, line in enumerate(text.split("\n")):
+                if not line.strip():
+                    continue
+                if len(occ[line]) < 2 or canon[line] == (did, ln0 + 1):
+                    kept.append(line)
+                else:
+                    removed += 1
+            want[did] = (
+                text if removed == 0 else "\n".join(kept),
+                removed,
+            )
+        assert got == want, f"trial {trial}"
