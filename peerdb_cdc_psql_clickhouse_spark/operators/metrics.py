@@ -298,19 +298,9 @@ def d12_synth_orders(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
 
 
-@declare(
-    "d13_date_arith",
-    """
-SELECT o_orderkey,
-       strftime(CAST(CAST(o_orderdate AS DATE)
-                     - (o_orderkey % 30) * INTERVAL 1 DAY AS DATE),
-                '%Y-%m-%d') AS back_date
-FROM orders
-""",
-    doc="O-D13 date arithmetic today - rand(0..30) days formatted "
-    "yyyy-MM-dd (insert.ps1:284); offset made deterministic (key % 30)",
-)
-def d13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D13 date arithmetic today - rand(0..30) days formatted
+    yyyy-MM-dd (insert.ps1:284); offset made deterministic (key % 30)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -323,18 +313,10 @@ def d13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "d14_regex_extract",
-    r"""
-SELECT event_id,
-       CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS INT) AS k_val
-FROM events
-""",
-    doc="O-D14 regex extraction from log-ish text (insert.ps1:98-99,296; "
-    "monitor.ps1:354,395,811-818): parse the props JSON-ish string with "
-    "a capture group, log-as-table pattern",
-)
-def d14_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def regex_extract_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D14 regex extraction from log-ish text (insert.ps1:98-99,296;
+    monitor.ps1:354,395,811-818): parse the props JSON-ish string with
+    a capture group, log-as-table pattern."""
     ev = load_table(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
     return ev.select(
@@ -359,33 +341,11 @@ def to_kib(num: F.Column, unit: F.Column) -> F.Column:
     return chain.otherwise(expr)
 
 
-@declare(
-    "d15_unit_normalize",
-    f"""
-WITH mem AS (
-  SELECT doc_id,
-         CONCAT(CAST(n_chars AS VARCHAR),
-                CASE WHEN lang = 'es' THEN 'MiB'
-                     WHEN lang = 'de' THEN 'KiB'
-                     WHEN lang = 'zh' THEN 'GiB'
-                     ELSE 'B' END) AS mem_str
-  FROM documents
-)
-SELECT doc_id, mem_str,
-       {fround_sql('''CAST(regexp_extract(mem_str, '([0-9.]+)', 1) AS DOUBLE) *
-            CASE regexp_extract(mem_str, '[0-9.]+([A-Za-z]+)', 1)
-                 WHEN 'B'   THEN 1.0/1024
-                 WHEN 'KiB' THEN 1.0
-                 WHEN 'MiB' THEN 1024.0
-                 WHEN 'GiB' THEN 1048576.0
-            END''', 3)} AS mem_kib
-FROM mem
-""",
-    doc="O-D15 unit normalization to KiB: string parse + CASE ladder "
-    "(monitor.ps1:15-64,1175-1180). mem strings synthesized "
-    "deterministically from documents(n_chars, lang), then parsed back",
-)
-def d15_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-D15 unit normalization to KiB: string parse + CASE ladder
+    (monitor.ps1:15-64,1175-1180). mem strings synthesized
+    deterministically from documents(n_chars, lang), then parsed
+    back."""
     docs = load_table(spark, sf_dir, "documents")
     unit = (
         F.when(F.col("lang") == "es", "MiB")
@@ -404,6 +364,78 @@ def d15_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mem_str",
         fround(to_kib(num, parsed_unit), 3).alias("mem_kib"),
     )
+
+
+_D13_SQL = """
+SELECT 'date_arith' AS op, o_orderkey AS id, back_date AS s,
+       CAST(NULL AS DOUBLE) AS v
+FROM (
+  SELECT o_orderkey,
+         strftime(CAST(CAST(o_orderdate AS DATE)
+                       - (o_orderkey % 30) * INTERVAL 1 DAY AS DATE),
+                  '%Y-%m-%d') AS back_date
+  FROM orders
+)
+UNION ALL
+SELECT 'regex_extract' AS op, event_id AS id, CAST(NULL AS VARCHAR) AS s,
+       CAST(CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+            AS INT) AS DOUBLE) AS v
+FROM events
+UNION ALL
+SELECT 'unit_normalize' AS op, doc_id AS id, mem_str AS s, {mem_kib} AS v
+FROM (
+  SELECT doc_id,
+         CONCAT(CAST(n_chars AS VARCHAR),
+                CASE WHEN lang = 'es' THEN 'MiB'
+                     WHEN lang = 'de' THEN 'KiB'
+                     WHEN lang = 'zh' THEN 'GiB'
+                     ELSE 'B' END) AS mem_str
+  FROM documents
+)
+""".format(
+    mem_kib=fround_sql(
+        '''CAST(regexp_extract(mem_str, '([0-9.]+)', 1) AS DOUBLE) *
+            CASE regexp_extract(mem_str, '[0-9.]+([A-Za-z]+)', 1)
+                 WHEN 'B'   THEN 1.0/1024
+                 WHEN 'KiB' THEN 1.0
+                 WHEN 'MiB' THEN 1024.0
+                 WHEN 'GiB' THEN 1048576.0
+            END''',
+        3,
+    )
+)
+
+
+@declare(
+    "d13_transforms",
+    _D13_SQL,
+    doc="O-D13 + O-D14 + O-D15 (merged late r4 to free declared slots "
+    "for the x7c/x7d pipeline promotions; the d16 merge pattern): "
+    "date arithmetic (orders), regex extraction (events props), and "
+    "unit normalization to KiB (documents), as one op-labeled union "
+    "with schema (op, id, s, v). All three are row-local single-scan "
+    "transforms; each branch keeps its exact pre-merge expressions.",
+)
+def d13_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d13 = date_arith(spark, sf_dir).select(
+        F.lit("date_arith").alias("op"),
+        F.col("o_orderkey").alias("id"),
+        F.col("back_date").alias("s"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    d14 = regex_extract_kv(spark, sf_dir).select(
+        F.lit("regex_extract").alias("op"),
+        F.col("event_id").alias("id"),
+        F.lit(None).cast("string").alias("s"),
+        F.col("k_val").cast("double").alias("v"),
+    )
+    d15 = unit_normalize(spark, sf_dir).select(
+        F.lit("unit_normalize").alias("op"),
+        F.col("doc_id").alias("id"),
+        F.col("mem_str").alias("s"),
+        F.col("mem_kib").alias("v"),
+    )
+    return d13.unionByName(d14).unionByName(d15)
 
 
 # ---------------------------------------------------------------------------

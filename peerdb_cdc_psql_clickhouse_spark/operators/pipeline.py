@@ -693,3 +693,54 @@ def clean_corpus(
     else:
         cur = cur.withColumn("removed_tokens", F.lit(0).cast("long"))
     return cur
+
+
+# ---------------------------------------------------------------------------
+# Late-r4 declared promotions (slots freed by the d13-d15 merge): the
+# two loader-side pipeline ops whose DuckDB replays were already
+# bit-exact in pytest join the driver hash surface.
+# ---------------------------------------------------------------------------
+
+X7C_SEED = 3
+
+
+@declare(
+    "x7c_epoch_shuffle",
+    shuffle_oracle(X7C_SEED),
+    doc="O-X7/brief: reproducible epoch shuffle — every doc's global "
+    "position under the seed's permutation (epoch = seed), the order "
+    "a training loader consumes. Value-based hash-range buckets + "
+    "per-bucket rank + tiny offset join: no global sort, no global "
+    "window, partitioning-independent (the repartitionByRange trap is "
+    "documented on shuffle_corpus). Promoted from pytest-only late r4.",
+)
+def x7c_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_corpus(docs, seed=X7C_SEED).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+X7D_BUDGETS = {"en": 1500, "de": 900, "es": 600, "zh": 400}
+X7D_SEED = 7
+
+
+@declare(
+    "x7d_budget_sample",
+    budget_sample_oracle(X7D_BUDGETS, seed=X7D_SEED),
+    doc="O-X7/brief: token-budget stratified selection — the training "
+    "mix recipe (per language, take docs in seeded-hash order until "
+    "the stratum's token budget is crossed; fr intentionally absent "
+    "from the budget map = dropped stratum). One stratum-keyed window "
+    "shuffle; integer running sums make membership engine-exact. "
+    "Promoted from pytest-only late r4.",
+)
+def x7d_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _text.tokens_col(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.col("lang").alias("stratum"),
+        F.size(toks).cast("long").alias("token_cnt"),
+    )
+    return budget_sample(staged, "stratum", X7D_BUDGETS, seed=X7D_SEED)

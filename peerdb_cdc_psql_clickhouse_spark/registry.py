@@ -77,9 +77,10 @@ QUERY_ORDER = [
     "d7_batch_stats",
     "d10_batch_rollup",
     "d11_running_avg",
-    "d13_date_arith",
-    "d14_regex_extract",
-    "d15_unit_normalize",
+    # late r4: d13/d14/d15 (three row-local single-scan transforms)
+    # merged into one op-labeled union, freeing two slots for the
+    # x7c/x7d loader-pipeline promotions below.
+    "d13_transforms",
     # r4: d16/d17/d18 merged into one op-labeled union (all three are
     # rank/window ops) to free two declared slots for the substring-
     # dedup and LM-perplexity promotions below — same consolidation
@@ -107,6 +108,8 @@ QUERY_ORDER = [
     # heaviest last: full corpus pipeline + live streaming probe
     "x7_corpus_select",
     "x7b_training_mix",
+    "x7c_epoch_shuffle",
+    "x7d_budget_sample",
     "r14_replication_slots",
 ]
 
