@@ -366,7 +366,7 @@ def unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_D13_SQL = """
+_D13_SQL = r"""
 SELECT 'date_arith' AS op, o_orderkey AS id, back_date AS s,
        CAST(NULL AS DOUBLE) AS v
 FROM (

@@ -36,8 +36,10 @@ SECTIONS = {
     "cdc_operations": "c5_microbatch_sizes",
     # 6 Get-ContainerHealthStatus (:853-918): expected-vs-found status
     "container_health": "d19_container_health",
-    # 7 Get-PeerDBResourceUsage (:920-982): CPU/mem usage table
-    "resource_usage": "d15_unit_normalize",
+    # 7 Get-PeerDBResourceUsage (:920-982): CPU/mem usage table —
+    # d15 left the declared registry (merged into d13_transforms), so
+    # the monitor binds the builder directly
+    "resource_usage": "__unit_normalize__",
     # 8 Get-PerformanceSummary (:984-1025): built by
     # connectivity_summary() (special-cased in monitor_report —
     # source/target probes + the pluggable UI liveness prober)
@@ -126,6 +128,7 @@ def monitor_report(
     acts). Each value is a small DataFrame; at scale every section
     stays fully distributed until its final limit/agg. Section 8 is
     the connectivity summary with the pluggable UI prober."""
+    from .metrics import unit_normalize
     from .relational import r10_version_probe
 
     queries = all_queries()
@@ -135,6 +138,8 @@ def monitor_report(
             return connectivity_summary(spark, sf_dir, ui_probe)
         if qname == "__version_probe__":
             return r10_version_probe(spark, sf_dir)
+        if qname == "__unit_normalize__":
+            return unit_normalize(spark, sf_dir)
         return queries[qname].build(spark, sf_dir)
 
     return {section: build(qname) for section, qname in SECTIONS.items()}

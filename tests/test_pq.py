@@ -1,0 +1,164 @@
+"""Product quantization: training reduces distortion, codes agree
+with an independent numpy encoder, ADC distances are numpy-exact,
+and ADC top-k recall against brute-force L2 clears the documented
+bar on the real testdata embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+    PQ_M,
+    pq_encode,
+    pq_reconstruct_mse,
+    pq_search,
+    pq_search_rerank,
+    pq_train,
+)
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _numpy_corpus(spark):
+    rows = _emb(spark).orderBy("vec_id").collect()
+    ids = np.asarray([r.vec_id for r in rows], dtype="int64")
+    mat = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    return ids, mat
+
+
+def _numpy_encode(mat, codebook):
+    m, ksub, dsub = codebook.shape
+    n = mat.shape[0]
+    xs = mat.reshape(n, m, dsub)
+    codes = np.empty((n, m), dtype="int64")
+    for s in range(m):
+        d2 = ((xs[:, s, :][:, None, :] - codebook[s][None, :, :]) ** 2).sum(
+            axis=2
+        )
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def test_training_reduces_distortion_and_is_deterministic(spark):
+    emb = _emb(spark)
+    mse0 = pq_reconstruct_mse(emb, pq_train(emb, iters=0))
+    cb = pq_train(emb, iters=3)
+    mse3 = pq_reconstruct_mse(emb, cb)
+    assert mse3 < mse0 * 0.9  # Lloyd's actually moved the cells
+    cb2 = pq_train(emb, iters=3)
+    assert np.array_equal(cb, cb2)  # no randomness anywhere
+
+
+def test_codes_match_independent_numpy_encoder(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, iters=2)
+    ids, mat = _numpy_corpus(spark)
+    want = _numpy_encode(mat, cb)
+    got_rows = pq_encode(emb, cb).orderBy("vec_id").collect()
+    got = np.stack([np.asarray(r.codes, dtype="int64") for r in got_rows])
+    assert np.array_equal(got, want)
+    assert got.shape[1] == PQ_M
+
+
+def test_adc_distance_is_numpy_exact(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, iters=2)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = pq_search(queries, codes, cb, k=5).collect()
+
+    ids, mat = _numpy_corpus(spark)
+    c = _numpy_encode(mat, cb)
+    m, ksub, dsub = cb.shape
+    recon = np.stack(
+        [
+            np.concatenate([cb[s][c[i, s]] for s in range(m)])
+            for i in range(mat.shape[0])
+        ]
+    )
+    by_id = {int(i): recon[j] for j, i in enumerate(ids)}
+    qvec = {int(i): mat[j] for j, i in enumerate(ids)}
+    for r in got:
+        want = ((qvec[r.q_id] - by_id[r.vec_id]) ** 2).sum()
+        assert abs(r.adc_dist - round(want, 6)) < 1e-5
+
+
+def test_adc_topk_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, iters=3)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 10
+    got = pq_search(queries, codes, cb, k=k).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+
+    ids, mat = _numpy_corpus(spark)
+    idx = {int(i): j for j, i in enumerate(ids)}
+    hits = tot = 0
+    for q, found in approx.items():
+        d = ((mat - mat[idx[q]]) ** 2).sum(axis=1)
+        d[idx[q]] = np.inf
+        true = set(
+            int(ids[j]) for j in np.lexsort((ids, d))[:k]
+        )
+        hits += len(found & true)
+        tot += k
+    recall = hits / tot
+    # measured 0.61 raw-ADC at sf0.001 (500 vecs, 64d -> 16x6-bit
+    # codes); pin a safety margin below. The production number is the
+    # rerank test's.
+    assert recall >= 0.5, recall
+
+
+def test_rerank_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, iters=3)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 10
+    got = pq_search_rerank(queries, codes, emb, cb, k=k, rerank=50).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+
+    ids, mat = _numpy_corpus(spark)
+    idx = {int(i): j for j, i in enumerate(ids)}
+    hits = tot = 0
+    for q, found in approx.items():
+        d = ((mat - mat[idx[q]]) ** 2).sum(axis=1)
+        d[idx[q]] = np.inf
+        true = set(int(ids[j]) for j in np.lexsort((ids, d))[:k])
+        hits += len(found & true)
+        tot += k
+    # measured 0.94 (rerank=50), 1.0 (rerank=100); pin below
+    assert hits / tot >= 0.85, hits / tot
+    # rerank distances are EXACT squared L2 — check one row
+    r0 = got[0]
+    want = ((mat[idx[r0.q_id]] - mat[idx[r0.vec_id]]) ** 2).sum()
+    assert abs(r0.l2_dist - round(want, 6)) < 1e-5
+
+
+def test_exact_duplicate_codes_collide(spark):
+    # an exact copy of a corpus vector must get identical codes —
+    # the dedup-regime guarantee that PQ preserves exact duplicates
+    emb = _emb(spark)
+    cb = pq_train(emb, iters=2)
+    dup = emb.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    codes = pq_encode(emb.unionByName(dup), cb)
+    a, b = (
+        codes.filter(F.col("vec_id").isin([7, 1_000_007]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert list(a.codes) == list(b.codes)
