@@ -429,6 +429,42 @@ def extended_ops(spark, sf_dir: str) -> dict:
         substring_dedup_apply,
     )
 
+    from peerdb_cdc_psql_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+        quality_filter,
+        train_quality_classifier,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import doc_signals
+
+    def bpe_pipeline():
+        merges = train_bpe(docs, n_merges=200)
+        return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+    def quality_pipeline():
+        labeled = doc_signals(docs).withColumn(
+            "label",
+            (
+                (F.col("token_cnt") >= 40)
+                & (F.col("dup_ngram_frac") <= 0.05)
+            ).cast("int"),
+        )
+        model = train_quality_classifier(labeled, iters=30)
+        return quality_filter(doc_signals(docs), model, 0.5)
+
+    def pq_pipeline():
+        cb = pq_train(emb, iters=3)
+        codes = pq_encode(emb, cb)
+        queries = emb.filter(F.col("vec_id") < 50)
+        return pq_search_rerank(queries, codes, emb, cb, k=10)
+
     jobs = {
         "substring_spans": lambda: substring_spans(docs),
         "substring_dedup_apply": lambda: substring_dedup_apply(
@@ -438,6 +474,9 @@ def extended_ops(spark, sf_dir: str) -> dict:
         "shuffle_corpus": lambda: shuffle_corpus(docs),
         "ngram_lm_scores": lambda: ngram_lm_scores(docs),
         "corpus_report_cheap": report_cheap,
+        "bpe_train_encode": bpe_pipeline,
+        "quality_train_filter": quality_pipeline,
+        "pq_train_search": pq_pipeline,
     }
     out = {}
     for name, build in jobs.items():

@@ -1479,16 +1479,20 @@ def pq_encode(
     codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Map-only encode: (id, codes array<int> of length m). One Arrow
-    pass, vectorized argmin per subspace; zero shuffle. The codes
-    frame is the compressed index — 32x smaller than the vectors at
-    prod sizing, so it can be cached cluster-wide."""
+    """Map-only encode: (id, codes array<int> of length m,
+    passthrough...). One Arrow pass, vectorized argmin per subspace;
+    zero shuffle. The codes frame is the compressed index — 32x
+    smaller than the vectors at prod sizing, so it can be cached
+    cluster-wide. `passthrough` columns (e.g. the IVF cell id) ride
+    the same pass."""
     import numpy as np
     import pandas as pd
 
     m, ksub, dsub = codebook.shape
     cb = codebook
+    extra_schema = "".join(f", {c} long" for c in passthrough)
 
     def enc(pdfs):
         for pdf in pdfs:
@@ -1503,12 +1507,13 @@ def pq_encode(
                     + (cb[s] ** 2).sum(axis=1)[None, :]
                 )
                 codes[:, s] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values, "codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col].values, "codes": list(codes)}
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(
-        enc, f"{id_col} long, codes array<int>"
+    return emb.select(id_col, vec_col, *passthrough).mapInPandas(
+        enc, f"{id_col} long, codes array<int>{extra_schema}"
     )
 
 
@@ -1660,6 +1665,254 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select(
             "q_id", id_col, "l2_dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# -- IVF-PQ persisted index (residual quantization) -------------------------
+# The composed big-corpus index (Jegou et al. 2011 §IV, the FAISS
+# IVFADC layout, public): coarse quantizer partitions the corpus into
+# cells; each vector stores only PQ codes of its RESIDUAL from the
+# cell centroid (residuals are small, so the same code budget buys
+# much finer quantization than coding raw vectors). A search prunes
+# to nprobe cell partitions at the parquet scan, ADCs the cells'
+# codes against per-(query, cell) lookup tables, and exact-reranks
+# the short candidate list against the original vectors. At 100 TB:
+# the scan touches nprobe/n_cells of a codes table that is itself
+# ~30x smaller than the vectors, and full-dim arithmetic happens on
+# nq x rerank rows only.
+
+
+class IvfPqIndex:
+    """Handle to a persisted IVF-PQ index (see build_ivfpq_index)."""
+
+    def __init__(self, path: str, centroids: DataFrame, lists: DataFrame, codebook):
+        self.path = path
+        self.centroids = centroids
+        self.lists = lists  # (vec_id, codes, centroid_id) part. by cell
+        self.codebook = codebook  # numpy (m, ksub, dsub)
+
+
+def _residuals(assign: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, crank, residual) — broadcast centroid
+    join + row-local subtract; the vector never shuffles."""
+    return assign.join(
+        F.broadcast(centroids),
+        assign.centroid_id == centroids.c_id,
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "crank",
+        F.zip_with(
+            "embedding",
+            "c_vec",
+            lambda x, y: (x.cast("double") - y.cast("double")).cast(
+                "float"
+            ),
+        ).alias("residual"),
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = N_CENTROIDS,
+    n_assign: int = N_ASSIGN,
+    refine_iters: int = 3,
+    m: int = PQ_M,
+    nbits: int = PQ_NBITS,
+    pq_iters: int = 3,
+) -> IvfPqIndex:
+    """Build + persist:
+      path/centroids/  (c_id, c_vec)
+      path/codebook/   (s, code, vec)     — m x 2^nbits tiny rows
+      path/lists/      (vec_id, codes) PARTITIONED BY centroid_id
+    The PQ codebook is trained on primary-assignment residuals
+    (crank=1, so the training input is one row per vector and the
+    deterministic seed order is unambiguous); multi-assigned copies
+    are then encoded against it. Index build = the kmeans passes +
+    two more corpus scans (assign+residual, encode); everything else
+    is broadcast-sized."""
+    import pandas as pd
+
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, n_centroids, iters=refine_iters)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents_saved = spark.read.parquet(f"{path}/centroids")
+
+    assign = ivf_assign(emb, cents_saved, n_assign)
+    res = _residuals(assign, cents_saved)
+    codebook = pq_train(
+        res.filter(F.col("crank") == 1),
+        m=m,
+        nbits=nbits,
+        iters=pq_iters,
+        id_col="vec_id",
+        vec_col="residual",
+    )
+    ksub = codebook.shape[1]
+    cb_rows = [
+        (s, c, codebook[s, c].tolist())
+        for s in range(m)
+        for c in range(ksub)
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(cb_rows, columns=["s", "code", "vec"])
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        pq_encode(
+            res,
+            codebook,
+            id_col="vec_id",
+            vec_col="residual",
+            passthrough=("centroid_id",),
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/lists")
+    )
+    return load_ivfpq_index(spark, path)
+
+
+def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    import numpy as np
+
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["s"] for r in cb_rows)
+    ksub = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["vec"])
+    codebook = np.zeros((m, ksub, dsub))
+    for r in cb_rows:
+        codebook[r["s"], r["code"]] = r["vec"]
+    return IvfPqIndex(
+        path,
+        centroids=spark.read.parquet(f"{path}/centroids"),
+        lists=spark.read.parquet(f"{path}/lists"),
+        codebook=codebook,
+    )
+
+
+def search_ivfpq_index(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """ADC over the probed cells' codes + exact rerank against the
+    original vectors. Output (q_id, vec_id, l2_dist, rank) ascending
+    EXACT squared L2 (the rerank recomputes it full-dim), vec_id
+    tiebreak.
+
+    Scale shape: the probed cell ids are collected (|queries| x
+    nprobe, bounded by the small-query-batch contract) and pushed as
+    an IN filter on the PARTITION column — the codes scan prunes to
+    nprobe directories. Per-(query, cell) ADC lookup tables are exact
+    ||(q - c)_s - codeword||^2 grids computed driver-side (nq x
+    nprobe x m x ksub floats) and ride the Arrow closure. Per-batch
+    top-`rerank` is taken map-side; only nq x rerank candidates join
+    the full-dim vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    m, ksub, dsub = index.codebook.shape
+    cb = index.codebook
+    probes = (
+        ivf_assign(queries, index.centroids, nprobe)
+        .join(
+            F.broadcast(index.centroids),
+            F.col("centroid_id") == F.col("c_id"),
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            "centroid_id",
+            "c_vec",
+        )
+        .collect()
+    )
+    luts: dict = {}
+    for r in probes:
+        q = np.asarray(r["q_vec"], dtype="float64")
+        c = np.asarray(r["c_vec"], dtype="float64")
+        res = (q - c).reshape(m, dsub)
+        lut = np.empty((m, ksub))
+        for s in range(m):
+            lut[s] = (
+                (res[s] ** 2).sum()
+                - 2.0 * cb[s] @ res[s]
+                + (cb[s] ** 2).sum(axis=1)
+            )
+        luts.setdefault(int(r["centroid_id"]), []).append(
+            (int(r["q_id"]), lut)
+        )
+    cells = sorted(luts)
+
+    def scan(pdfs):
+        for pdf in pdfs:
+            frames = []
+            for cid, grp in pdf.groupby("centroid_id"):
+                qlist = luts.get(int(cid))
+                if not qlist:
+                    continue
+                codes = np.stack(grp["codes"].values).astype("int64")
+                ids = grp["vec_id"].values.astype("int64")
+                n = codes.shape[0]
+                take = min(rerank, n)
+                for q_id, lut in qlist:
+                    dist = np.zeros(n)
+                    for s in range(m):
+                        dist += lut[s][codes[:, s]]
+                    idx = np.lexsort((ids, dist))[:take]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": q_id,
+                                "vec_id": ids[idx],
+                                "adc_dist": dist[idx],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames)
+
+    cand = (
+        index.lists.filter(F.col("centroid_id").isin(cells))
+        .mapInPandas(scan, "q_id long, vec_id long, adc_dist double")
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    short = (
+        cand.dropDuplicates(["q_id", "vec_id"])  # multi-assign copies
+        .withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= rerank)
+        .select("q_id", "vec_id")
+    )
+    q = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = (
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            fround(_l2(F.col("q_vec"), F.col("embedding")), 6).alias(
+                "l2_dist"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "vec_id", "l2_dist",
             F.col("rank").cast("int").alias("rank"),
         )
     )

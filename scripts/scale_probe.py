@@ -348,6 +348,44 @@ def probe(spark, mult: int) -> dict[str, float]:
         ),
         "gram",
     )
+    # r4 session 3: the train-once / apply-everywhere ops. Training
+    # inputs are the FIXED 1x tables (labeled sets, codebooks, and
+    # merge tables are bounded by construction at prod scale); only
+    # the map-side apply faces the growing corpus, so per-row cost
+    # should be flat.
+    from peerdb_cdc_psql_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import doc_signals
+
+    docs_1x = load_table(spark, SF_DIR, "documents")
+    emb_1x = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    merges = train_bpe(docs_1x, n_merges=200)
+    q_model = train_quality_classifier(
+        doc_signals(docs_1x).withColumn(
+            "label",
+            (
+                (F.col("token_cnt") >= 40)
+                & (F.col("dup_ngram_frac") <= 0.05)
+            ).cast("int"),
+        ),
+        iters=20,
+    )
+    pq_cb = pq_train(emb_1x, iters=2)
+    emb_plain = emb.select("vec_id", "embedding")
+
     jobs = {
         "minhash_lsh": lambda: lsh_candidate_pairs(
             minhash_signature(docs, "doc_id", "text"), "doc_id"
@@ -411,6 +449,25 @@ def probe(spark, mult: int) -> dict[str, float]:
         # r4 late: bloom contamination screen — fixed 128 KiB filter,
         # growing corpus; map-only, expect flat per-row cost
         "bloom_screen": lambda: bloom_contamination_flags(docs, bloom),
+        # r4 s3: fixed 1x-trained merges, encode the growing corpus —
+        # zero-shuffle Arrow pass, expect flat per-row cost
+        "bpe_encode": lambda: bpe_encode(docs, merges).select(
+            "doc_id", "n_bpe_tokens"
+        ),
+        # r4 s3: fixed trained weights as plan literals over the
+        # growing signal scan — pure codegen, expect flat per-row cost
+        "quality_score": lambda: score_quality(
+            doc_signals(docs), q_model
+        ).select("doc_id", "quality_score"),
+        # r4 s3: fixed 1x codebook; encode growing corpus + ADC search
+        # for 50 queries + exact rerank of 50 rows/query
+        "pq_encode_search": lambda: pq_search_rerank(
+            emb_plain.filter(F.col("vec_id") < 50),
+            pq_encode(emb_plain, pq_cb),
+            emb_plain,
+            pq_cb,
+            k=10,
+        ),
         "semantic_screen_500batch": lambda: semantic_neardup_against(
             mass.limit(500),
             seeds,
