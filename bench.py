@@ -456,7 +456,9 @@ def extended_ops(spark, sf_dir: str) -> dict:
                 & (F.col("dup_ngram_frac") <= 0.05)
             ).cast("int"),
         )
-        model = train_quality_classifier(labeled, iters=30)
+        model = train_quality_classifier(
+            labeled, iters=6, l2=0.01, optimizer="newton"
+        )
         return quality_filter(doc_signals(docs), model, 0.5)
 
     def pq_pipeline():

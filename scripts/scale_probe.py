@@ -381,7 +381,9 @@ def probe(spark, mult: int) -> dict[str, float]:
                 & (F.col("dup_ngram_frac") <= 0.05)
             ).cast("int"),
         ),
-        iters=20,
+        iters=6,
+        l2=0.01,
+        optimizer="newton",
     )
     pq_cb = pq_train(emb_1x, iters=2)
     emb_plain = emb.select("vec_id", "embedding")

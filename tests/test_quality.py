@@ -114,3 +114,104 @@ def test_scoring_is_pure_jvm_and_filter_fuses(spark):
     plan = quality_filter(docs, model, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "Exchange" not in plan  # map-only: no shuffle anywhere
+
+
+def _numpy_auc(scores, labels):
+    # independent tie-aware AUC: average over all pos/neg pairs of
+    # [score_p > score_n] + 0.5 [score_p == score_n]
+    import numpy as np
+
+    pos = scores[labels == 1]
+    neg = scores[labels == 0]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    return (gt + 0.5 * eq) / (len(pos) * len(neg))
+
+
+def test_auc_matches_pairwise_numpy(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+        model_auc,
+    )
+
+    labeled = _labeled(spark)
+    model = train_quality_classifier(labeled, iters=30, lr=0.7)
+    got = model_auc(labeled, model)
+
+    pdf = (
+        score_quality(labeled, model)
+        .select("quality_score", "label")
+        .toPandas()
+    )
+    want = _numpy_auc(
+        pdf["quality_score"].to_numpy(), pdf["label"].to_numpy()
+    )
+    assert abs(got - want) < 1e-12
+    assert got > 0.9  # the planted rule is genuinely learnable
+
+
+def test_auc_tie_handling(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+        model_auc,
+    )
+
+    # constant scores -> every pair ties -> AUC exactly 0.5
+    df = spark.createDataFrame(
+        [(0.0, 1), (0.0, 0), (0.0, 1), (0.0, 0)], "f double, label int"
+    )
+    model = {
+        "features": ["f"],
+        "mean": [0.0],
+        "std": [1.0],
+        "weights": [0.0],
+        "bias": 0.0,
+    }
+    assert model_auc(df, model) == 0.5
+
+
+def test_calibration_bins_sum_and_bounds(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+        calibration_bins,
+    )
+
+    labeled = _labeled(spark)
+    model = train_quality_classifier(labeled, iters=30, lr=0.7)
+    rows = calibration_bins(labeled, model, n_bins=10).collect()
+    assert sum(r["n"] for r in rows) == labeled.count()
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        # mean score lands inside (or at the edge of) its bin
+        assert r["bin"] / 10 - 1e-6 <= r["mean_score"] <= (r["bin"] + 1) / 10 + 1e-6
+
+
+def _numpy_irls(x, y, iters, l2):
+    m = x.mean(axis=0)
+    s = np.maximum(x.std(axis=0), 1e-12)
+    xs = (x - m) / s
+    n, d = xs.shape
+    xb = np.concatenate([np.ones((n, 1)), xs], axis=1)
+    w = np.zeros(d + 1)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(xb @ w)))
+        grad = (p - y) @ xb / n + np.concatenate(([0.0], l2 * w[1:]))
+        hess = (xb * (p * (1 - p))[:, None]).T @ xb / n
+        ridge = np.diag(np.concatenate(([1e-9], np.full(d, l2 + 1e-9))))
+        w -= np.linalg.solve(hess + ridge, grad)
+    return w
+
+
+def test_newton_matches_numpy_irls_and_converges_fast(spark):
+    labeled = _labeled(spark)
+    model = train_quality_classifier(
+        labeled, iters=6, l2=0.01, optimizer="newton"
+    )
+    pdf = labeled.select(*QUALITY_FEATURES, "label").toPandas()
+    x = pdf[list(QUALITY_FEATURES)].to_numpy(dtype="float64")
+    y = pdf["label"].to_numpy(dtype="float64")
+    w = _numpy_irls(x, y, iters=6, l2=0.01)
+    assert np.allclose(model["weights"], w[1:], rtol=1e-6, atol=1e-8)
+    assert np.isclose(model["bias"], w[0], rtol=1e-6, atol=1e-8)
+    # 6 Newton passes beat 120 GD passes on the same data
+    gd = train_quality_classifier(labeled, iters=120, lr=1.0)
+    assert model_accuracy(labeled, model) >= model_accuracy(labeled, gd) - 0.01
+    assert model_accuracy(labeled, model) >= 0.9
