@@ -1916,3 +1916,32 @@ def search_ivfpq_index(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivfpq_index_insert(
+    index: IvfPqIndex, new_emb: DataFrame, n_assign: int = N_ASSIGN
+) -> IvfPqIndex:
+    """Fold a batch of new vectors into the persisted IVF-PQ index
+    WITHOUT a rebuild: assign against the frozen centroids (broadcast
+    argmin), encode residuals against the frozen codebook (one Arrow
+    pass), append to the partitioned lists. Cost is O(batch) — the
+    existing lists are never read or rewritten; a batch touches only
+    the cell directories it lands in. Quantizer drift under sustained
+    ingest is handled the standard IVF way: rebuild the codebook
+    periodically (build_ivfpq_index) and swap paths."""
+    spark = new_emb.sparkSession
+    assign = ivf_assign(new_emb, index.centroids, n_assign)
+    res = _residuals(assign, index.centroids)
+    (
+        pq_encode(
+            res,
+            index.codebook,
+            id_col="vec_id",
+            vec_col="residual",
+            passthrough=("centroid_id",),
+        )
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index.path}/lists")
+    )
+    return load_ivfpq_index(spark, index.path)

@@ -116,3 +116,65 @@ def test_residual_coding_beats_raw_coding_distortion(spark, tmp_path):
     ).collect()
     assert res[0].vec_id == 1_000_003
     assert res[0].l2_dist == 0.0
+
+
+def test_incremental_insert_is_searchable(spark, tmp_path):
+    emb = _emb(spark)
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivfpq_index_insert,
+    )
+
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    idx = build_ivfpq_index(base, path, n_centroids=8, n_assign=1)
+    n_before = idx.lists.count()
+
+    dup = emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    idx = ivfpq_index_insert(idx, rest.unionByName(dup), n_assign=1)
+    assert idx.lists.count() == n_before + rest.count() + 1
+
+    # the inserted exact duplicate is found at exact distance zero
+    res = search_ivfpq_index(
+        idx,
+        emb.filter(F.col("vec_id") == 2),
+        emb.unionByName(dup),
+        k=1,
+        nprobe=8,
+        rerank=50,
+    ).collect()
+    assert res[0].vec_id == 1_000_002
+    assert res[0].l2_dist == 0.0
+
+    # and a full-probe search over the merged index equals brute force
+    got = {}
+    for r in search_ivfpq_index(
+        idx,
+        emb.filter(F.col("vec_id") < 3),
+        emb.unionByName(dup),
+        k=3,
+        nprobe=8,
+        rerank=10**6,
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    want = _brute_with(spark, dup, range(3), 3)
+    for q in range(3):
+        assert [v for _, v in sorted(got[q])] == want[q]
+
+
+def _brute_with(spark, extra, q_ids, k):
+    rows = (
+        _emb(spark).unionByName(extra).orderBy("vec_id").collect()
+    )
+    ids = np.asarray([r.vec_id for r in rows], dtype="int64")
+    mat = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    idx = {int(i): j for j, i in enumerate(ids)}
+    out = {}
+    for q in q_ids:
+        d = ((mat - mat[idx[q]]) ** 2).sum(axis=1)
+        d[idx[q]] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        out[q] = [int(ids[j]) for j in order]
+    return out

@@ -215,3 +215,34 @@ def test_newton_matches_numpy_irls_and_converges_fast(spark):
     gd = train_quality_classifier(labeled, iters=120, lr=1.0)
     assert model_accuracy(labeled, model) >= model_accuracy(labeled, gd) - 0.01
     assert model_accuracy(labeled, model) >= 0.9
+
+
+def test_scoring_composes_with_streaming(spark, tmp_path):
+    """score_quality is map-only, so the SAME model scores a stream
+    unmodified — the online face of corpus filtering (score arriving
+    shards at ingest). No state, no watermark needed."""
+    labeled = _labeled(spark)
+    model = train_quality_classifier(
+        labeled, iters=6, l2=0.01, optimizer="newton"
+    )
+    src = str(tmp_path / "in")
+    feats = labeled.select("doc_id", *QUALITY_FEATURES).limit(100)
+    feats.write.parquet(src)
+    stream = spark.readStream.schema(feats.schema).parquet(src)
+    got = []
+    q = (
+        score_quality(stream, model)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, _id: got.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r["doc_id"]: r["quality_score"]
+        for r in score_quality(feats, model).collect()
+    }
+    assert len(got) == 100
+    for r in got:
+        assert abs(r["quality_score"] - want[r["doc_id"]]) < 1e-12

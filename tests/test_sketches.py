@@ -1,0 +1,88 @@
+"""Count-Min sketch: one-sided error (est >= true always), the
+epsilon*N bound at the theoretical rate, exact linear mergeability.
+Heavy hitters: equality with the full groupBy top-k on the corpus.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+from peerdb_cdc_psql_clickhouse_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    heavy_hitters,
+)
+from peerdb_cdc_psql_clickhouse_spark.operators.bpe import bpe_word_counts
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def _words(spark):
+    return _docs(spark).select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+def test_one_sided_error_and_epsilon_bound(spark):
+    words = _words(spark)
+    width, depth = 1024, 4
+    sketch = cms_build(words, "word", width, depth)
+    true = {
+        r["word"]: r["cnt"] for r in bpe_word_counts(_docs(spark)).collect()
+    }
+    items = words.select("word").distinct()
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(sketch, items, "word", width, depth).collect()
+    }
+    n = sum(true.values())
+    eps = 2.718281828 / width
+    over = 0
+    for w, t in true.items():
+        assert est[w] >= t, (w, est[w], t)  # NEVER underestimates
+        if est[w] > t + eps * n:
+            over += 1
+    # P(overshoot > eps*N) <= e^-depth ~ 0.018 per key
+    assert over / len(true) <= 0.05, over / len(true)
+
+
+def test_sketch_is_exactly_linear(spark):
+    words = _words(spark)
+    a = words.filter(F.length("word") <= 4)
+    b = words.filter(F.length("word") > 4)
+    merged = cms_merge(
+        cms_build(a, "word", 512, 3), cms_build(b, "word", 512, 3)
+    )
+    whole = cms_build(words, "word", 512, 3)
+    got = {(r["d"], r["pos"]): r["cnt"] for r in merged.collect()}
+    want = {(r["d"], r["pos"]): r["cnt"] for r in whole.collect()}
+    assert got == want
+
+
+def test_heavy_hitters_match_exact_topk(spark):
+    words = _words(spark)
+    got = [
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(words, "word", 20).orderBy("rank").collect()
+    ]
+    texts = [r.text for r in _docs(spark).select("text").collect()]
+    c = Counter(w for t in texts for w in t.lower().split())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+def test_heavy_hitters_counts_are_exact_even_for_rare_candidates(spark):
+    # k larger than the distinct-head: every returned count must still
+    # be the exact corpus count (the verify pass is exact by design)
+    words = _words(spark).limit(2000)
+    rows = heavy_hitters(words, "word", 50).collect()
+    pdf = words.toPandas()
+    c = Counter(pdf["word"])
+    for r in rows:
+        assert r["cnt"] == c[r["item"]]
