@@ -744,3 +744,98 @@ def x7d_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("token_cnt"),
     )
     return budget_sample(staged, "stratum", X7D_BUDGETS, seed=X7D_SEED)
+
+
+def temperature_rates(
+    counts: dict[str, int], temperature: float, total: int | None = None
+) -> dict[str, float]:
+    """Per-source keep-rates for temperature-flattened mixing (the
+    multilingual-pretraining recipe, e.g. XLM-R: sample sources
+    proportional to n^(1/T), public method). T=1 reproduces the
+    natural mix (all rates 1 when total is the corpus size); larger T
+    flattens toward uniform, downsampling the head. Rates are clipped
+    to 1 — selection can only THIN a source; tail upsampling is the
+    loader's epoch-repetition job, not the sampler's. `total` defaults
+    to the corpus size (pure re-weighting); pass a smaller document
+    budget to also downscale overall."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    n_all = sum(counts.values())
+    if total is None:
+        total = n_all
+    weights = {s: n ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(weights.values())
+    return {
+        s: min(1.0, total * weights[s] / z / counts[s])
+        for s in counts
+        if counts[s] > 0
+    }
+
+
+def temperature_sample(
+    docs: DataFrame,
+    source_col: str = "source",
+    temperature: float = 2.0,
+    total: int | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-flattened source mix: one tiny
+    groupBy(source) count (collected — source cardinality is bounded
+    by construction), rates from `temperature_rates` baked into a
+    plan-literal map, and membership decided row-locally by portable
+    seeded hash — keep iff md5-derived u(id) < rate. No shuffle
+    beyond the counts agg; the selection pass is map-only and
+    composes with the rest of the loader chain. DuckDB replays
+    membership bit-for-bit (tests/test_temperature.py)."""
+    from ..functions.hashing import hash64
+
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    rates = temperature_rates(counts, temperature, total)
+    rate_map = F.create_map(
+        *[
+            c
+            for k in sorted(rates)
+            for c in (F.lit(k), F.lit(rates[k]))
+        ]
+    )
+    # u in [0, 1): 60-bit portable hash scaled by 2^60 (same trick at
+    # both engines; exact because 2^60 is a power of two)
+    u = (
+        hash64(
+            F.concat(F.lit(f"t{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return docs.filter(
+        u < F.element_at(rate_map, F.col(source_col))
+    )
+
+
+def temperature_oracle(
+    counts: dict[str, int],
+    temperature: float,
+    total: int | None = None,
+    seed: int = 42,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of temperature_sample membership on the
+    documents table, given the same (pre-computed) counts."""
+    from ..functions.hashing import hash64_sql
+
+    rates = temperature_rates(counts, temperature, total)
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r!r}" for s, r in sorted(rates.items())
+    )
+    h = hash64_sql(f"CONCAT('t{seed}:', CAST({id_col} AS VARCHAR))")
+    return f"""
+SELECT * FROM documents
+WHERE CAST({h} AS DOUBLE) / {float(1 << 60)!r}
+      < CASE {source_col} {cases} END
+"""
