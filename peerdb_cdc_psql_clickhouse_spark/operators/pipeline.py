@@ -601,6 +601,17 @@ WHERE budget IS NOT NULL AND run - token_cnt < budget
 # ---------------------------------------------------------------------------
 
 
+def _stage_complete(spark, path: str) -> bool:
+    """A stage directory counts as done only with its _SUCCESS marker
+    — a crash mid-write leaves no marker, so restart recomputes that
+    stage instead of trusting partial files. Hadoop FS API, so the
+    check works on any supported filesystem, not just local."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    return p.getFileSystem(hconf).exists(p)
+
+
 def clean_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -612,6 +623,7 @@ def clean_corpus(
     span_kwargs: dict | None = None,
     decontaminate=None,
     min_shared: int = 2,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """Chained corpus cleaning: (id, text, removed_lines,
     removed_tokens) — exact-duplicate docs DROPPED (lowest-id copy
@@ -642,6 +654,18 @@ def clean_corpus(
     screen, or a text.BloomFilter for the fixed-size scale screen
     (one-sided error — only clean docs can be over-dropped, never a
     contaminated doc kept). `min_shared` is the screen's threshold.
+
+    `stage_dir` makes the chain RESTARTABLE: each enabled stage's
+    output is written to `stage_dir/<stage>/` and read back, so (a)
+    downstream lineage starts from disk (the materialized-frame form
+    the scale note above asks for — no stage is ever recomputed by a
+    downstream branch), and (b) a re-run with the same stage_dir
+    SKIPS every stage whose _SUCCESS marker exists, resuming after
+    the last completed stage — kill the job mid-substring and only
+    the substring stage re-runs. A stage that does re-run invalidates
+    everything downstream of it (stale-cache guard, pytest-asserted).
+    Stage reuse assumes the same input corpus + settings; point
+    different runs at different dirs.
     """
     from ..plans.layout import reuse
     from .dedup import (
@@ -650,6 +674,19 @@ def clean_corpus(
         substring_dedup_apply,
         substring_spans,
     )
+
+    spark = docs.sparkSession
+    rebuilt = False  # once a stage re-runs, everything downstream must
+
+    def staged(name, build):
+        nonlocal rebuilt
+        if stage_dir is None:
+            return build()
+        path = f"{stage_dir}/{name}"
+        if rebuilt or not _stage_complete(spark, path):
+            build().write.mode("overwrite").parquet(path)
+            rebuilt = True
+        return spark.read.parquet(path)
 
     cur = docs.select(id_col, text_col)
     if decontaminate is not None:
@@ -667,29 +704,44 @@ def clean_corpus(
             flags = contamination_flags(
                 cur, decontaminate, id_col, text_col, min_shared=min_shared
             )
-        cur = cur.join(
-            flags.filter(~F.col("contaminated")).select(id_col), id_col
+        cur = staged(
+            "decontaminated",
+            lambda cur=cur, flags=flags: cur.join(
+                flags.filter(~F.col("contaminated")).select(id_col),
+                id_col,
+            ),
         )
     if exact:
-        keep = exact_dedup(cur, text_col, id_col).select(
-            F.col("keep_id").alias(id_col)
-        )
-        cur = cur.join(keep, id_col)  # survivors only (lowest id wins)
+
+        def _exact(cur=cur):
+            keep = exact_dedup(cur, text_col, id_col).select(
+                F.col("keep_id").alias(id_col)
+            )
+            return cur.join(keep, id_col)  # lowest-id copy survives
+
+        cur = staged("exact", _exact)
     if lines:
-        cur = line_dedup_apply(
-            cur, id_col, text_col, min_count=line_min_count
+        cur = staged(
+            "lines",
+            lambda cur=cur: line_dedup_apply(
+                cur, id_col, text_col, min_count=line_min_count
+            ),
         )
     else:
         cur = cur.withColumn("removed_lines", F.lit(0).cast("long"))
     if substrings:
-        cur = reuse(cur)
-        spans = substring_spans(
-            cur, id_col, text_col, **(span_kwargs or {})
-        )
-        cut = substring_dedup_apply(cur, spans, id_col, text_col)
-        cur = cur.drop(text_col).join(cut, id_col).select(
-            id_col, text_col, "removed_lines", "removed_tokens"
-        )
+
+        def _substrings(cur=cur):
+            shared = cur if stage_dir is not None else reuse(cur)
+            spans = substring_spans(
+                shared, id_col, text_col, **(span_kwargs or {})
+            )
+            cut = substring_dedup_apply(shared, spans, id_col, text_col)
+            return shared.drop(text_col).join(cut, id_col).select(
+                id_col, text_col, "removed_lines", "removed_tokens"
+            )
+
+        cur = staged("substrings", _substrings)
     else:
         cur = cur.withColumn("removed_tokens", F.lit(0).cast("long"))
     return cur

@@ -127,3 +127,70 @@ def test_decontaminate_stage_drops_benchmark_overlap(spark):
         for r in clean_corpus(docs, decontaminate=bloom).collect()
     }
     assert ids_b == ids
+
+
+def _stage_mtimes(root):
+    import glob
+    import os
+
+    out = {}
+    for f in glob.glob(f"{root}/**/*", recursive=True):
+        if os.path.isfile(f):
+            out[f] = os.path.getmtime(f)
+    return out
+
+
+def test_staged_run_matches_unstaged_and_resumes(spark, tmp_path):
+    """stage_dir makes the chain restartable: same output as the
+    in-memory chain, re-run skips completed stages (file mtimes
+    untouched), and removing a stage's _SUCCESS recomputes that stage
+    and downstream but not upstream."""
+    import os
+    import time
+
+    sd = str(tmp_path / "stages")
+    want = {
+        (r["doc_id"], r["text"], r["removed_lines"], r["removed_tokens"])
+        for r in clean_corpus(_corpus(spark)).collect()
+    }
+    got = {
+        (r["doc_id"], r["text"], r["removed_lines"], r["removed_tokens"])
+        for r in clean_corpus(_corpus(spark), stage_dir=sd).collect()
+    }
+    assert got == want
+    for stage in ("exact", "lines", "substrings"):
+        assert os.path.exists(f"{sd}/{stage}/_SUCCESS")
+
+    # resume: nothing recomputes
+    before = _stage_mtimes(sd)
+    time.sleep(1.1)
+    again = {
+        (r["doc_id"], r["text"], r["removed_lines"], r["removed_tokens"])
+        for r in clean_corpus(_corpus(spark), stage_dir=sd).collect()
+    }
+    assert again == want
+    assert _stage_mtimes(sd) == before
+
+    # crash window: a stage without its marker re-runs, upstream not
+    os.remove(f"{sd}/lines/_SUCCESS")
+    time.sleep(1.1)
+    third = {
+        (r["doc_id"], r["text"], r["removed_lines"], r["removed_tokens"])
+        for r in clean_corpus(_corpus(spark), stage_dir=sd).collect()
+    }
+    assert third == want
+    after = _stage_mtimes(sd)
+    exact_files = {f: t for f, t in before.items() if "/exact/" in f}
+    assert {f: t for f, t in after.items() if "/exact/" in f} == exact_files
+    assert any(
+        after[f] != before.get(f)
+        for f in after
+        if "/lines/" in f and f.endswith("_SUCCESS")
+    )
+    # rebuild PROPAGATES: downstream substrings stage also re-ran,
+    # even though its own marker was present (stale-cache guard)
+    assert any(
+        after[f] != before.get(f)
+        for f in after
+        if "/substrings/" in f and f.endswith("_SUCCESS")
+    )
