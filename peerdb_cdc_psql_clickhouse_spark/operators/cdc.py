@@ -306,9 +306,12 @@ def c5_microbatch_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "c11_session_window",
-    """
+# r4 s3: c10/c11/c12 merged into one op-labeled union (c10_windows)
+# to free two declared slots for x1h_line_dedup + x8_heavy_hitters —
+# the d13-d15 / d16-d18 consolidation pattern. The three builders stay
+# as the API surface; their oracle SQL is composed into the union's.
+
+_C11_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -327,12 +330,13 @@ SELECT user_id,
        MAX(ts) + INTERVAL 10 MINUTE AS session_end,
        COUNT(*) AS n_events
 FROM sess GROUP BY user_id, sess_id
-""",
-    doc="O-C10 session windows (gap 10 min) per user — Spark "
-    "session_window vs a gaps-and-islands SQL oracle; the stateful "
-    "streaming carrier for per-entity activity sessions",
-)
+"""
+
+
 def c11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-C10 session windows (gap 10 min) per user — Spark
+    session_window vs a gaps-and-islands SQL oracle; the stateful
+    streaming carrier for per-entity activity sessions."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -349,9 +353,7 @@ def c11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "c12_sliding_window",
-    f"""
+_C12_ORACLE = f"""
 WITH starts AS (
   SELECT event_type, value, ts,
          unnest([
@@ -367,12 +369,13 @@ SELECT window_start, event_type,
 FROM starts
 WHERE ts < window_start + INTERVAL 1 HOUR
 GROUP BY window_start, event_type
-""",
-    doc="O-C10 sliding window (1 h window, 30 min slide): each event "
-    "lands in 2 overlapping windows — Spark's window() duplication "
-    "reproduced in SQL by unnesting the two candidate starts",
-)
+"""
+
+
 def c12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-C10 sliding window (1 h window, 30 min slide): each event
+    lands in 2 overlapping windows — Spark's window() duplication
+    reproduced in SQL by unnesting the two candidate starts."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -388,20 +391,19 @@ def c12_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "c10_tumbling_window",
-    f"""
+_C10_ORACLE = f"""
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS cnt,
        {dsum_sql('value')} AS total_value
 FROM events GROUP BY window_start, event_type
-""",
-    doc="O-C10 tumbling event-time window aggregation — the idiomatic "
-    "Spark carrier for lag/catch-up analytics (peerdb_config.yaml:36-37); "
-    "streaming variant with watermark in streaming/mirror.py",
-)
+"""
+
+
 def c10_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-C10 tumbling event-time window aggregation — the idiomatic
+    Spark carrier for lag/catch-up analytics (peerdb_config.yaml:36-37);
+    streaming variant with watermark in streaming/mirror.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -413,3 +415,59 @@ def c10_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+_C10_WINDOWS_ORACLE = f"""
+SELECT 'tumbling' AS op, window_start AS win_start,
+       CAST(NULL AS TIMESTAMP) AS win_end, event_type AS k,
+       cnt, total_value
+FROM ({_C10_ORACLE})
+UNION ALL
+SELECT 'session', session_start, session_end,
+       CAST(user_id AS VARCHAR), n_events, CAST(NULL AS DOUBLE)
+FROM ({_C11_ORACLE})
+UNION ALL
+SELECT 'sliding', window_start, CAST(NULL AS TIMESTAMP), event_type,
+       cnt, total_value
+FROM ({_C12_ORACLE})
+"""
+
+
+@declare(
+    "c10_windows",
+    _C10_WINDOWS_ORACLE,
+    doc="O-C10 tumbling + session + sliding event-time windows merged "
+    "into one op-labeled union (r4 s3: freed two declared slots for "
+    "x1h/x8 — the d13-d15 / d16-d18 consolidation pattern). Each "
+    "branch keeps its pre-merge plan: tumbling/sliding are one "
+    "grouped agg each, session is Spark session_window vs a "
+    "gaps-and-islands oracle.",
+)
+def c10_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_ts = F.lit(None).cast("timestamp")
+    null_d = F.lit(None).cast("double")
+    t = c10_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("op"),
+        F.col("window_start").alias("win_start"),
+        null_ts.alias("win_end"),
+        F.col("event_type").alias("k"),
+        F.col("cnt"),
+        F.col("total_value"),
+    )
+    s = c11_session_window(spark, sf_dir).select(
+        F.lit("session").alias("op"),
+        F.col("session_start").alias("win_start"),
+        F.col("session_end").alias("win_end"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("n_events").alias("cnt"),
+        null_d.alias("total_value"),
+    )
+    sl = c12_sliding_window(spark, sf_dir).select(
+        F.lit("sliding").alias("op"),
+        F.col("window_start").alias("win_start"),
+        null_ts.alias("win_end"),
+        F.col("event_type").alias("k"),
+        F.col("cnt"),
+        F.col("total_value"),
+    )
+    return t.unionByName(s).unionByName(sl)

@@ -1414,7 +1414,7 @@ def line_dedup_apply(
 
 def line_dedup_oracle(min_count: int = 2) -> str:
     """DuckDB replay of line_dedup_apply over the documents table
-    (pytest parity; the declared surface is at its 50-query cap)."""
+    (pytest parity; ALSO the declared x1h oracle since r4 s3)."""
     return f"""
 WITH lines AS (
   SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i] AS line
@@ -1563,3 +1563,19 @@ def stream_line_dedup_candidates(
         "canon_id",
         "canon_line_no",
     )
+
+
+@declare(
+    "x1h_line_dedup",
+    line_dedup_oracle(),
+    doc="O-X1/brief: line-level exact dedup (C4/FineWeb style) — "
+    "repeated lines removed corpus-wide, lowest-(doc_id, line_no) "
+    "canonical kept, docs rebuilt in order. Canonical election is a "
+    "map-side partial MIN struct (no occurrence lists — a line "
+    "repeated in every doc costs one combiner cell). Promoted to the "
+    "declared hash surface r4 s3 (slot freed by the c10-c12 merge); "
+    "the DuckDB replay oracle had been pytest-proven since the op "
+    "landed (tests/test_line_dedup.py).",
+)
+def x1h_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup_apply(load_table(spark, sf_dir, "documents"))

@@ -152,3 +152,51 @@ def heavy_hitters(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+HH_K = 25
+
+
+def _hh_oracle(k: int = HH_K) -> str:
+    # ties break on the STRING form of the key in both engines (the
+    # operator receives the key as a string column)
+    return f"""
+WITH f AS (
+  SELECT CAST(user_id AS VARCHAR) AS item,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY item
+), r AS (
+  SELECT item, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS INT) AS rank
+  FROM f
+)
+SELECT item, cnt, rank FROM r WHERE rank <= {k}
+"""
+
+
+def x8_heavy_hitters(spark, sf_dir: str):
+    from ..catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    return heavy_hitters(ev, "uid", HH_K)
+
+
+def _register() -> None:
+    from ..registry import declare
+
+    declare(
+        "x8_heavy_hitters",
+        _hh_oracle(),
+        doc="brief/sketches: exact-verified top-25 users by event "
+        "count via the bounded two-pass heavy-hitters plan — "
+        "per-partition exact local top-m Arrow pass, then a "
+        "broadcast-semi-join exact recount of candidates only; no "
+        "full-key shuffle ever happens, yet counts are EXACT and "
+        "hash-match the groupBy oracle. Promoted r4 s3 (slot freed "
+        "by the c10-c12 merge).",
+    )(x8_heavy_hitters)
+
+
+_register()

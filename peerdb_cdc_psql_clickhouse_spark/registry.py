@@ -62,15 +62,18 @@ QUERY_ORDER = [
     "x4_multimodal_meta",
     "x4b_frame_sample",
     "x5_sketch_stats",
+    "x8_heavy_hitters",
     # CDC family
     "c1_snapshot_parity",
     "c2_change_feed",
     "c3_rename_mapping",
     "c4_cdc_apply_latest",
     "c5_microbatch_sizes",
-    "c10_tumbling_window",
-    "c11_session_window",
-    "c12_sliding_window",
+    # r4 s3: c10/c11/c12 merged into one op-labeled union (all three
+    # are event-time window aggs) — freed two declared slots for the
+    # x1h_line_dedup and x8_heavy_hitters promotions below, the same
+    # consolidation pattern as d13-d15 and d16-d18.
+    "c10_windows",
     # dataflow metrics
     "d1_parity_report",
     "d5_run_summary",
@@ -105,6 +108,7 @@ QUERY_ORDER = [
     "x1e_dup_clusters",
     "x1f_dedup_apply",
     "x1g_substring_spans",
+    "x1h_line_dedup",
     # heaviest last: full corpus pipeline + live streaming probe
     "x7_corpus_select",
     "x7b_training_mix",
@@ -139,6 +143,7 @@ def all_queries() -> dict[str, Query]:
         pipeline,
         relational,
         similarity,
+        sketches,
         text,
     )
 
