@@ -24,11 +24,23 @@ invertible (tested: concatenation round-trips the word).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens_col
 
 EOW = "</w>"
+
+# the Python-side twin of tokens_col's Java `\s+`: re.ASCII keeps \s
+# at [ \t\n\r\f\v] like Java's default, where plain str.split() would
+# also break on unicode spaces (NBSP etc.) and silently disagree with
+# the JVM word counts on non-ASCII corpora
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def _split_words(text: str) -> list[str]:
+    return [w for w in _WS.split(text.lower()) if w]
 
 
 def bpe_word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -151,8 +163,8 @@ def bpe_encode(
 
         def one(text: str) -> list[str]:
             out: list[str] = []
-            # same word boundary as tokens_col: lowercase + \s+ split
-            for w in (text or "").lower().split():
+            # same word boundary as tokens_col: lowercase + ASCII \s+
+            for w in _split_words(text or ""):
                 got = cache.get(w)
                 if got is None:
                     got = bpe_apply_word(w, ranks)

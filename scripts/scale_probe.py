@@ -201,6 +201,33 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
         ),
         "gram",
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import doc_signals
+
+    docs_1x = load_table(spark, SF_DIR, "documents")
+    merges = train_bpe(docs_1x, n_merges=200)
+    q_model = train_quality_classifier(
+        doc_signals(docs_1x).withColumn(
+            "label",
+            (
+                (F.col("token_cnt") >= 40)
+                & (F.col("dup_ngram_frac") <= 0.05)
+            ).cast("int"),
+        ),
+        iters=6,
+        l2=0.01,
+        optimizer="newton",
+    )
     jobs = {
         "minhash_lsh": lambda: lsh_candidate_pairs(
             minhash_signature(docs, "doc_id", "text"), "doc_id"
@@ -221,12 +248,35 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             fromlist=["line_dedup_apply"],
         ).line_dedup_apply(line_docs),
         "bloom_screen": lambda: bloom_contamination_flags(docs, bloom),
+        # r4 s3: train-once / apply-everywhere — 1x-trained artifacts,
+        # growing corpus; apply is map-only so per-row cost should be
+        # flat across the two decades
+        "bpe_encode": lambda: bpe_encode(docs, merges).select(
+            "doc_id", "n_bpe_tokens"
+        ),
+        # composed docs carry (doc_id, text) only; the signal battery
+        # passes `lang` through, so supply a literal for the probe
+        "quality_score": lambda: score_quality(
+            doc_signals(docs.withColumn("lang", F.lit("en"))), q_model
+        ).select("doc_id", "quality_score"),
+        "heavy_hitters_words": lambda: heavy_hitters(
+            docs.select(
+                F.explode(
+                    F.split(F.lower("text"), r"\s+")
+                ).alias("w")
+            ).filter(F.col("w") != ""),
+            "w",
+            25,
+        ),
     }
     res = {}
     for name, build in jobs.items():
         t0 = time.perf_counter()
-        build().write.format("noop").mode("overwrite").save()
-        res[name] = round(time.perf_counter() - t0, 2)
+        try:
+            build().write.format("noop").mode("overwrite").save()
+            res[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # record per-job, keep probing
+            res[name] = f"ERR {type(e).__name__}: {str(e)[:160]}"
     return res
 
 
@@ -493,6 +543,12 @@ def main() -> None:
     composed = False
     if args and args[0] == "--composed":
         composed, args = True, args[1:]
+        # the 2-decade leg holds ~100x data in one JVM; size the
+        # driver heap the way a real cluster driver would be sized for
+        # its broadcast threshold (64 MB serialized sides deserialize
+        # to several x; at 8g the substring diagonal join's AQE
+        # broadcast build OOMs right at the 100x boundary — measured)
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     mults = [int(a) for a in args] or ([1, 10, 100] if composed else [1, 4, 10])
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,85 @@
+"""Artifact round-trips: every trained input of the apply-side ops
+(BPE merges, quality model, PQ codebook) survives parquet save/load
+bit-exactly, and the reloaded artifact drives the operator to
+byte-identical results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+from peerdb_cdc_psql_clickhouse_spark.artifacts import (
+    load_bpe_merges,
+    load_pq_codebook,
+    load_quality_model,
+    save_bpe_merges,
+    save_pq_codebook,
+    save_quality_model,
+)
+from peerdb_cdc_psql_clickhouse_spark.operators.bpe import (
+    bpe_encode,
+    train_bpe,
+)
+from peerdb_cdc_psql_clickhouse_spark.operators.quality import (
+    score_quality,
+    train_quality_classifier,
+)
+from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+    pq_encode,
+    pq_train,
+)
+from peerdb_cdc_psql_clickhouse_spark.operators.text import doc_signals
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_bpe_merges_round_trip(spark, tmp_path):
+    merges = train_bpe(_docs(spark), n_merges=120)
+    p = str(tmp_path / "merges")
+    save_bpe_merges(spark, merges, p)
+    got = load_bpe_merges(spark, p)
+    assert got == merges  # exact, rank order preserved
+    a = bpe_encode(_docs(spark).limit(20), merges).orderBy("doc_id").collect()
+    b = bpe_encode(_docs(spark).limit(20), got).orderBy("doc_id").collect()
+    assert [list(r.bpe_tokens) for r in a] == [list(r.bpe_tokens) for r in b]
+
+
+def test_quality_model_round_trip(spark, tmp_path):
+    labeled = doc_signals(_docs(spark)).withColumn(
+        "label",
+        ((F.col("token_cnt") >= 40) & (F.col("dup_ngram_frac") <= 0.05)).cast(
+            "int"
+        ),
+    )
+    model = train_quality_classifier(
+        labeled, iters=6, l2=0.01, optimizer="newton"
+    )
+    p = str(tmp_path / "model")
+    save_quality_model(spark, model, p)
+    got = load_quality_model(spark, p)
+    assert got["features"] == model["features"]
+    assert got["weights"] == model["weights"]  # float-exact
+    assert got["mean"] == model["mean"]
+    assert got["std"] == model["std"]
+    assert got["bias"] == model["bias"]
+    a = score_quality(labeled, model).select("doc_id", "quality_score")
+    b = score_quality(labeled, got).select("doc_id", "quality_score")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_pq_codebook_round_trip(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cb = pq_train(emb, iters=2)
+    p = str(tmp_path / "cb")
+    save_pq_codebook(spark, cb, p)
+    got = load_pq_codebook(spark, p)
+    assert np.array_equal(got, cb)
+    a = pq_encode(emb, cb).orderBy("vec_id").collect()
+    b = pq_encode(emb, got).orderBy("vec_id").collect()
+    assert [list(r.codes) for r in a] == [list(r.codes) for r in b]
