@@ -86,3 +86,54 @@ def test_heavy_hitters_counts_are_exact_even_for_rare_candidates(spark):
     c = Counter(pdf["word"])
     for r in rows:
         assert r["cnt"] == c[r["item"]]
+
+
+def test_cms_accumulates_over_a_stream(spark, tmp_path):
+    """Linearity is the streaming story: per-micro-batch sketches fold
+    into a running grid via cms_merge inside foreachBatch, and the
+    accumulated sketch equals the batch sketch of everything seen —
+    bounded state regardless of stream length."""
+    # materialize ONCE — .limit() is order-nondeterministic, so every
+    # downstream frame must derive from the same pandas snapshot
+    pdf = _words(spark).limit(3000).toPandas()
+    words = spark.createDataFrame(pdf)
+    src = str(tmp_path / "in")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(pdf.iloc[:1500]).write.parquet(f"{src}/a.parquet")
+    spark.createDataFrame(pdf.iloc[1500:]).write.parquet(f"{src}/b.parquet")
+
+    acc = {"sketch": None}
+
+    def fold(batch, _bid):
+        s = cms_build(batch, "word", 512, 3)
+        acc["sketch"] = (
+            s.toPandas()
+            if acc["sketch"] is None
+            else (
+                spark.createDataFrame(acc["sketch"])
+                .transform(lambda prev: cms_merge(prev, s))
+                .toPandas()
+            )
+        )
+
+    stream = spark.readStream.schema(words.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{src}/*")  # each half is its own parquet dir
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (int(r["d"]), int(r["pos"])): int(r["cnt"])
+        for _, r in acc["sketch"].iterrows()
+    }
+    want = {
+        (r["d"], r["pos"]): r["cnt"]
+        for r in cms_build(words, "word", 512, 3).collect()
+    }
+    assert got == want
