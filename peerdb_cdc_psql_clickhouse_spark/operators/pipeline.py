@@ -891,3 +891,154 @@ SELECT * FROM documents
 WHERE CAST({h} AS DOUBLE) / {float(1 << 60)!r}
       < CASE {source_col} {cases} END
 """
+
+
+def split_corpus(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one `split` column
+    from the portable seeded hash — u(id) in [0,1) lands in the
+    cumulative-weight interval of its split. Map-only, reproducible
+    across runs/engines/partitionings, and STABLE UNDER CORPUS
+    GROWTH: a document's split depends only on (seed, id), so adding
+    new documents never reassigns old ones (the property that keeps
+    eval sets frozen across corpus refreshes — a fresh random split
+    would leak yesterday's val docs into tomorrow's train set).
+    Thresholds are embedded as literals on both engines, so DuckDB
+    replays assignment bit-for-bit (tests/test_split.py)."""
+    from ..functions.hashing import hash64
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    u = (
+        hash64(
+            F.concat(F.lit(f"sp{seed}:"), F.col(id_col).cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return docs.withColumn("split", expr)
+
+
+def split_oracle(
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of split_corpus on the documents table — same
+    literal thresholds, same hash, bit-identical assignment."""
+    from ..functions.hashing import hash64_sql
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = hash64_sql(f"CONCAT('sp{seed}:', CAST({id_col} AS VARCHAR))")
+    u = f"(CAST({h} AS DOUBLE) / {float(1 << 60)!r})"
+    names = list(weights)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name] / total
+        whens.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    case = " ".join(whens)
+    return f"""
+SELECT *, CASE {case} ELSE '{names[-1]}' END AS split FROM documents
+"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into overlapping token windows — the
+    long-document complement of pack_documents: chunk c covers tokens
+    [c*stride, c*stride + max_tokens). stride defaults to max_tokens
+    (disjoint chunks); stride < max_tokens overlaps consecutive
+    chunks by (max_tokens - stride) tokens, the standard long-context
+    pretraining recipe. Row-local: tokenize once, posexplode the
+    chunk starts, slice — zero shuffle, chunk text re-joined with
+    single spaces (whitespace-normalized, like every token-level op
+    here). Empty docs yield no chunks."""
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    from .text import tokens_col
+
+    staged = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.size("_toks") - F.lit(max_tokens)).cast("double")
+            / F.lit(stride)
+        ).cast("long")
+        + 1,
+        F.lit(1).cast("long"),
+    )
+    return (
+        staged.select(
+            id_col,
+            "_toks",
+            F.posexplode(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+            ).alias("chunk_id", "_c"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                "_toks", F.col("_c") * stride + 1, max_tokens
+            ).alias("_chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(" ", "_chunk").alias("chunk_text"),
+            F.size("_chunk").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def chunk_oracle(
+    max_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB replay of chunk_documents over documents."""
+    if stride is None:
+        stride = max_tokens
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), nz AS (
+  SELECT {id_col}, tk,
+         GREATEST(CAST(CEIL((len(tk) - {max_tokens}) /
+                            CAST({stride} AS DOUBLE)) AS BIGINT) + 1,
+                  1) AS nc
+  FROM toks WHERE len(tk) > 0
+)
+SELECT {id_col},
+       CAST(c AS BIGINT) AS chunk_id,
+       array_to_string(tk[c * {stride} + 1 : c * {stride} + {max_tokens}],
+                       ' ') AS chunk_text,
+       CAST(len(tk[c * {stride} + 1 : c * {stride} + {max_tokens}])
+            AS BIGINT) AS n_tokens
+FROM nz, UNNEST(generate_series(0, nc - 1)) AS t(c)
+"""
