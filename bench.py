@@ -385,6 +385,50 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
         ann_topk_lsh(planted, pq, k=1, multi_probe=1)
     )
     out["ivf_planted_hit_rate"] = _hit_rate(ann_topk_ivf(planted, pq, k=1))
+
+    # IVF-PQ (r4 s3): the compressed persisted index — L2 metric, so
+    # ground truth is exact L2 top-10 (rerank over the full corpus),
+    # not the cosine set above. Codes are ~21x smaller than vectors;
+    # the searched fraction is nprobe/n_centroids of the codes table.
+    import shutil
+    import tempfile
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        build_ivfpq_index,
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+        search_ivfpq_index,
+    )
+
+    emb_plain = emb.select("vec_id", "embedding")
+    q_plain = emb_plain.filter(F.col("vec_id") < n_queries)
+    tmp = tempfile.mkdtemp(prefix="ivfpq_bench_")
+    try:
+        idx = build_ivfpq_index(emb_plain, f"{tmp}/idx", n_centroids=64)
+        exact_l2 = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_search_rerank(
+                q_plain,
+                pq_encode(emb_plain, idx.codebook),
+                emb_plain,
+                idx.codebook,
+                k=10,
+                rerank=10**9,  # exact: every candidate reranked full-dim
+            ).collect()
+        }
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in search_ivfpq_index(
+                idx, q_plain, emb_plain, k=10, nprobe=8, rerank=50
+            ).collect()
+        }
+        out["ivfpq_recall_at_10"] = round(
+            len(exact_l2 & got) / len(exact_l2), 4
+        )
+        out["ivfpq_codes_scan_fraction"] = round(8 / 64, 4)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -580,6 +624,10 @@ def main() -> None:
         "ivf_prerank_recall_at_3": recall.get("ivf_prerank_recall_at_3"),
         "ivf_prerank_effective_scan_fraction": recall.get(
             "ivf_prerank_effective_scan_fraction"
+        ),
+        "ivfpq_recall_at_10": recall.get("ivfpq_recall_at_10"),
+        "ivfpq_codes_scan_fraction": recall.get(
+            "ivfpq_codes_scan_fraction"
         ),
         **(
             {
