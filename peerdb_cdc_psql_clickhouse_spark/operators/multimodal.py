@@ -270,17 +270,24 @@ def decode_png(payload: bytes):
 def decode_media(payload: bytes, mime: str) -> dict:
     """Decode step. REAL for image/bmp (numpy BMP parser), image/png
     payloads that actually carry PNG bytes (stdlib-zlib decoder:
-    byte_mean is the true pixel mean), and audio/wav payloads that
-    carry RIFF/WAVE bytes (frame_count = PCM frame count). mp4 — and
-    the synthetic text-byte png/wav payloads attach_media fabricates —
-    fall back to the clearly-marked deterministic fake; a real mp4
-    codec needs libs absent from this container."""
+    byte_mean is the true pixel mean), image/gif (pure-Python LZW,
+    MULTI-FRAME — frame_count is the real animation frame count), and
+    audio/wav payloads that carry RIFF/WAVE bytes (frame_count = PCM
+    frame count). mp4 — and the synthetic text-byte png/wav payloads
+    attach_media fabricates — fall back to the clearly-marked
+    deterministic fake; a real mp4 codec needs libs absent from this
+    container."""
     if mime == "image/bmp":
         arr = decode_bmp(bytes(payload))
         return {"byte_mean": float(arr.mean()), "frame_count": 1}
     if mime == "image/png" and bytes(payload[:8]) == _PNG_SIG:
         arr = decode_png(bytes(payload))
         return {"byte_mean": float(arr.mean()), "frame_count": 1}
+    if mime == "image/gif":
+        frames = decode_gif(bytes(payload))  # REAL multi-frame decode
+        total = sum(float(f.sum()) for f in frames)
+        count = sum(f.size for f in frames)
+        return {"byte_mean": total / count, "frame_count": len(frames)}
     if mime == "audio/wav" and bytes(payload[:4]) == b"RIFF":
         samples, _rate = decode_wav_pcm16(bytes(payload))
         return {
@@ -513,3 +520,192 @@ def x5_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (stat, value)"
     )
+
+
+# -- GIF (87a/89a, pure-Python LZW) -----------------------------------------
+# The fourth REAL codec (public format, no codec libs needed): full
+# LZW decompression with dict growth / code-width bumps / KwKwK, and
+# multi-frame support — GIF is the one animated format decodable in
+# pure Python, so frame_count > 1 comes from a REAL container here
+# (mp4 remains the marked fake). Interlaced images and local color
+# tables raise NotImplementedError (honest partial coverage, like the
+# BMP/PNG subsets above).
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, expected: int) -> list[int]:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = end + 1
+    out: list[int] = []
+    prev = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total and len(out) < expected:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = dict(base)
+            next_code = end + 1
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < expected:
+        raise ValueError("LZW stream ended early")
+    return out[:expected]
+
+
+def _gif_lzw_encode(min_code: int, indices) -> bytes:
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    buf = bytearray()
+    cur = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            buf.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def reset() -> None:
+        nonlocal table, next_code, code_size
+        emit(clear)
+        table = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code + 1
+
+    reset()
+    w: tuple = ()
+    for k in indices:
+        wk = w + (int(k),)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            # decoder bumps when ITS next_code hits 2^size one code
+            # later — assigning 2^size here keeps both in lockstep
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            reset()
+        w = (int(k),)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        buf.append(cur & 0xFF)
+    return bytes(buf)
+
+
+def encode_gif(frames, palette=None) -> bytes:
+    """uint8 index arrays [(h, w), ...] + palette [(r,g,b), ...] ->
+    GIF89a bytes (global color table, one image block per frame,
+    real LZW). Test-fixture twin of decode_gif, like encode_bmp."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    palette = palette or [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    n = max(2, int(np.ceil(np.log2(max(len(palette), 4)))))
+    pal = list(palette) + [(0, 0, 0)] * ((1 << n) - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (n - 1), 0, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    min_code = max(2, n)
+    for fr in frames:
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        data = _gif_lzw_encode(min_code, fr.ravel())
+        for i in range(0, len(data), 255):
+            sub = data[i : i + 255]
+            out.append(len(sub))
+            out += sub
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF87a/89a bytes -> list of RGB uint8 arrays (h, w, 3), one per
+    frame. Global color table only, non-interlaced (honest subset)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    gct = np.frombuffer(
+        payload, dtype=np.uint8, count=gct_n * 3, offset=pos
+    ).reshape(gct_n, 3)
+    pos += gct_n * 3
+    frames = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise NotImplementedError("local color tables unsupported")
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF unsupported")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(min_code, bytes(data), iw * ih)
+        frames.append(
+            gct[np.asarray(idx, dtype=np.int32)].reshape(ih, iw, 3)
+        )
+    if not frames:
+        raise ValueError("GIF contains no image blocks")
+    return frames
