@@ -1,0 +1,141 @@
+"""Inverted index: boolean and phrase retrieval vs independent
+Python oracles on hand and real corpora (including overlapping and
+duplicate-term phrases), persisted-index round trip with bucket
+partition pruning reaching the scan.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_SMOKE
+from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+    build_text_index,
+    load_text_index,
+    phrase_search,
+    save_text_index,
+    term_search,
+)
+
+
+def _py_tokens(text):
+    return [w for w in (text or "").lower().split() if w]
+
+
+def _py_phrase_count(text, phrase):
+    toks = _py_tokens(text)
+    p = phrase.lower().split()
+    return sum(
+        1
+        for i in range(len(toks) - len(p) + 1)
+        if toks[i : i + len(p)] == p
+    )
+
+
+def _hand(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a a a"),
+        (3, "b a a b a a"),
+        (4, "quick quick quick brown"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+
+def test_term_search_and_or(spark):
+    df, rows = _hand(spark)
+    idx = build_text_index(df)
+    got_and = {
+        r.doc_id: (r.match_terms, r.total_tf)
+        for r in term_search(idx, ["quick", "brown"]).collect()
+    }
+    assert set(got_and) == {1, 4}
+    assert got_and[4] == (2, 4)  # 3x quick + 1x brown
+    got_or = {r.doc_id for r in term_search(idx, ["dog", "b"], "or").collect()}
+    assert got_or == {1, 3}
+
+
+def test_phrase_overlaps_and_duplicate_slots(spark):
+    df, rows = _hand(spark)
+    idx = build_text_index(df)
+    for phrase in ("a a", "quick quick", "a a b", "quick brown", "the lazy dog"):
+        got = {
+            r.doc_id: r.n_occurrences
+            for r in phrase_search(idx, phrase).collect()
+        }
+        want = {
+            d: _py_phrase_count(t, phrase)
+            for d, t in rows
+            if _py_phrase_count(t, phrase) > 0
+        }
+        assert got == want, phrase
+    # "a a" in "a a a" overlaps: 2 occurrences
+    assert phrase_search(idx, "a a").filter(F.col("doc_id") == 2).first()[
+        "n_occurrences"
+    ] == 2
+
+
+def test_real_corpus_matches_python_oracle(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    # pick a genuine 3-token phrase from the first doc
+    first = _py_tokens(next(iter(texts.values())))
+    phrase = " ".join(first[:3])
+    idx = build_text_index(docs)
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_search(idx, phrase).collect()
+    }
+    want = {
+        d: _py_phrase_count(t, phrase)
+        for d, t in texts.items()
+        if _py_phrase_count(t, phrase) > 0
+    }
+    assert got == want and len(got) > 0
+
+    terms = first[:2]
+    got_and = {r.doc_id for r in term_search(idx, terms).collect()}
+    want_and = {
+        d
+        for d, t in texts.items()
+        if all(x in _py_tokens(t) for x in terms)
+    }
+    assert got_and == want_and
+
+
+def test_persisted_index_prunes_and_matches(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = str(tmp_path / "tix")
+    save_text_index(build_text_index(docs), p)
+    idx = load_text_index(spark, p)
+    import glob
+
+    assert len(glob.glob(f"{p}/bucket=*")) > 1  # really partitioned
+    mem = build_text_index(docs)
+    q = ["the", "data"]
+    a = {tuple(r) for r in term_search(idx, q).collect()}
+    b = {tuple(r) for r in term_search(mem, q).collect()}
+    assert a == b
+    plan = (
+        term_search(idx, q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "bucket" in plan  # partition filter reached the scan
+
+
+def test_tf_and_positions_agree_with_python(spark):
+    df, rows = _hand(spark)
+    idx = build_text_index(df).collect()
+    by_key = {(r.term, r.doc_id): r for r in idx}
+    for d, t in rows:
+        c = Counter(_py_tokens(t))
+        for term, n in c.items():
+            r = by_key[(term, d)]
+            assert r.tf == n
+            want_pos = [i for i, x in enumerate(_py_tokens(t)) if x == term]
+            assert list(r.positions) == want_pos
