@@ -151,3 +151,79 @@ def phrase_search(
     return occ.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl) token counts — one row-local pass; persisted
+    alongside the postings in a real deployment (it is corpus-sized
+    but narrow, and joins by doc_id only against MATCHED docs)."""
+    return docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+    )
+
+
+def bm25_search(
+    index: DataFrame,
+    lengths: DataFrame,
+    terms,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    n_buckets: int = INDEX_BUCKETS,
+) -> DataFrame:
+    """BM25-ranked top-k (doc_id, score, rank) for a bag of terms
+    (Robertson/Sparck Jones, the public Okapi formula):
+
+      score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl))
+      idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Work = the query terms' postings only: pruned scan -> df per term
+    (tiny agg over the already-pruned postings) -> score + doc-keyed
+    sum -> k-row window. N and avgdl come from the lengths table (two
+    scalars, one agg). Ties break on doc_id ascending; scores round
+    to 6 decimals for cross-run stability."""
+    from pyspark.sql import Window
+
+    from ..functions.numeric import fround
+
+    terms = _norm_terms(terms)
+    stats = lengths.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    post = _pruned(index, terms, n_buckets).select(id_col, "term", "tf")
+    df_tbl = post.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    joined = (
+        post.join(F.broadcast(df_tbl), "term")
+        .join(lengths, id_col)
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(avgdl)
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        joined.select(id_col, contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(fround(F.sum("c"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

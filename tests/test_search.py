@@ -139,3 +139,63 @@ def test_tf_and_positions_agree_with_python(spark):
             assert r.tf == n
             want_pos = [i for i, x in enumerate(_py_tokens(t)) if x == term]
             assert list(r.positions) == want_pos
+
+
+def test_bm25_matches_python_oracle(spark):
+    import math
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        bm25_search,
+        doc_lengths,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    idx = build_text_index(docs)
+    lens = doc_lengths(docs)
+    terms = ["the", "data", "model"]
+    k1, b = 1.2, 0.75
+
+    toks = {d: _py_tokens(t) for d, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df = {
+        t: sum(1 for tk in toks.values() if t in tk) for t in terms
+    }
+    scores = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf or not df[t]:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = bm25_search(idx, lens, terms, k=10).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r.score - s) < 1e-5
+
+
+def test_bm25_prefers_rare_term_and_short_doc(spark):
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        bm25_search,
+        doc_lengths,
+    )
+
+    rows = [
+        (1, "rareword filler filler filler filler filler filler filler"),
+        (2, "rareword"),
+        (3, "common common common common"),
+        (4, "common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_text_index(df)
+    lens = doc_lengths(df)
+    got = bm25_search(idx, lens, ["rareword"], k=4).orderBy("rank").collect()
+    # same tf=1: the shorter doc ranks first (length normalization)
+    assert [r.doc_id for r in got] == [2, 1]
