@@ -98,12 +98,25 @@ def train_bpe(
     (cnt desc, word asc) — deterministic, and at corpus scale the
     truncation is the standard bounded-driver-state move (the tail's
     counts can't outvote the head's pair counts it was cut from)."""
-    top = (
-        bpe_word_counts(docs, text_col)
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(max_words)
-        .collect()
-    )
+    counts = bpe_word_counts(docs, text_col)
+    # ORDER BY + LIMIT k compiles to RDD.takeOrdered, whose TopK
+    # selector ALLOCATES a 2k-element array per task regardless of the
+    # data size — an effectively-unbounded max_words (the "don't
+    # truncate" spelling) OOMed the whole JVM mid-suite (measured:
+    # Guava TopKSelector.<init> heap OOM, intermittent because it
+    # depended on heap headroom). Large requests take the no-limit
+    # path: collect the vocab and sort driver-side — identical
+    # semantics whenever max_words >= the vocabulary size.
+    if max_words >= (1 << 22):
+        rows = counts.collect()
+        rows.sort(key=lambda r: (-r["cnt"], r["word"]))
+        top = rows[:max_words]
+    else:
+        top = (
+            counts.orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(max_words)
+            .collect()
+        )
     vocab = {_word_symbols(r["word"]): int(r["cnt"]) for r in top}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
