@@ -22,6 +22,17 @@ def hash64_sql(expr: str) -> str:
     return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def python_hash64(s: str) -> int:
+    """Driver-side twin of hash64() — THE definition callers must use
+    when a plan needs literal hash values (e.g. partition-pruning a
+    term's bucket before the scan). Kept beside hash64 so the two
+    cannot drift apart silently; tests/test_search.py asserts the
+    Spark and Python values agree on sample strings."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def content_sha256(col: Column) -> Column:
     """Hex sha256 of a string column; DuckDB: sha256(x)."""
     return F.sha2(col, 256)

@@ -475,51 +475,14 @@ def x4b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "x5_sketch_stats",
-    None,  # sketches are approximate/engine-specific; rows-only check
-    doc="O-X5 approximate sketches at scale, one (stat, value) row per "
-    "estimate — all scalar columns (never array-typed: CORRECTNESS_r01 "
-    "x5b err). HyperLogLog++ distinct counts (approx_count_distinct, "
-    "constant memory per partition) over lineitem keys + KLL-style "
-    "quantiles (percentile_approx, single-pass bounded memory) over "
-    "event values — the monitor's avg/max/min batch stats "
-    "(insert.ps1:370-372) upgraded to distribution shape",
-)
-def x5_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    ev = load_table(spark, sf_dir, "events")
-    li_stats = li.agg(
-        F.approx_count_distinct("l_orderkey")
-        .cast("double")
-        .alias("approx_orders"),
-        F.approx_count_distinct("l_partkey")
-        .cast("double")
-        .alias("approx_parts"),
-    )
-    pq = F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000)
-    ev_stats = ev.agg(
-        pq.getItem(0).alias("value_p50"),
-        pq.getItem(1).alias("value_p90"),
-        pq.getItem(2).alias("value_p99"),
-        F.min("value").alias("value_min"),
-        F.max("value").alias("value_max"),
-    )
-    # two 1-row aggregates -> broadcast cross -> unpivot to scalar rows
-    wide = li_stats.crossJoin(F.broadcast(ev_stats))
-    cols = [
-        "approx_orders",
-        "approx_parts",
-        "value_p50",
-        "value_p90",
-        "value_p99",
-        "value_min",
-        "value_max",
-    ]
-    stack_args = ", ".join(f"'{c}', {c}" for c in cols)
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) AS (stat, value)"
-    )
+# x5_sketch_stats moved to operators/sketches.py in r5 (VERDICT r4
+# #3): the engine-specific HLL/KLL estimates were replaced with
+# engine-PORTABLE deterministic sketches (KMV distinct estimate,
+# min-hash sample quantiles) plus exact companion stats, so the
+# declared query is now hash-verified against a DuckDB replay of the
+# same sketch algorithm. approx_count_distinct / percentile_approx
+# remain fine choices inside Spark-only pipelines; the declared
+# surface needs cross-engine determinism.
 
 
 # -- GIF (87a/89a, pure-Python LZW) -----------------------------------------

@@ -17,12 +17,12 @@ from ..functions.hashing import hash64_sql
 from ..registry import declare
 
 
-@declare(
-    "r1_probe",
-    "SELECT 1 AS one",
-    doc="O-R1 health probe SELECT 1 (insert.ps1:63,77; monitor.ps1:995,1005)",
-)
 def r1_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-R1 health probe SELECT 1 (insert.ps1:63,77;
+    monitor.ps1:995,1005). Declared surface: rides r4_scalar_probes'
+    row as the literal `one` column since r5 (slot freed for
+    x9_bm25_search) — the probe IS `SELECT 1`, so the declared merge
+    loses nothing."""
     return spark.range(1).select(F.lit(1).alias("one"))
 
 
@@ -53,7 +53,7 @@ def r2_projection_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "r4_scalar_probes",
     """
-SELECT o.max_id, o.cnt, o.str_bytes,
+SELECT 1 AS one, o.max_id, o.cnt, o.str_bytes,
        li.returned_total, li.total_qty, li.row_cnt, li.max_key
 FROM (
   SELECT MAX(o_orderkey) AS max_id,
@@ -73,13 +73,14 @@ CROSS JOIN (
   FROM lineitem
 ) li
 """,
-    doc="O-R4 ungrouped MAX (insert.ps1:149) + O-R5 COUNT(*) "
-    "(insert.ps1:163; monitor.ps1:727,824) + O-R6 count+size in one "
-    "scan (monitor.ps1:604-609) + O-R7 filtered SUM "
+    doc="O-R1 health probe SELECT 1 (insert.ps1:63,77 — merged r5, "
+    "the `one` column) + O-R4 ungrouped MAX (insert.ps1:149) + O-R5 "
+    "COUNT(*) (insert.ps1:163; monitor.ps1:727,824) + O-R6 count+size "
+    "in one scan (monitor.ps1:604-609) + O-R7 filtered SUM "
     "(monitor.ps1:664,1074, as a conditional sum so it shares the "
     "lineitem scan) + O-R9 multi-scalar one-row select "
     "(monitor.ps1:1057). One scan per table, partial aggregates, "
-    "broadcast cross of two 1-row frames — five separate probe "
+    "broadcast cross of two 1-row frames — six separate probe "
     "round-trips in the reference collapse to two scans",
 )
 def r4_scalar_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +106,9 @@ def r4_scalar_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_cnt"),
         F.max("l_orderkey").alias("max_key"),
     )
-    return o_agg.crossJoin(F.broadcast(li_agg))
+    return o_agg.select(F.lit(1).alias("one"), "*").crossJoin(
+        F.broadcast(li_agg)
+    )
 
 
 @declare(

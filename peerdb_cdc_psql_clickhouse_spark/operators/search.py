@@ -73,15 +73,13 @@ def _norm_terms(terms) -> list[str]:
 def _pruned(index: DataFrame, terms: list[str], n_buckets: int) -> DataFrame:
     """Filter postings to the query terms, with the bucket predicate
     FIRST so a persisted index prunes partitions before the term
-    filter touches row groups."""
-    import hashlib
+    filter touches row groups. Bucket ids come from python_hash64 —
+    the one driver-side twin of the hash64 the index was built with
+    (ADVICE r4: a private reimplementation here could silently drift
+    and prune the wrong partitions)."""
+    from ..functions.hashing import python_hash64
 
-    buckets = sorted(
-        {
-            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
-            for t in terms
-        }
-    )
+    buckets = sorted({python_hash64(t) % n_buckets for t in terms})
     return index.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(terms)
     )
@@ -188,17 +186,23 @@ def bm25_search(
     Work = the query terms' postings only: pruned scan -> df per term
     (tiny agg over the already-pruned postings) -> score + doc-keyed
     sum -> k-row window. N and avgdl come from the lengths table (two
-    scalars, one agg). Ties break on doc_id ascending; scores round
-    to 6 decimals for cross-run stability."""
+    scalars, one agg; avgdl = exact integer sum / count so the scalar
+    is bit-identical across engines). Ties break on doc_id ascending.
+    Determinism: each term contribution is fixed-point rounded to 6
+    decimals and summed as DECIMAL — order-insensitive exact
+    addition, so the score survives any partial-agg order AND
+    replays exactly in the DuckDB oracle (registry determinism
+    rules)."""
     from pyspark.sql import Window
 
     from ..functions.numeric import fround
 
     terms = _norm_terms(terms)
     stats = lengths.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    n_docs = int(stats["n_docs"])
+    avgdl = int(stats["sum_dl"]) / n_docs  # exact ints -> one IEEE div
 
     post = _pruned(index, terms, n_buckets).select(id_col, "term", "tf")
     df_tbl = post.groupBy("term").agg(
@@ -217,9 +221,11 @@ def bm25_search(
     )
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
     scored = (
-        joined.select(id_col, contrib.alias("c"))
+        joined.select(
+            id_col, fround(contrib, 6).cast("decimal(28,6)").alias("c")
+        )
         .groupBy(id_col)
-        .agg(fround(F.sum("c"), 6).alias("score"))
+        .agg(F.sum("c").cast("double").alias("score"))
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -227,3 +233,117 @@ def bm25_search(
         .filter(F.col("rank") <= k)
         .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# Build-once cache behind the declared x9 query and bench: one
+# persisted text index (postings PARTITIONED BY term-hash bucket +
+# the narrow lengths table) per corpus directory per process — the
+# same index lifecycle as ivf_index_for: build is the one corpus
+# pass, every search reads its terms' bucket directories only.
+_TEXT_IDX_CACHE: dict[str, str] = {}
+
+
+def text_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, lengths) for sf_dir's documents table, built and
+    persisted on first use."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+
+    key = os.path.abspath(sf_dir)
+    path = _TEXT_IDX_CACHE.get(key)
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="spark_graft_textidx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        save_text_index(build_text_index(docs), f"{path}/postings")
+        doc_lengths(docs).write.mode("overwrite").parquet(
+            f"{path}/lengths"
+        )
+        _TEXT_IDX_CACHE[key] = path
+    return (
+        load_text_index(spark, f"{path}/postings"),
+        spark.read.parquet(f"{path}/lengths"),
+    )
+
+
+# Declared BM25 query (r5, VERDICT r4 #10): retrieval joins the hash
+# surface. Every arithmetic step is engine-portable (see bm25_search
+# determinism notes), so the DuckDB oracle replays the score exactly.
+X9_TERMS = ("hash", "join", "stream")
+X9_K = 15
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN {X9_TERMS!r} GROUP BY 1, 2
+), lengths AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM lengths
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1
+), contrib AS (
+  SELECT post.doc_id,
+         CAST(FLOOR(
+           (ln(((CAST(stats.n AS DOUBLE) - dfq.df) + 0.5)
+               / (dfq.df + 0.5) + 1.0)
+            * post.tf) * (1.2 + 1.0)
+           / (post.tf + 1.2 * ((1.0 - 0.75)
+              + ((0.75 * lengths.dl) / stats.avgdl)))
+           * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6)) AS c
+  FROM post
+  JOIN dfq USING (term)
+  JOIN lengths USING (doc_id)
+  CROSS JOIN stats
+), scored AS (
+  SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+  FROM contrib GROUP BY 1
+), ranked AS (
+  SELECT doc_id, score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+              AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {X9_K}
+"""
+
+
+def x9_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index, lengths = text_index_for(spark, sf_dir)
+    return bm25_search(index, lengths, list(X9_TERMS), k=X9_K)
+
+
+def _register() -> None:
+    from ..registry import declare
+
+    declare(
+        "x9_bm25_search",
+        _BM25_ORACLE,
+        doc="brief/search: BM25 top-15 for a 3-term query against the "
+        "PERSISTED positional index (postings PARTITIONED BY term-hash "
+        "bucket — the terms prune to their bucket directories at the "
+        "scan; per-query work is the terms' postings, never a corpus "
+        "scan). Scores are fixed-point-rounded per contribution and "
+        "DECIMAL-summed, so the hash matches the DuckDB oracle "
+        "exactly. Slot freed by merging r1_probe into "
+        "r4_scalar_probes (r5).",
+    )(x9_bm25_search)
+
+
+_register()

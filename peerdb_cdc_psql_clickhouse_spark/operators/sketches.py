@@ -110,12 +110,20 @@ def heavy_hitters(
     candidate_factor: int = 8,
 ) -> DataFrame:
     """Exact-verified top-k (item, cnt, rank) without a full-vocab
-    shuffle. Pass 1: per-partition exact local top-(factor*k) via one
-    Arrow pass (a pandas value_counts head — partition-local state is
-    one partition's distinct keys, and only partitions x m candidate
-    rows leave the executors). Pass 2: exact counts for the candidate
-    set only (broadcast semi-join + count), then a k-row window.
-    Ties break lexicographically for determinism."""
+    shuffle — and PROVABLY complete (ADVICE r4: the candidate stage
+    alone is partition-layout-dependent). Pass 1: per-partition exact
+    local top-(factor*k) via one Arrow pass, which also emits the
+    partition's CEILING row — the largest local count any
+    NON-candidate key can have there (the m-th local count, or 0 when
+    every local key was emitted). Pass 2: exact counts for the
+    candidate set only (broadcast semi-join + count), then a k-row
+    window. Completeness check: any key outside the candidate set has
+    global count <= sum of partition ceilings; if the k-th candidate
+    count clears that bound the result equals the full-shuffle top-k
+    BY PROOF, on every partition layout. Only when the bound fails
+    (adversarially flat data) does the operator fall back to the full
+    groupBy — correctness never depends on the Zipf assumption, only
+    the fast path does. Ties break lexicographically."""
     import pandas as pd
 
     m = candidate_factor * k
@@ -126,13 +134,28 @@ def heavy_hitters(
             for item, c in pdf[col].value_counts().items():
                 counts[item] = counts.get(item, 0) + int(c)
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
-        yield pd.DataFrame({"item": [t[0] for t in top]})
+        ceiling = top[-1][1] if len(counts) > m else 0
+        yield pd.DataFrame(
+            {
+                "item": [t[0] for t in top] + [None],
+                "ceiling": [0] * len(top) + [ceiling],
+            }
+        )
 
-    cands = (
-        df.select(col).mapInPandas(local_top, "item string").distinct()
+    raw = df.select(col).mapInPandas(
+        local_top, "item string, ceiling long"
     )
+    # bounded materialization: <= partitions x (m+1) rows
+    cand_rows = raw.collect()
+    cand_items = sorted({r["item"] for r in cand_rows if r["item"] is not None})
+    missed_bound = sum(r["ceiling"] for r in cand_rows)
+
     from pyspark.sql import Window
 
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        [(i,) for i in cand_items], "item string"
+    )
     exact = (
         df.join(
             F.broadcast(cands),
@@ -143,7 +166,7 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
     )
     w = Window.orderBy(F.desc("cnt"), F.asc(col))
-    return (
+    top = (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -151,6 +174,230 @@ def heavy_hitters(
             "cnt",
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+    if missed_bound > 0:
+        # cheap completeness proof: k-th candidate count must beat the
+        # best any non-candidate could possibly hold
+        rows = top.collect()  # bounded: k rows
+        kth = min((r["cnt"] for r in rows), default=0)
+        # strict >: a non-candidate tying the k-th count could still
+        # displace it via the lexicographic tiebreak
+        if len(rows) < k or kth <= missed_bound:
+            full = df.groupBy(col).agg(F.count("*").alias("cnt"))
+            return (
+                full.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.col(col).alias("item"),
+                    "cnt",
+                    F.col("rank").cast("int").alias("rank"),
+                )
+            )
+        return spark.createDataFrame(rows, top.schema)
+    return top
+
+
+# -- Engine-portable sketches (x5, reworked r5 — VERDICT r4 #3) -------------
+# The r4 x5 used approx_count_distinct (HLL++) and percentile_approx
+# (KLL-ish), whose estimates are Spark-implementation-specific, so the
+# declared query could only be rows-only checked. These sketches keep
+# the bounded-memory shape but are DETERMINISTIC FUNCTIONS OF THE DATA
+# with identical md5-based arithmetic in Spark and DuckDB, so the
+# driver hash-verifies even the approximate estimates:
+#
+# - KMV distinct estimate (Bar-Yossef et al. 2002, public): keep the K
+#   smallest 48-bit hash values of the key; ndv_hat = (K-1) / (h_K /
+#   2^48). Exact when ndv < K (the sketch IS the distinct set).
+# - Min-hash sample quantiles: the N rows with smallest key-hash are a
+#   deterministic uniform sample; the type-1 sample quantile (value at
+#   rank ceil(q*n)) is the estimate. Selection only — no float
+#   arithmetic to drift between engines.
+#
+# Exact companions (exact count distinct / min / max) ride the same
+# query so approximation error is visible in one result set.
+
+SKETCH_K = 1024
+SAMPLE_N = 2048
+# (K-1) * 2^48 precomputed: 1023 has 10 significant bits, so the
+# product is exactly representable in a double on both engines
+_KMV_NUM = float((SKETCH_K - 1) * 2**48)
+
+
+def _hash48(col: F.Column) -> F.Column:
+    """48-bit md5-prefix hash — small enough to be exact in BIGINT and
+    DOUBLE on both engines. DuckDB twin:
+    CAST(concat('0x', substr(md5(CAST(x AS VARCHAR)), 1, 12)) AS
+    BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def _hash48_sql(expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), 1, 12))"
+        " AS BIGINT)"
+    )
+
+
+def kmv_distinct_stat(
+    df: DataFrame, key: str, name: str, k: int = SKETCH_K
+) -> DataFrame:
+    """One (stat, value) row: the KMV distinct-count estimate for
+    df[key]. Plan shape: partial-agg distinct on the hash (map-side
+    dedup combiner — the same shuffle an exact count distinct pays)
+    then ORDER BY + LIMIT k, which compiles to per-partition top-k
+    (TakeOrdered): only k rows per partition survive to the driver
+    side of the sort."""
+    hashes = (
+        df.select(_hash48(F.col(key)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = hashes.agg(F.count("h").alias("n_h"), F.max("h").alias("h_k"))
+    est = F.when(
+        F.col("n_h") < k, F.col("n_h").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(_KMV_NUM) / F.col("h_k").cast("double") * 10000.0
+            + 0.5
+        )
+        / 10000.0
+    )
+    return agg.select(
+        F.lit(name).alias("stat"), est.alias("value")
+    )
+
+
+def _kmv_sql(table: str, key: str, name: str, k: int = SKETCH_K) -> str:
+    return f"""
+SELECT '{name}' AS stat,
+       CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE FLOOR({_KMV_NUM!r} / CAST(MAX(h) AS DOUBLE)
+                       * 10000.0 + 0.5) / 10000.0
+       END AS value
+FROM (
+  SELECT DISTINCT {_hash48_sql(key)} AS h FROM {table}
+  ORDER BY h LIMIT {k}
+)
+"""
+
+
+def minhash_sample_quantiles(
+    df: DataFrame,
+    val_col: str,
+    key_col: str,
+    qs: dict[str, float],
+    n: int = SAMPLE_N,
+) -> DataFrame:
+    """(stat, value) rows: type-1 quantiles of the deterministic
+    min-hash sample (the n rows with smallest key hash — ORDER BY +
+    LIMIT n is a per-partition top-n, so at 100 TB only n rows per
+    partition move). The quantile itself is pure rank selection over
+    the n-row sample (single tiny window — bounded by construction),
+    so the value is bit-identical across engines."""
+    from pyspark.sql import Window
+
+    sample = (
+        df.select(
+            F.col(val_col).alias("v"),
+            _hash48(F.col(key_col)).alias("h"),
+        )
+        .orderBy("h", "v")
+        .limit(n)
+    )
+    ranked = sample.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy("v", "h"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.lit(1)))
+        .alias("n"),
+    )
+    out = None
+    for name, q in qs.items():
+        pick = ranked.filter(
+            F.col("r") == F.ceil(F.lit(q) * F.col("n"))
+        ).select(F.lit(name).alias("stat"), F.col("v").alias("value"))
+        out = pick if out is None else out.unionByName(pick)
+    return out
+
+
+def _sample_quantiles_sql(
+    table: str,
+    val_col: str,
+    key_col: str,
+    qs: dict[str, float],
+    n: int = SAMPLE_N,
+) -> str:
+    ranked = f"""(
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS r,
+         COUNT(*) OVER () AS n
+  FROM (
+    SELECT {val_col} AS v, {_hash48_sql(key_col)} AS h
+    FROM {table} ORDER BY h, v LIMIT {n}
+  )
+)"""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS stat, v AS value FROM {ranked} "
+        f"WHERE r = CAST(ceil({q!r} * n) AS BIGINT)"
+        for name, q in qs.items()
+    )
+
+
+_X5_QS = {"sample_value_p50": 0.5, "sample_value_p90": 0.9,
+          "sample_value_p99": 0.99}
+
+_X5_ORACLE = f"""
+{_kmv_sql("lineitem", "l_orderkey", "kmv_distinct_orders")}
+UNION ALL
+{_kmv_sql("lineitem", "l_partkey", "kmv_distinct_parts")}
+UNION ALL
+SELECT 'exact_distinct_orders' AS stat,
+       CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS value
+FROM lineitem
+UNION ALL
+SELECT 'exact_distinct_parts' AS stat,
+       CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS value
+FROM lineitem
+UNION ALL
+{_sample_quantiles_sql("events", "value", "event_id", _X5_QS)}
+UNION ALL
+SELECT 'value_min' AS stat, MIN(value) AS value FROM events
+UNION ALL
+SELECT 'value_max' AS stat, MAX(value) AS value FROM events
+"""
+
+
+def x5_sketch_stats(spark, sf_dir: str):
+    from ..catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    exact = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("orders"),
+        F.count_distinct("l_partkey").cast("double").alias("parts"),
+    ).selectExpr(
+        "stack(2, 'exact_distinct_orders', orders, "
+        "'exact_distinct_parts', parts) AS (stat, value)"
+    )
+    mm = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    ).selectExpr(
+        "stack(2, 'value_min', mn, 'value_max', mx) AS (stat, value)"
+    )
+    return (
+        kmv_distinct_stat(li, "l_orderkey", "kmv_distinct_orders")
+        .unionByName(
+            kmv_distinct_stat(li, "l_partkey", "kmv_distinct_parts")
+        )
+        .unionByName(exact)
+        .unionByName(
+            minhash_sample_quantiles(ev, "value", "event_id", _X5_QS)
+        )
+        .unionByName(mm)
     )
 
 
@@ -185,6 +432,19 @@ def x8_heavy_hitters(spark, sf_dir: str):
 
 def _register() -> None:
     from ..registry import declare
+
+    declare(
+        "x5_sketch_stats",
+        _X5_ORACLE,
+        doc="O-X5 bounded-memory sketches, HASH-verified since r5 "
+        "(VERDICT r4 #3): KMV distinct estimates + min-hash sample "
+        "quantiles are deterministic functions of the data with "
+        "identical md5 arithmetic in both engines, so the DuckDB "
+        "oracle replays the sketch itself; exact companions "
+        "(count_distinct / min / max) ride the same result set — the "
+        "monitor's avg/max/min batch stats (insert.ps1:370-372) "
+        "upgraded to distribution shape. Moved from multimodal.py.",
+    )(x5_sketch_stats)
 
     declare(
         "x8_heavy_hitters",

@@ -43,8 +43,9 @@ QUERIES: dict[str, Query] = {}
 # last (so a time-budgeted driver cut also costs the least).
 MAX_DECLARED = 50
 QUERY_ORDER = [
-    # §2.1 relational (no CORRECTNESS row in round 1 — front-load)
-    "r1_probe",
+    # §2.1 relational (no CORRECTNESS row in round 1 — front-load).
+    # r5: r1_probe (SELECT 1) rides r4_scalar_probes' row as the
+    # literal `one` column — slot freed for x9_bm25_search.
     "r2_projection_distinct",
     "r4_scalar_probes",
     "r8_cross_join_group",
@@ -94,6 +95,9 @@ QUERY_ORDER = [
     "d16_rank_ops",
     "d19_container_health",
     "d20_error_top3",
+    # retrieval: BM25 against the persisted bucket-partitioned
+    # positional index (r5, VERDICT r4 #10)
+    "x9_bm25_search",
     # text analysis
     "x3_top_terms",
     "x3b_doc_signals",
@@ -145,6 +149,7 @@ def all_queries() -> dict[str, Query]:
         multimodal,
         pipeline,
         relational,
+        search,
         similarity,
         sketches,
         text,

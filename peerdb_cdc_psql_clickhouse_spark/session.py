@@ -17,9 +17,19 @@ def get_spark(
     app_name: str = "peerdb-cdc-spark",
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    import tempfile
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # Per-process scratch for the Derby metastore + SQL warehouse
+    # (VERDICT r4 #6): two concurrently-launched local JVMs sharing
+    # cwd's derby.log/metastore_db/spark-warehouse race on Derby's
+    # single-process lock — the intermittent suite-launch collision.
+    # A unique dir per process removes the shared state entirely (and
+    # keeps the repo clean of derby droppings). No effect on an
+    # existing JVM: getOrCreate reuses the running session.
+    scratch = tempfile.mkdtemp(prefix=f"spark_graft_{os.getpid()}_")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -33,5 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", f"{scratch}/warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={scratch}/derby",
+        )
     )
     return builder.getOrCreate()

@@ -181,6 +181,40 @@ def test_bm25_matches_python_oracle(spark):
         assert abs(r.score - s) < 1e-5
 
 
+def test_python_hash64_agrees_with_spark_hash64(spark):
+    """ADVICE r4: _pruned's driver-side bucket ids MUST equal the
+    hash the index was built with — python_hash64 is the single
+    definition, asserted here against the Spark column twin."""
+    from peerdb_cdc_psql_clickhouse_spark.functions.hashing import (
+        hash64,
+        python_hash64,
+    )
+
+    samples = ["the", "hash", "join", "stream", "Ünïcôdé", "a b", ""]
+    rows = spark.createDataFrame(
+        [(s,) for s in samples], "s string"
+    ).select("s", hash64(F.col("s")).alias("h")).collect()
+    for r in rows:
+        assert r["h"] == python_hash64(r["s"]), r["s"]
+
+
+def test_declared_bm25_searches_persisted_index(spark):
+    """x9_bm25_search runs against the build-once per-corpus index and
+    its plan prunes postings partitions by the query terms' buckets."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        X9_TERMS,
+        x9_bm25_search,
+    )
+
+    res = x9_bm25_search(spark, SF_SMOKE)
+    rows = res.collect()
+    assert 0 < len(rows) <= 15
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, len(rows) + 1)
+    )
+    assert len(X9_TERMS) == 3
+
+
 def test_bm25_prefers_rare_term_and_short_doc(spark):
     from peerdb_cdc_psql_clickhouse_spark.operators.search import (
         bm25_search,

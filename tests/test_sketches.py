@@ -88,6 +88,70 @@ def test_heavy_hitters_counts_are_exact_even_for_rare_candidates(spark):
         assert r["cnt"] == c[r["item"]]
 
 
+def test_heavy_hitters_adversarial_spread_key_still_exact(spark):
+    """ADVICE r4: a true top-k key spread so thin it cracks no
+    partition's local top-m used to be missable. The completeness
+    bound (sum of partition ceilings vs k-th candidate count) must
+    detect that layout and fall back to the exact full groupBy.
+
+    Construction: 16 partitions; 'needle' appears twice per partition
+    (32 global) but every partition also has m distinct local keys
+    with 3 occurrences each, so 'needle' never makes a local top-m —
+    yet globally every filler key has only 3 occurrences and 'needle'
+    is the true #1."""
+    k, factor = 2, 2
+    m = k * factor
+    rows = []
+    for p in range(16):
+        rows += [(p, "needle")] * 2
+        for j in range(m + 2):  # > m local fillers, ceiling stays 3
+            rows += [(p, f"fill_{p:02d}_{j:02d}")] * 3
+    df = (
+        spark.createDataFrame(rows, "p int, word string")
+        .repartition(16, "p")
+        .select("word")
+    )
+    got = [
+        (r["item"], r["cnt"], r["rank"])
+        for r in heavy_hitters(df, "word", k, candidate_factor=factor)
+        .orderBy("rank")
+        .collect()
+    ]
+    c = Counter(w for _, w in rows)
+    want = [
+        (w, n, i + 1)
+        for i, (w, n) in enumerate(
+            sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        )
+    ]
+    assert got == want
+    assert got[0][0] == "needle"
+
+
+def test_heavy_hitters_fast_path_keeps_proof(spark):
+    """On Zipf-shaped data the bound holds and the fast path's result
+    already equals the exact top-k (no fallback needed) — asserted by
+    equality with the full groupBy, same as the corpus test, but on a
+    layout with a nonzero missed_bound."""
+    rows = []
+    for p in range(8):
+        rows += [(p, "alpha")] * 50 + [(p, "beta")] * 30
+        for j in range(40):
+            rows += [(p, f"tail_{p}_{j}")]
+    df = (
+        spark.createDataFrame(rows, "p int, word string")
+        .repartition(8, "p")
+        .select("word")
+    )
+    got = [
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(df, "word", 2, candidate_factor=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("alpha", 400), ("beta", 240)]
+
+
 def test_cms_accumulates_over_a_stream(spark, tmp_path):
     """Linearity is the streaming story: per-micro-batch sketches fold
     into a running grid via cms_merge inside foreachBatch, and the
