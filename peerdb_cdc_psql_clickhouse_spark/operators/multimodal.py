@@ -283,18 +283,31 @@ def decode_media(payload: bytes, mime: str) -> dict:
     if mime == "image/png" and bytes(payload[:8]) == _PNG_SIG:
         arr = decode_png(bytes(payload))
         return {"byte_mean": float(arr.mean()), "frame_count": 1}
-    if mime == "image/gif":
-        frames = decode_gif(bytes(payload))  # REAL multi-frame decode
-        total = sum(float(f.sum()) for f in frames)
-        count = sum(f.size for f in frames)
-        return {"byte_mean": total / count, "frame_count": len(frames)}
+    if mime == "image/gif" and bytes(payload[:6]) in (
+        b"GIF87a",
+        b"GIF89a",
+    ):
+        # signature-gated like png/wav (ADVICE r4): a mislabeled
+        # payload or an honest partial-coverage variant (interlaced /
+        # local color table -> NotImplementedError) falls through to
+        # the deterministic fake instead of failing the Arrow batch
+        try:
+            frames = decode_gif(bytes(payload))  # REAL multi-frame
+            total = sum(float(f.sum()) for f in frames)
+            count = sum(f.size for f in frames)
+            return {
+                "byte_mean": total / count,
+                "frame_count": len(frames),
+            }
+        except NotImplementedError:
+            pass
     if mime == "audio/wav" and bytes(payload[:4]) == b"RIFF":
         samples, _rate = decode_wav_pcm16(bytes(payload))
         return {
             "byte_mean": float(samples.astype("float64").mean()),
             "frame_count": int(len(samples)),
         }
-    if mime not in ("image/png", "audio/wav", "video/mp4"):
+    if mime not in ("image/png", "image/gif", "audio/wav", "video/mp4"):
         raise NotImplementedError(f"no decoder for {mime!r}")
     # deterministic fake: byte-level stats as 'decoded features'
     mean = sum(payload) / len(payload) if payload else 0.0

@@ -612,6 +612,59 @@ def _stage_complete(spark, path: str) -> bool:
     return p.getFileSystem(hconf).exists(p)
 
 
+_FP_FILE = "_FINGERPRINT"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _read_fingerprint(spark, stage_path: str) -> str | None:
+    fs, p = _hadoop_fs(spark, f"{stage_path}/{_FP_FILE}")
+    if not fs.exists(p):
+        return None
+    jvm = spark._jvm
+    br = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p))
+    )
+    try:
+        return br.readLine()
+    finally:
+        br.close()
+
+
+def _write_fingerprint(spark, stage_path: str, fp: str) -> None:
+    fs, p = _hadoop_fs(spark, f"{stage_path}/{_FP_FILE}")
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(fp.encode("ascii")))
+    finally:
+        out.close()
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Stable digest of a frame's LOGICAL plan (expression ids — which
+    differ per session — stripped): identifies the input source +
+    transformations, so a stage keyed on it re-runs when the corpus or
+    upstream recipe changes. Content-level changes behind an unchanged
+    plan (a path rewritten in place) are NOT detected — the usual
+    make-style contract; use fresh stage dirs for in-place data."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().logical().toString()
+    plan = re.sub(r"#\d+", "#", plan)  # per-session expression ids
+    plan = re.sub(r"0x[0-9a-f]+", "0x", plan)  # function addresses
+    # PySpark's higher-order-function lambda args use a session-global
+    # counter (x_1, y_4, ...) — same recipe, different names per call.
+    # Normalize only the lambda-variable references (every appearance
+    # is printed with the 'lambda ' prefix), never data column names.
+    plan = re.sub(r"lambda (\w+?)_\d+", r"lambda \1_", plan)
+    return hashlib.md5(plan.encode()).hexdigest()
+
+
 def clean_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -664,8 +717,11 @@ def clean_corpus(
     the last completed stage — kill the job mid-substring and only
     the substring stage re-runs. A stage that does re-run invalidates
     everything downstream of it (stale-cache guard, pytest-asserted).
-    Stage reuse assumes the same input corpus + settings; point
-    different runs at different dirs.
+    Each stage dir carries a _FINGERPRINT of the stage's logical plan
+    (inputs + all parameters), so resuming with a different corpus or
+    settings rebuilds instead of silently reusing stale output; the
+    one blind spot is data rewritten IN PLACE behind an unchanged
+    path — use fresh stage dirs for that.
     """
     from ..plans.layout import reuse
     from .dedup import (
@@ -683,8 +739,20 @@ def clean_corpus(
         if stage_dir is None:
             return build()
         path = f"{stage_dir}/{name}"
-        if rebuilt or not _stage_complete(spark, path):
-            build().write.mode("overwrite").parquet(path)
+        df = build()
+        # resume key = _SUCCESS + a fingerprint of the stage's logical
+        # plan (ADVICE r4: inputs and every parameter that changes the
+        # computation are IN the plan, so re-running with a different
+        # corpus / min_count / span_kwargs / decontaminate set forces
+        # a rebuild instead of silently reusing stale stage output)
+        fp = _plan_fingerprint(df)
+        if (
+            rebuilt
+            or not _stage_complete(spark, path)
+            or _read_fingerprint(spark, path) != fp
+        ):
+            df.write.mode("overwrite").parquet(path)
+            _write_fingerprint(spark, path, fp)
             rebuilt = True
         return spark.read.parquet(path)
 

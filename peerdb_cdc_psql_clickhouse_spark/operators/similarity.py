@@ -838,7 +838,7 @@ def semantic_neardup_pairs(
     n_centroids: int = N_CENTROIDS,
     iters: int = 2,
     n_assign: int = 1,
-    two_level: bool = False,
+    two_level: bool | None = None,
     max_cluster_size: int | None = SEMDEDUP_MAX_CLUSTER,
     dim: int = EMB_DIM,
     centroids: DataFrame | None = None,
@@ -851,13 +851,19 @@ def semantic_neardup_pairs(
     nearest centroids too, trading pair-join fan-in for recall on
     pairs that straddle a cell boundary (the IVF multi-assign knob).
 
-    two_level=True routes assignment through the coarse quantizer
+    two_level routes assignment through the coarse quantizer
     (ivf_assign_two_level, k -> 2*sqrt(k) per-row work; requires
     n_assign=1): cell membership becomes approximate, but near-dup
     PAIRS still co-locate — near-identical vectors argmin to the same
     cell because their inputs are near-identical (planted-pair
     co-location is pytest-asserted) — so dedup recall holds while the
-    assignment scan shrinks.
+    assignment scan shrinks. Default None = AUTO (VERDICT r4 #5: the
+    documented scale config is the default): two-level is used
+    whenever the call is the self-contained batch shape (n_assign=1,
+    no pinned quantizer); flat assignment is kept when n_assign > 1
+    (multi-assign needs the flat ranked argmin) or when `centroids`
+    is pinned (screen/batch parity contracts depend on replaying the
+    exact flat assignment). Pass False to force flat everywhere.
 
     max_cluster_size bounds per-cell pair work (see the
     SEMDEDUP_MAX_CLUSTER comment): clusters above it are hyperplane-
@@ -875,6 +881,8 @@ def semantic_neardup_pairs(
         if centroids is not None
         else kmeans_centroids(emb, n_centroids, iters)
     )
+    if two_level is None:
+        two_level = n_assign == 1 and centroids is None
     if two_level:
         if n_assign != 1:
             raise ValueError("two_level supports n_assign=1 only")

@@ -83,3 +83,34 @@ def test_pq_codebook_round_trip(spark, tmp_path):
     a = pq_encode(emb, cb).orderBy("vec_id").collect()
     b = pq_encode(emb, got).orderBy("vec_id").collect()
     assert [list(r.codes) for r in a] == [list(r.codes) for r in b]
+
+
+def test_survey_split_matches_registry():
+    """VERDICT r4 #7: the documented declared-surface split in
+    SURVEY.md §8 is auto-checked against the registry so the doc
+    cannot silently go stale."""
+    import os
+    import re
+
+    from peerdb_cdc_psql_clickhouse_spark.registry import all_queries
+
+    qs = all_queries()
+    n_total = len(qs)
+    rows_only = sorted(n for n, q in qs.items() if q.oracle is None)
+    n_hash = n_total - len(rows_only)
+
+    survey = open(
+        os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    ).read()
+    m = re.search(
+        r"(\d+) declared = (\d+) hash \+ (\d+) rows-only\s*\(([^)]*)\)",
+        survey,
+    )
+    assert m, "SURVEY.md must state the declared-surface split"
+    assert int(m.group(1)) == n_total
+    assert int(m.group(2)) == n_hash
+    assert int(m.group(3)) == len(rows_only)
+    documented = sorted(
+        t.strip(" `\n") for t in m.group(4).split(",")
+    )
+    assert documented == rows_only, (documented, rows_only)

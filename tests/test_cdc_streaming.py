@@ -163,6 +163,96 @@ def test_mirror_snapshot_stream_converges(spark, tmp_path, mirror):
     assert st["last_batch_id"] >= 0
 
 
+WIDE_SCHEMA = T.StructType(
+    list(ROW_SCHEMA.fields) + [T.StructField("note", T.StringType())]
+)
+
+
+def test_mirror_evolves_schema_mid_stream_without_resync(
+    spark, tmp_path, mirror
+):
+    """VERDICT r4 #4: a column added mid-stream converges without
+    resync — base/delta stay on disk, the checkpoint stays valid (no
+    already-applied batch is reprocessed), pre-evolution rows read
+    NULL for the new column, post-evolution events carry it."""
+    import glob
+
+    snap = spark.createDataFrame([(10, "s10"), (11, "s11")], ROW_SCHEMA)
+    mirror.snapshot(snap)
+    changes_dir = str(tmp_path / "changes")
+    wave1 = EVENTS[:5]
+    write_change_batches(_mk_changes(spark, wave1), changes_dir, 3)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    n_batches_before = len(
+        glob.glob(f"{mirror.target_dir}/delta/_batch=*")
+    )
+
+    mirror.evolve(WIDE_SCHEMA)
+
+    # wave 2 carries the new column (versions continue past wave 1);
+    # written directly as a new _batch partition dir of the same feed
+    import datetime
+
+    wide_events = [
+        ("update", 6, datetime.datetime(2026, 1, 1, 0, 0, 6), 3, "c2", "n3"),
+        ("insert", 7, datetime.datetime(2026, 1, 1, 0, 0, 7), 4, "d", "n4"),
+    ]
+    wide_schema = T.StructType(
+        [
+            T.StructField("_op", T.StringType()),
+            T.StructField("_version", T.LongType()),
+            T.StructField("_ts", T.TimestampType()),
+        ]
+        + list(WIDE_SCHEMA.fields)
+    )
+    spark.createDataFrame(wide_events, wide_schema).coalesce(1).write.parquet(
+        f"{changes_dir}/_batch=99"
+    )
+
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+
+    got = {
+        r["id"]: (r["val"], r["note"])
+        for r in mirror.read_target().collect()
+    }
+    # wave-1 replay: keys 1,2,3 inserted/updated, 2 deleted then nothing
+    # (delete at v5 is last wave-1 op for key 2); wave 2 updates 3 and
+    # inserts 4 WITH notes
+    assert got == {
+        10: ("s10", None),
+        11: ("s11", None),
+        1: ("a2", None),
+        3: ("c2", "n3"),
+        4: ("d", "n4"),
+    }
+    # checkpoint survived: wave-1 delta batches were NOT reprocessed
+    # (only new batch dirs appeared)
+    n_batches_after = len(
+        glob.glob(f"{mirror.target_dir}/delta/_batch=*")
+    )
+    assert n_batches_after == n_batches_before + 1
+
+
+def test_evolve_rejects_drops_retypes_and_active_stream(
+    spark, tmp_path, mirror
+):
+    with pytest.raises(ValueError, match="drop"):
+        mirror.evolve(
+            T.StructType([T.StructField("id", T.IntegerType())])
+        )
+    with pytest.raises(ValueError, match="retype"):
+        mirror.evolve(
+            T.StructType(
+                [
+                    T.StructField("id", T.LongType()),
+                    T.StructField("val", T.StringType()),
+                ]
+            )
+        )
+    # unchanged schema is a trivially-valid superset
+    mirror.evolve(ROW_SCHEMA)
+
+
 def test_validate_changes_quarantines_malformed_events(spark):
     """Dead-letter split: unknown ops, null/reserved versions, and
     null keys are quarantined with actionable reasons; valid rows pass

@@ -194,3 +194,54 @@ def test_staged_run_matches_unstaged_and_resumes(spark, tmp_path):
         for f in after
         if "/substrings/" in f and f.endswith("_SUCCESS")
     )
+
+
+def test_stage_fingerprint_invalidates_on_param_or_input_change(
+    spark, tmp_path
+):
+    """ADVICE r4: resuming the same stage_dir with different settings
+    or a different corpus must NOT silently reuse stale stage output —
+    the _FINGERPRINT manifest forces the rebuild."""
+    import time
+
+    sd = str(tmp_path / "stages")
+    base = clean_corpus(
+        _corpus(spark), stage_dir=sd, line_min_count=2
+    ).collect()
+    assert base
+    before = _stage_mtimes(sd)
+
+    # same settings, same corpus -> full reuse
+    time.sleep(1.1)
+    clean_corpus(_corpus(spark), stage_dir=sd, line_min_count=2).collect()
+    assert _stage_mtimes(sd) == before
+
+    # line_min_count change reaches only the lines stage's plan:
+    # exact reuses, lines + downstream rebuild
+    time.sleep(1.1)
+    clean_corpus(_corpus(spark), stage_dir=sd, line_min_count=3).collect()
+    after = _stage_mtimes(sd)
+    assert {f: t for f, t in after.items() if "/exact/" in f} == {
+        f: t for f, t in before.items() if "/exact/" in f
+    }
+    assert any(
+        after[f] != before.get(f)
+        for f in after
+        if "/lines/" in f and f.endswith("_SUCCESS")
+    )
+
+    # different corpus -> the first stage's fingerprint changes and
+    # the whole chain rebuilds (the exact failure mode ADVICE named)
+    smaller = _corpus(spark).filter("doc_id <= 3")
+    before2 = _stage_mtimes(sd)
+    time.sleep(1.1)
+    out_small = clean_corpus(
+        smaller, stage_dir=sd, line_min_count=3
+    ).collect()
+    after2 = _stage_mtimes(sd)
+    assert any(
+        after2[f] != before2.get(f)
+        for f in after2
+        if "/exact/" in f and f.endswith("_SUCCESS")
+    )
+    assert {r["doc_id"] for r in out_small} <= {1, 2, 3}

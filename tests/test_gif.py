@@ -115,3 +115,34 @@ def test_extension_blocks_are_skipped():
     ext = bytes([0x21, 0xF9, 0x04, 0, 0, 0, 0, 0])
     frames = decode_gif(head + ext + rest)
     assert np.array_equal(frames[0], want)
+
+
+def test_mislabeled_gif_payload_falls_back_to_fake():
+    """ADVICE r4: bytes labeled image/gif that aren't GIF (no
+    signature) must take the deterministic-fake path, not raise
+    inside the Arrow batch."""
+    payload = b"definitely not a gif payload " * 100
+    meta = decode_media(payload, "image/gif")
+    assert meta["byte_mean"] == sum(payload) / len(payload)
+    assert meta["frame_count"] == max(1, len(payload) // 1024)
+
+
+def test_unsupported_gif_variant_falls_back_to_fake():
+    """A real GIF header with an unsupported feature (interlace flag)
+    raises NotImplementedError inside decode_gif; decode_media
+    degrades to the fake instead of failing the job."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.multimodal import (
+        decode_gif,
+    )
+
+    # minimal header + image descriptor with interlace bit set
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    hdr += bytes([0, 0, 0, 255, 255, 255])  # 2-entry GCT
+    img = b"," + struct.pack("<HHHHB", 0, 0, 2, 2, 0x40)  # interlaced
+    payload = hdr + img + b"\x02\x00;"
+    with pytest.raises(NotImplementedError):
+        decode_gif(payload)
+    meta = decode_media(payload, "image/gif")
+    assert meta["frame_count"] == max(1, len(payload) // 1024)

@@ -75,18 +75,62 @@ def test_pairs_exactly_match_numpy_within_cluster(spark):
     got = {
         (r.id_a, r.id_b)
         for r in semantic_neardup_pairs(
-            emb, threshold=thresh, n_centroids=n_cent, iters=iters
+            emb, threshold=thresh, n_centroids=n_cent, iters=iters,
+            two_level=False,  # the oracle replays FLAT assignment
         ).collect()
     }
     assert got == want
     assert want, "test corpus should contain at least one semantic pair"
 
 
+def test_pairs_exactly_match_numpy_under_two_level_default(spark):
+    """Exact-parity twin for the r5 DEFAULT config (two_level auto):
+    the numpy oracle replays the two-level cell assignment, so the
+    pair set is still bit-exact — approximate CELLS, exact PAIRS."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivf_assign_two_level,
+    )
+
+    emb = _with_planted(spark)
+    thresh, n_cent, iters = 0.95, 8, 2
+    cents = kmeans_centroids(emb, n_cent, iters)
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign_two_level(
+            emb, cents, n_coarse=max(2, int(n_cent**0.5))
+        ).collect()
+    }
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if assign[a] != assign[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= thresh:
+                want.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in semantic_neardup_pairs(
+            emb, threshold=thresh, n_centroids=n_cent, iters=iters
+        ).collect()
+    }
+    assert got == want
+    assert want
+
+
 def test_multi_assign_widens_pairs(spark):
     emb = _with_planted(spark)
+    # monotonicity is a FLAT-assignment family contract (n_assign>1
+    # always runs flat), so pin the baseline flat too
     p1 = {
         (r.id_a, r.id_b)
-        for r in semantic_neardup_pairs(emb, threshold=0.9).collect()
+        for r in semantic_neardup_pairs(
+            emb, threshold=0.9, two_level=False
+        ).collect()
     }
     p2 = {
         (r.id_a, r.id_b)
@@ -184,7 +228,8 @@ def test_cap_bounds_candidate_generation(spark):
     n = emb.count()
     cap = 50
     capped = semantic_neardup_pairs(
-        emb, threshold=-2.0, n_centroids=1, iters=1, max_cluster_size=cap
+        emb, threshold=-2.0, n_centroids=1, iters=1, max_cluster_size=cap,
+        two_level=False,  # isolate the cap (n_centroids=1 has no levels)
     ).count()
     assert capped <= n * cap / 2 + n, (capped, n)
     assert capped < n * (n - 1) / 2
@@ -197,7 +242,7 @@ def test_cap_subbucket_split_keeps_planted_pairs(spark):
     planted = _with_planted(spark)
     pairs = semantic_neardup_pairs(
         planted, threshold=0.99, n_centroids=1, iters=1,
-        max_cluster_size=50,
+        max_cluster_size=50, two_level=False,
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     found = sum((i, i + OFFSET) in got for i in range(N_PLANT))
