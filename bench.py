@@ -456,6 +456,84 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
     return out
 
 
+def search_quality(spark, sf_dir: str, k: int = 10) -> dict:
+    """BM25 retrieval quality vs an exact in-memory Python oracle
+    (VERDICT r4 #9): per query set, top-k overlap and max score
+    deviation of the engine's pruned-index search against a direct
+    implementation of the same Okapi formula over the collected
+    corpus — the per-round trend line ANN recall already has, for the
+    lexical index."""
+    import math
+
+    from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        BM25_B,
+        BM25_K1,
+        bm25_search,
+        text_index_for,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    toks = {d: [t for t in t_.lower().split() if t] for d, t_ in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    index, lengths = text_index_for(spark, sf_dir)
+
+    def py_bm25(terms):
+        df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+        scores = {}
+        for d, tk in toks.items():
+            s = 0.0
+            for t in terms:
+                tf = tk.count(t)
+                if not tf or not df[t]:
+                    continue
+                idf = math.log(
+                    (n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0
+                )
+                s += (
+                    idf
+                    * tf
+                    * (BM25_K1 + 1)
+                    / (
+                        tf
+                        + BM25_K1
+                        * (1 - BM25_B + BM25_B * len(tk) / avgdl)
+                    )
+                )
+            if s > 0:
+                scores[d] = s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    out = {}
+    for label, terms in {
+        "common": ["hash", "join", "stream"],
+        "mixed": ["the", "data", "model"],
+        "narrow": ["vector", "window"],
+    }.items():
+        want = py_bm25(terms)
+        got = bm25_search(index, lengths, terms, k=k).collect()
+        overlap = len(
+            {r["doc_id"] for r in got} & {d for d, _ in want}
+        ) / max(len(want), 1)
+        want_scores = dict(want)
+        max_dev = max(
+            (
+                abs(r["score"] - want_scores[r["doc_id"]])
+                for r in got
+                if r["doc_id"] in want_scores
+            ),
+            default=0.0,
+        )
+        out[f"bm25_{label}_overlap_at_{k}"] = round(overlap, 4)
+        out[f"bm25_{label}_max_score_dev"] = round(max_dev, 7)
+    return out
+
+
 def extended_ops(spark, sf_dir: str) -> dict:
     """Wall seconds for the beyond-the-registry training-data ops
     (pytest-verified; the 50-slot declared surface is full): substring
@@ -604,6 +682,7 @@ def main() -> None:
     # events at sf0.1 is exactly 100k rows
     stress_large = cdc_stress(spark, sf_dir, n_rows=100_000, batch=5_000)
     recall = ann_recall(spark, sf_dir)
+    search_q = search_quality(spark, sf_dir)
     extended = extended_ops(spark, sf_dir)
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
     scaled = (
@@ -621,6 +700,7 @@ def main() -> None:
         "cdc_stress": stress,
         "cdc_stress_large_profile": stress_large,
         "ann_recall": recall,
+        "search_quality": search_q,
         "extended_ops": extended,
         **({"scaled_inventory": scaled} if scaled else {}),
         **({"errors": errors} if errors else {}),
@@ -666,6 +746,12 @@ def main() -> None:
         "ivfpq_recall_at_10": recall.get("ivfpq_recall_at_10"),
         "ivfpq_codes_scan_fraction": recall.get(
             "ivfpq_codes_scan_fraction"
+        ),
+        "bm25_common_overlap_at_10": search_q.get(
+            "bm25_common_overlap_at_10"
+        ),
+        "bm25_mixed_overlap_at_10": search_q.get(
+            "bm25_mixed_overlap_at_10"
         ),
         **(
             {

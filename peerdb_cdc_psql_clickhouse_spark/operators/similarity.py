@@ -1875,6 +1875,7 @@ def build_ivfpq_index(
     m: int = PQ_M,
     nbits: int = PQ_NBITS,
     pq_iters: int = 3,
+    two_level: bool = False,
 ) -> IvfPqIndex:
     """Build + persist:
       path/centroids/  (c_id, c_vec)
@@ -1893,7 +1894,22 @@ def build_ivfpq_index(
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents_saved = spark.read.parquet(f"{path}/centroids")
 
-    assign = ivf_assign(emb, cents_saved, n_assign)
+    # two_level: corpus-side assignment through the coarse quantizer
+    # (k -> 2*sqrt(k) per-row work — the SemDeDup scale mitigation
+    # applied to index build; cells become approximate, searches stay
+    # exact within probed cells). Requires n_assign=1.
+    if two_level:
+        if n_assign != 1:
+            raise ValueError("two_level supports n_assign=1 only")
+        import math
+
+        assign = ivf_assign_two_level(
+            emb,
+            cents_saved,
+            n_coarse=max(2, int(math.isqrt(n_centroids))),
+        ).withColumn("crank", F.lit(1))
+    else:
+        assign = ivf_assign(emb, cents_saved, n_assign)
     res = _residuals(assign, cents_saved)
     codebook = pq_train(
         res.filter(F.col("crank") == 1),

@@ -277,6 +277,90 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             res[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # record per-job, keep probing
             res[name] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+
+    # -- retrieval family (r5, VERDICT r4 #8): index LIFECYCLE costs,
+    # build and search timed separately. Builds are the one linear
+    # corpus pass; searches touch nprobe cells / the query terms'
+    # postings, so search wall should stay ~flat while the corpus
+    # grows — per-row cost falling through both decades.
+    import shutil
+    import tempfile
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        bm25_search,
+        build_text_index,
+        doc_lengths,
+        load_text_index,
+        phrase_search,
+        save_text_index,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="probe_retrieval_")
+    try:
+        emb_plain = emb.select("vec_id", "embedding")
+        queries = emb_plain.filter(F.col("vec_id") < 50)
+        # cells scale with the corpus (constant cell size -> constant
+        # scanned rows per probe); seed quantizer + two-level corpus
+        # assignment keep the build's n·k term at n·2√k
+        t0 = time.perf_counter()
+        try:
+            ivfpq = build_ivfpq_index(
+                emb_plain,
+                f"{tmp}/ivfpq",
+                n_centroids=16 * mult,
+                n_assign=1,
+                refine_iters=0,
+                two_level=mult > 1,
+            )
+            res["ivfpq_index_build"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            search_ivfpq_index(
+                ivfpq, queries, emb_plain, k=10, nprobe=8, rerank=50
+            ).write.format("noop").mode("overwrite").save()
+            res["ivfpq_search"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:
+            res["ivfpq_search"] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+
+        # text index: a fixed-df needle (500 copy-0 docs carry it at
+        # every mult — the realistic "query term's postings, not the
+        # corpus" contract) + a two-token phrase on the same docs
+        docs_needle = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") < 500,
+                F.concat(F.col("text"), F.lit(" needlea needleb")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        t0 = time.perf_counter()
+        try:
+            save_text_index(
+                build_text_index(docs_needle), f"{tmp}/postings"
+            )
+            lengths = doc_lengths(docs_needle)
+            lengths.write.mode("overwrite").parquet(f"{tmp}/lengths")
+            res["text_index_build"] = round(time.perf_counter() - t0, 2)
+            idx = load_text_index(spark, f"{tmp}/postings")
+            lengths_saved = spark.read.parquet(f"{tmp}/lengths")
+            t0 = time.perf_counter()
+            bm25_search(
+                idx, lengths_saved, ["needlea", "needleb"], k=10
+            ).write.format("noop").mode("overwrite").save()
+            res["bm25_search"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            phrase_search(idx, "needlea needleb").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            res["phrase_search"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:
+            res["bm25_search"] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return res
 
 

@@ -178,3 +178,27 @@ def _brute_with(spark, extra, q_ids, k):
         order = np.lexsort((ids, d))[:k]
         out[q] = [int(ids[j]) for j in order]
     return out
+
+
+def test_two_level_build_searchable_full_probe_exact(spark, tmp_path):
+    """two_level build (r5 scale path): corpus assignment goes through
+    the coarse quantizer, so CELLS are approximate — but with every
+    cell probed and a generous rerank, search still returns the exact
+    brute-force top-k (the rerank is full-dim regardless of which
+    cell a vector landed in)."""
+    emb = _emb(spark)
+    idx = build_ivfpq_index(
+        emb, str(tmp_path / "ivfpq2l"), n_centroids=8, n_assign=1,
+        two_level=True,
+    )
+    assert idx.lists.count() == emb.count()  # every vector indexed once
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {}
+    res = search_ivfpq_index(
+        idx, queries, emb, k=3, nprobe=8, rerank=10**6
+    )
+    for r in res.collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id))
+    want = _brute(spark, range(5), 3)
+    for q in range(5):
+        assert [v for _, v in sorted(got[q])] == want[q]
