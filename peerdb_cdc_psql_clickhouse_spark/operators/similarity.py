@@ -2086,6 +2086,36 @@ def search_ivfpq_index(
     )
 
 
+def ivf_index_insert(
+    index: IvfIndex, new_emb: DataFrame, n_assign: int = N_ASSIGN
+) -> IvfIndex:
+    """Fold a batch of new vectors into the persisted plain-IVF index
+    WITHOUT a rebuild (r5 — completes the build/search/insert
+    lifecycle the IVF-PQ index already had): assign against the
+    frozen centroids (broadcast argmin), re-derive the persisted JL
+    projection when the index carries one, append to the partitioned
+    lists. O(batch): existing lists are never read or rewritten; a
+    batch touches only the cell directories it lands in. Rebuild
+    (build_ivf_index) when quantizer drift accumulates."""
+    spark = new_emb.sparkSession
+    assign = ivf_assign(new_emb, index.centroids, n_assign)
+    cols = ["centroid_id", "vec_id", "embedding"]
+    if "proj" in index.lists.columns:
+        # match the persisted projection width (plan-literal planes
+        # are deterministic, so build-time and insert-time projections
+        # agree exactly)
+        sample = index.lists.select(F.size("proj").alias("d")).first()
+        assign = project_embeddings(assign, out_dim=int(sample["d"]))
+        cols.append("proj")
+    (
+        assign.select(*cols)
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(f"{index.path}/lists")
+    )
+    return load_ivf_index(spark, index.path)
+
+
 def ivfpq_index_insert(
     index: IvfPqIndex, new_emb: DataFrame, n_assign: int = N_ASSIGN
 ) -> IvfPqIndex:

@@ -135,6 +135,43 @@ def test_prerank_search_without_persisted_proj_falls_back(
     assert got == want
 
 
+def test_incremental_insert_is_searchable(spark, tmp_path):
+    """ivf_index_insert (r5): O(batch) append — the inserted vectors
+    are found by later searches (incl. through the persisted-proj
+    prerank path) without any rebuild."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivf_index_insert,
+    )
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    idx = build_ivf_index(
+        base, path, n_centroids=8, n_assign=1, proj_dim=16
+    )
+    n_before = idx.lists.count()
+
+    dup = emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    idx = ivf_index_insert(idx, rest.unionByName(dup), n_assign=1)
+    assert idx.lists.count() == n_before + rest.count() + 1
+    assert "proj" in idx.lists.columns
+
+    # the inserted exact duplicate is rank-1 (cosine 1.0) for query 2
+    res = search_ivf_index(
+        idx, emb.filter(F.col("vec_id") == 2), k=1, nprobe=8
+    ).collect()
+    assert res[0]["vec_id"] == 1_000_002 and res[0]["cosine_sim"] == 1.0
+    # and through the prerank path too
+    res2 = search_ivf_index_prerank(
+        idx, emb.filter(F.col("vec_id") == 2), k=1, nprobe=8,
+        proj_dim=16,
+    ).collect()
+    assert res2[0]["vec_id"] == 1_000_002
+
+
 def test_load_reopens_same_index(spark, tmp_path):
     emb = _emb(spark)
     path = str(tmp_path / "ivf")
