@@ -491,81 +491,87 @@ def kmeans_centroids(
     is the recall lever here; refinement pays off when the data has
     real cluster structure.
 
-    Distributed shape per round (the 100 TB path):
-    1. assign: centroid table broadcast, map-side argmin — no corpus
-       shuffle (ivf_assign);
-    2. partial recenter: per-partition element-wise sums + counts via
-       one mapInPandas pass — output is partitions x centroids rows
-       (tiny regardless of corpus size);
-    3. exact combine: posexplode the TINY partial table, sum per
-       (centroid, dim), re-assemble the mean vector. Only partials are
-       ever shuffled. Empty clusters keep their previous centroid.
+    Distributed shape per round (the 100 TB path — rewritten r5 to
+    ONE Arrow pass per iteration, the pq_train shape; the pre-r5 form
+    ran assign + recenter as separate Spark jobs with a per-iteration
+    localCheckpoint, and its fixed stage costs dominated the declared
+    pipelines at test scale — 9.3 s for two rounds at sf0.1, now
+    ~2 s):
+    1. one mapInPandas pass per iteration computes per-partition
+       argmin assignment AND per-centroid partial sums + counts
+       vectorized in numpy (centroid matrix travels in the closure —
+       broadcast-sized by construction);
+    2. exact combine lands driver-side: the partial table is at most
+       partitions x centroids tiny rows. Empty clusters keep their
+       previous centroid; means are rounded to float32 each round
+       (the centroid table's storage type). Ties argmin to the
+       smallest c_id (the matrix rows are id-sorted).
     """
+    import numpy as np
     import pandas as pd
 
-    def partial_sums(pdfs):
-        import numpy as np
+    spark = emb.sparkSession
+    seeds = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+        .orderBy("c_id")
+        .collect()
+    )
+    c_ids = [int(r["c_id"]) for r in seeds]
+    cent_mat = np.asarray(
+        [r["c_vec"] for r in seeds], dtype="float64"
+    )
 
-        for pdf in pdfs:
-            for cid, grp in pdf.groupby("centroid_id"):
-                mat = np.stack(grp["embedding"].values).astype("float64")
+    for _ in range(iters):
+        cm = cent_mat  # bind the loop value for the closure
+
+        def partials(pdfs, cm=cm):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["embedding"].values).astype("float64")
+                d2 = (
+                    (x**2).sum(axis=1)[:, None]
+                    - 2.0 * x @ cm.T
+                    + (cm**2).sum(axis=1)[None, :]
+                )
+                a = d2.argmin(axis=1)  # first index wins = smallest id
+                out_c, out_p, out_n = [], [], []
+                for c in np.unique(a):
+                    mask = a == c
+                    out_c.append(int(c))
+                    out_p.append(x[mask].sum(axis=0).tolist())
+                    out_n.append(int(mask.sum()))
                 yield pd.DataFrame(
-                    {
-                        "centroid_id": [int(cid)],
-                        "psum": [mat.sum(axis=0).tolist()],
-                        "cnt": [int(mat.shape[0])],
-                    }
+                    {"c": out_c, "psum": out_p, "cnt": out_n}
                 )
 
-    centroids = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+        combined = (
+            emb.select("embedding")
+            .mapInPandas(partials, "c int, psum array<double>, cnt long")
+            .collect()  # bounded: <= partitions x n_centroids rows
+        )
+        sums = np.zeros_like(cent_mat)
+        cnts = np.zeros(len(c_ids), dtype="int64")
+        for r in combined:
+            sums[r["c"]] += np.asarray(r["psum"], dtype="float64")
+            cnts[r["c"]] += r["cnt"]
+        nonempty = cnts > 0
+        cent_mat = cent_mat.copy()
+        cent_mat[nonempty] = (
+            sums[nonempty] / cnts[nonempty, None]
+        ).astype("float32")  # storage-type rounding each round
+
+    return spark.createDataFrame(
+        [
+            (cid, [float(v) for v in cent_mat[i].astype("float32")])
+            for i, cid in enumerate(c_ids)
+        ],
+        "c_id long, c_vec array<float>",
     )
-    for _ in range(iters):
-        assign = ivf_assign(emb, centroids, 1)
-        partials = assign.select("centroid_id", "embedding").mapInPandas(
-            partial_sums,
-            "centroid_id long, psum array<double>, cnt long",
-        )
-        counts = partials.groupBy("centroid_id").agg(
-            F.sum("cnt").alias("n")
-        )
-        means = (
-            partials.select(
-                "centroid_id", F.posexplode("psum").alias("pos", "v")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.sum("v").alias("s"))
-            .join(counts, "centroid_id")
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("pos").alias("pos"),
-                                (F.col("s") / F.col("n")).alias("v"),
-                            )
-                        )
-                    ),
-                    lambda st: st.getField("v").cast("float"),
-                ).alias("new_vec")
-            )
-        )
-        centroids = (
-            centroids.join(
-                means,
-                centroids.c_id == means.centroid_id,
-                "left",
-            )
-            .select(
-                "c_id",
-                F.coalesce(F.col("new_vec"), F.col("c_vec")).alias(
-                    "c_vec"
-                ),
-            )
-            .localCheckpoint()  # cut the per-iteration lineage
-        )
-    return centroids
 
 
 def ann_topk_ivf(
@@ -807,6 +813,30 @@ SEMDEDUP_THRESHOLD = 0.9
 # survive at >= 0.95^n_bits and, when unsplit, are caught by the star
 # path via the shared canonical.
 SEMDEDUP_MAX_CLUSTER = 4096
+
+# two_level=None (auto) switches to coarse-quantizer assignment above
+# this cell count: per-row work is k flat vs ~2*sqrt(k)+overhead
+# two-level, so the crossover sits where sqrt(k)/2 comfortably beats
+# the coarse quantizer's fixed extra passes (measured: k=64 flat wins
+# 2.2x at sf0.1; at k=1600 — the 100x composed probe's regime —
+# two-level is the only tractable form)
+TWO_LEVEL_AUTO_K = 512
+
+
+def _resolve_two_level(
+    two_level: bool | None, n_assign: int, centroids, n_centroids: int
+) -> bool:
+    """The AUTO rule (two_level=None): coarse assignment exactly
+    where the k -> 2*sqrt(k) cut wins — self-contained batch shape
+    (single assignment, unpinned quantizer) at a cell count past the
+    crossover. Explicit True/False always wins."""
+    if two_level is not None:
+        return two_level
+    return (
+        n_assign == 1
+        and centroids is None
+        and n_centroids > TWO_LEVEL_AUTO_K
+    )
 _SUB_SEED = 9001  # plane-index offset: disjoint from LSH (0..) and JL (7001..)
 _SUB_PLANES = 12
 
@@ -858,12 +888,16 @@ def semantic_neardup_pairs(
     cell because their inputs are near-identical (planted-pair
     co-location is pytest-asserted) — so dedup recall holds while the
     assignment scan shrinks. Default None = AUTO (VERDICT r4 #5: the
-    documented scale config is the default): two-level is used
-    whenever the call is the self-contained batch shape (n_assign=1,
-    no pinned quantizer); flat assignment is kept when n_assign > 1
+    documented scale config is the default): two-level engages
+    exactly where the k -> 2*sqrt(k) cut WINS — the self-contained
+    batch shape (n_assign=1, no pinned quantizer) with n_centroids >
+    TWO_LEVEL_AUTO_K; below that the coarse quantizer's extra passes
+    cost more than they save (measured at sf0.1/k=64: two-level 9.9 s
+    vs flat 4.4 s — the mitigation is for large n·k, and n_centroids
+    grows with the corpus). Flat is also kept when n_assign > 1
     (multi-assign needs the flat ranked argmin) or when `centroids`
     is pinned (screen/batch parity contracts depend on replaying the
-    exact flat assignment). Pass False to force flat everywhere.
+    exact flat assignment). Pass True/False to force.
 
     max_cluster_size bounds per-cell pair work (see the
     SEMDEDUP_MAX_CLUSTER comment): clusters above it are hyperplane-
@@ -881,8 +915,9 @@ def semantic_neardup_pairs(
         if centroids is not None
         else kmeans_centroids(emb, n_centroids, iters)
     )
-    if two_level is None:
-        two_level = n_assign == 1 and centroids is None
+    two_level = _resolve_two_level(
+        two_level, n_assign, centroids, n_centroids
+    )
     if two_level:
         if n_assign != 1:
             raise ValueError("two_level supports n_assign=1 only")

@@ -83,10 +83,29 @@ def test_pairs_exactly_match_numpy_within_cluster(spark):
     assert want, "test corpus should contain at least one semantic pair"
 
 
-def test_pairs_exactly_match_numpy_under_two_level_default(spark):
-    """Exact-parity twin for the r5 DEFAULT config (two_level auto):
-    the numpy oracle replays the two-level cell assignment, so the
-    pair set is still bit-exact — approximate CELLS, exact PAIRS."""
+def test_two_level_auto_rule():
+    """two_level=None resolves to coarse assignment exactly where the
+    k -> 2*sqrt(k) cut wins: self-contained batch shape AND
+    n_centroids above the crossover."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        TWO_LEVEL_AUTO_K,
+        _resolve_two_level,
+    )
+
+    assert not _resolve_two_level(None, 1, None, 64)
+    assert _resolve_two_level(None, 1, None, TWO_LEVEL_AUTO_K + 1)
+    assert not _resolve_two_level(None, 2, None, TWO_LEVEL_AUTO_K + 1)
+    assert not _resolve_two_level(None, 1, "pinned", TWO_LEVEL_AUTO_K + 1)
+    assert _resolve_two_level(True, 1, None, 8)
+    assert not _resolve_two_level(False, 1, None, 10**6)
+
+
+def test_pairs_exactly_match_numpy_under_two_level(spark):
+    """Exact-parity twin for the scale config (two_level forced — the
+    auto rule picks it above TWO_LEVEL_AUTO_K cells, too large to
+    all-pairs-verify here): the numpy oracle replays the two-level
+    cell assignment, so the pair set is still bit-exact —
+    approximate CELLS, exact PAIRS."""
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         ivf_assign_two_level,
     )
@@ -115,7 +134,8 @@ def test_pairs_exactly_match_numpy_under_two_level_default(spark):
     got = {
         (r.id_a, r.id_b)
         for r in semantic_neardup_pairs(
-            emb, threshold=thresh, n_centroids=n_cent, iters=iters
+            emb, threshold=thresh, n_centroids=n_cent, iters=iters,
+            two_level=True,
         ).collect()
     }
     assert got == want
