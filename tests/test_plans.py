@@ -240,3 +240,21 @@ def test_reuse_materialized_matches_persist(spark):
     )
     assert via_persist == via_parquet
     assert len(via_persist) > 0
+
+
+def test_declared_ann_search_prunes_index_partitions(plans):
+    # r5: x2d/x2b search the PERSISTED IVF index — the physical plan
+    # must show the probed cells pruning at the parquet scan via the
+    # partition column, not a full-lists scan
+    for q in ("x2d_ann_ivf", "x2b_ann_prerank"):
+        p = plans(q)
+        assert "PartitionFilters" in p and "centroid_id" in p, q
+
+
+def test_declared_bm25_prunes_postings_buckets(plans):
+    # r5: x9 searches the persisted positional index — the query
+    # terms' bucket ids must reach the scan as partition filters and
+    # the term predicate must be pushed to parquet
+    p = plans("x9_bm25_search")
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "term" in p
