@@ -233,6 +233,53 @@ def test_mirror_evolves_schema_mid_stream_without_resync(
     assert n_batches_after == n_batches_before + 1
 
 
+def test_compact_after_evolve_preserves_widened_state(
+    spark, tmp_path, mirror
+):
+    """compact() after evolve(): the folded base is written in the
+    widened schema (old rows NULL for the new column) and later
+    change batches still converge against it."""
+    import datetime
+
+    snap = spark.createDataFrame([(10, "s10")], ROW_SCHEMA)
+    mirror.snapshot(snap)
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS[:4]), changes_dir, 2)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+
+    mirror.evolve(WIDE_SCHEMA)
+    mirror.compact()
+    base_cols = set(
+        spark.read.parquet(f"{mirror.target_dir}/base").columns
+    )
+    assert {"id", "val", "note", "_version"} <= base_cols
+
+    wide_schema = T.StructType(
+        [
+            T.StructField("_op", T.StringType()),
+            T.StructField("_version", T.LongType()),
+            T.StructField("_ts", T.TimestampType()),
+        ]
+        + list(WIDE_SCHEMA.fields)
+    )
+    spark.createDataFrame(
+        [("update", 9, datetime.datetime(2026, 1, 1), 1, "a9", "note9")],
+        wide_schema,
+    ).coalesce(1).write.parquet(f"{changes_dir}/_batch=50")
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+    got = {
+        r["id"]: (r["val"], r["note"])
+        for r in mirror.read_target().collect()
+    }
+    # EVENTS[:4] replay: 1->a2, 2->b, 3->c; then 1 updated with a note
+    assert got == {
+        10: ("s10", None),
+        1: ("a9", "note9"),
+        2: ("b", None),
+        3: ("c", None),
+    }
+
+
 def test_evolve_rejects_drops_retypes_and_active_stream(
     spark, tmp_path, mirror
 ):
