@@ -350,6 +350,10 @@ def ann_recall(spark, sf_dir: str, n_queries: int = 50) -> dict:
         "ivf_prerank_effective_scan_fraction": round(
             coverage * proj_dim / EMB_DIM + rerank / n_corpus, 4
         ),
+        # the declared x2b path (persisted index, rerank=250 default)
+        "ivf_prerank_index_effective_scan_fraction": round(
+            coverage * proj_dim / EMB_DIM + 250 / n_corpus, 4
+        ),
     }
     for k in (3, 10):
         exact = {

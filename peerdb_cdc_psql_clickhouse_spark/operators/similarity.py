@@ -762,8 +762,10 @@ def x2d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan). Candidates in the probed (partition-pruned) cells are "
     "scored on the proj column persisted at build time — "
     "proj_dim/dim of full-dim cost — and only top-rerank rows per "
-    "query get exact cosines. LSH banding stays where it wins: "
-    "minhash dedup (x1b) and hyperplane near-dup screens (x2c)",
+    "query get exact cosines (rerank=250: recall@3 0.95 / @10 0.91 "
+    "at sf0.1, wall flat vs 150 — the rerank join touches nq*rerank "
+    "rows regardless of corpus size). LSH banding stays where it "
+    "wins: minhash dedup (x1b) and hyperplane near-dup screens (x2c)",
 )
 def x2b_ann_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1422,7 +1424,7 @@ def search_ivf_index_prerank(
     k: int = TOP_K,
     nprobe: int = NPROBE,
     proj_dim: int = 24,
-    rerank: int = 150,
+    rerank: int = 250,
     dim: int = EMB_DIM,
 ) -> DataFrame:
     """JL-preranked search over the persisted lists: the probed cells
