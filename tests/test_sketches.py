@@ -201,3 +201,27 @@ def test_cms_accumulates_over_a_stream(spark, tmp_path):
         for r in cms_build(words, "word", 512, 3).collect()
     }
     assert got == want
+
+
+def test_kmv_estimate_accuracy_and_exact_branch(spark):
+    """KMV distinct estimate (x5, r5): within the theoretical
+    ~1/sqrt(K) relative error on a corpus with ndv >> K, and EXACT
+    (the sketch IS the distinct set) when ndv < K."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.sketches import (
+        SKETCH_K,
+        kmv_distinct_stat,
+    )
+
+    big = spark.range(20_000).select(
+        (F.col("id") * 7 + 3).alias("key")
+    )
+    est = kmv_distinct_stat(big, "key", "kmv").collect()[0]["value"]
+    # K=1024 -> sigma ~ 1/32 ~ 3.1%; allow 5 sigma
+    assert abs(est - 20_000) / 20_000 < 0.16, est
+
+    small = spark.range(300).select(F.col("id").alias("key"))
+    est_small = kmv_distinct_stat(small, "key", "kmv").collect()[0][
+        "value"
+    ]
+    assert est_small == 300.0
+    assert SKETCH_K == 1024
