@@ -244,13 +244,32 @@ def kmv_distinct_stat(
     df: DataFrame, key: str, name: str, k: int = SKETCH_K
 ) -> DataFrame:
     """One (stat, value) row: the KMV distinct-count estimate for
-    df[key]. Plan shape: partial-agg distinct on the hash (map-side
-    dedup combiner — the same shuffle an exact count distinct pays)
-    then ORDER BY + LIMIT k, which compiles to per-partition top-k
-    (TakeOrdered): only k rows per partition survive to the driver
-    side of the sort."""
+    df[key]. Plan shape (the bounded-state property that makes KMV a
+    sketch): one Arrow pass keeps each partition's k smallest
+    DISTINCT hashes (state <= ~4k values per task), so only
+    partitions x k rows ever reach the final distinct + top-k — the
+    corpus-wide distinct set is never shuffled, unlike the exact
+    companion. Any correct k-min-distinct implementation yields the
+    identical set, so the declared hash is implementation-
+    independent."""
+    import numpy as np
+    import pandas as pd
+
+    def kmin(pdfs, k=k):
+        best = None
+        for pdf in pdfs:
+            u = pdf["h"].to_numpy()
+            best = u if best is None else np.concatenate([best, u])
+            if len(best) > 4 * k:  # compact the running state
+                best = np.unique(best)[:k]
+        if best is None:
+            return
+        best = np.unique(best)[:k]
+        yield pd.DataFrame({"h": best})
+
     hashes = (
         df.select(_hash48(F.col(key)).alias("h"))
+        .mapInPandas(kmin, "h long")
         .distinct()
         .orderBy("h")
         .limit(k)
