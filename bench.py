@@ -485,7 +485,7 @@ def search_quality(spark, sf_dir: str, k: int = 10) -> dict:
     toks = {d: [t for t in t_.lower().split() if t] for d, t_ in texts.items()}
     n_docs = len(toks)
     avgdl = sum(len(t) for t in toks.values()) / n_docs
-    index, lengths = text_index_for(spark, sf_dir)
+    index, lengths, _stats = text_index_for(spark, sf_dir)
 
     def py_bm25(terms):
         df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}

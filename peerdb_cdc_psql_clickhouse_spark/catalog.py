@@ -171,6 +171,18 @@ CDC_META_FIELDS = [
 ]
 
 
+def corpus_cache_key(sf_dir: str, filename: str) -> str:
+    """Identity of one testdata file for per-process build-once caches
+    (IVF / text indexes): absolute path + mtime, so a regenerated
+    corpus under the same path gets a fresh artifact. One shared
+    definition so the two caches cannot drift."""
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), filename)
+    mt = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    return f"{src}:{mt}"
+
+
 def change_event_schema(row_schema: T.StructType) -> T.StructType:
     """Schema of an ordered change stream for a table (FIXTURES.md A4)."""
     return T.StructType(CDC_META_FIELDS + list(row_schema.fields))

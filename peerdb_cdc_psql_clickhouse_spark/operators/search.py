@@ -32,24 +32,34 @@ def build_text_index(
     text_col: str = "text",
     n_buckets: int = INDEX_BUCKETS,
 ) -> DataFrame:
-    """(term, doc_id, positions array<int>, tf, bucket) positional
-    postings — one tokenize + posexplode + (term, doc)-keyed agg, the
-    single corpus shuffle of the build. positions are 0-based token
-    offsets, sorted. bucket = portable hash of the term mod n_buckets
-    (the partition column of the persisted layout)."""
+    """(term, doc_id, positions array<int>, tf, dl, bucket)
+    positional postings — one tokenize + posexplode + (term,
+    doc)-keyed agg, the single corpus shuffle of the build. positions
+    are 0-based token offsets, sorted. bucket = portable hash of the
+    term mod n_buckets (the partition column of the persisted
+    layout).
+
+    dl (the doc's total token count) is DENORMALIZED into every
+    posting row at build time (r5): BM25's length normalization then
+    reads it off the pruned postings themselves — no per-query join
+    against a corpus-sized lengths table, which at 100 TB would have
+    been a full narrow-table scan per search. Costs one extra long
+    per posting row plus one doc-keyed exchange at build time (the
+    window below) — both amortized over every later search."""
+    from pyspark.sql import Window
+
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"),
     )
-    return (
-        toks.groupBy("term", id_col)
-        .agg(
-            F.array_sort(F.collect_list("pos")).alias("positions"),
-            F.count("*").cast("long").alias("tf"),
-        )
-        .withColumn(
-            "bucket", F.pmod(hash64(F.col("term")), F.lit(n_buckets))
-        )
+    per_doc = toks.groupBy("term", id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+        F.count("*").cast("long").alias("tf"),
+    )
+    return per_doc.select(
+        "*",
+        F.sum("tf").over(Window.partitionBy(id_col)).alias("dl"),
+        F.pmod(hash64(F.col("term")), F.lit(n_buckets)).alias("bucket"),
     )
 
 
@@ -176,6 +186,7 @@ def bm25_search(
     b: float = BM25_B,
     id_col: str = "doc_id",
     n_buckets: int = INDEX_BUCKETS,
+    stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25-ranked top-k (doc_id, score, rank) for a bag of terms
     (Robertson/Sparck Jones, the public Okapi formula):
@@ -185,9 +196,14 @@ def bm25_search(
 
     Work = the query terms' postings only: pruned scan -> df per term
     (tiny agg over the already-pruned postings) -> score + doc-keyed
-    sum -> k-row window. N and avgdl come from the lengths table (two
-    scalars, one agg; avgdl = exact integer sum / count so the scalar
-    is bit-identical across engines). Ties break on doc_id ascending.
+    sum -> k-row window. N and avgdl come from `stats` (n_docs,
+    sum_dl) when given — the persisted index statistics, the 100 TB
+    path — else from one agg over the lengths table; avgdl = exact
+    integer sum / count either way, so the scalar is bit-identical
+    across engines. dl per matched doc is read off the postings
+    themselves when the index carries the denormalized `dl` column
+    (build_text_index r5); only a pre-r5 index falls back to the
+    per-query lengths join. Ties break on doc_id ascending.
     Determinism: each term contribution is fixed-point rounded to 6
     decimals and summed as DECIMAL — order-insensitive exact
     addition, so the score survives any partial-agg order AND
@@ -198,20 +214,24 @@ def bm25_search(
     from ..functions.numeric import fround
 
     terms = _norm_terms(terms)
-    stats = lengths.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n_docs = int(stats["n_docs"])
-    avgdl = int(stats["sum_dl"]) / n_docs  # exact ints -> one IEEE div
+    if stats is None:
+        st = lengths.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        stats = (int(st["n_docs"]), int(st["sum_dl"]))
+    n_docs, sum_dl = stats
+    avgdl = sum_dl / n_docs  # exact ints -> one IEEE div
 
-    post = _pruned(index, terms, n_buckets).select(id_col, "term", "tf")
+    has_dl = "dl" in index.columns
+    post = _pruned(index, terms, n_buckets).select(
+        id_col, "term", "tf", *(["dl"] if has_dl else [])
+    )
     df_tbl = post.groupBy("term").agg(
         F.count("*").cast("long").alias("df")
     )
-    joined = (
-        post.join(F.broadcast(df_tbl), "term")
-        .join(lengths, id_col)
-    )
+    joined = post.join(F.broadcast(df_tbl), "term")
+    if not has_dl:
+        joined = joined.join(lengths, id_col)
     idf = F.log(
         (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
         + 1.0
@@ -245,9 +265,13 @@ _TEXT_IDX_CACHE: dict[str, str] = {}
 
 def text_index_for(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(postings, lengths) for sf_dir's documents table, built and
-    persisted on first use."""
+) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
+    """(postings, lengths, (n_docs, sum_dl)) for sf_dir's documents
+    table, built and persisted on first use. The stats pair is the
+    persisted index statistic BM25 needs — searches read no
+    corpus-sized table at all (dl rides the postings, N/avgdl ride
+    here). Cache key includes the source file's mtime so regenerated
+    testdata can't serve a stale index within one process."""
     import atexit
     import os
     import shutil
@@ -255,20 +279,29 @@ def text_index_for(
 
     from ..catalog import load_table
 
-    key = os.path.abspath(sf_dir)
+    from ..catalog import corpus_cache_key
+
+    key = corpus_cache_key(sf_dir, "documents.parquet")
     path = _TEXT_IDX_CACHE.get(key)
     if path is None:
         docs = load_table(spark, sf_dir, "documents")
         path = tempfile.mkdtemp(prefix="spark_graft_textidx_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         save_text_index(build_text_index(docs), f"{path}/postings")
-        doc_lengths(docs).write.mode("overwrite").parquet(
-            f"{path}/lengths"
-        )
+        lengths = doc_lengths(docs)
+        lengths.write.mode("overwrite").parquet(f"{path}/lengths")
+        st = lengths.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        spark.createDataFrame(
+            [(int(st["n"]), int(st["s"]))], "n_docs long, sum_dl long"
+        ).write.mode("overwrite").parquet(f"{path}/stats")
         _TEXT_IDX_CACHE[key] = path
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
     return (
         load_text_index(spark, f"{path}/postings"),
         spark.read.parquet(f"{path}/lengths"),
+        (int(st["n_docs"]), int(st["sum_dl"])),
     )
 
 
@@ -325,8 +358,10 @@ SELECT doc_id, score, rank FROM ranked WHERE rank <= {X9_K}
 
 
 def x9_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    index, lengths = text_index_for(spark, sf_dir)
-    return bm25_search(index, lengths, list(X9_TERMS), k=X9_K)
+    index, lengths, stats = text_index_for(spark, sf_dir)
+    return bm25_search(
+        index, lengths, list(X9_TERMS), k=X9_K, stats=stats
+    )
 
 
 def _register() -> None:

@@ -1509,13 +1509,17 @@ _IVF_CACHE: dict[str, str] = {}
 
 
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
-    """The per-corpus persisted IVF index (built on first use)."""
+    """The per-corpus persisted IVF index (built on first use). Cache
+    key includes the source file's mtime so regenerated testdata
+    can't serve a stale index within one process."""
     import atexit
     import os
     import shutil
     import tempfile
 
-    key = os.path.abspath(sf_dir)
+    from ..catalog import corpus_cache_key
+
+    key = corpus_cache_key(sf_dir, "embeddings.parquet")
     path = _IVF_CACHE.get(key)
     if path is None:
         emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1531,10 +1535,11 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
 def ivf_index_build_seconds(spark: SparkSession, sf_dir: str) -> float:
     """Force (and time) the index build for sf_dir — bench.py reports
     build and search separately, the index lifecycle's two costs."""
-    import os
     import time
 
-    key = os.path.abspath(sf_dir)
+    from ..catalog import corpus_cache_key
+
+    key = corpus_cache_key(sf_dir, "embeddings.parquet")
     if key in _IVF_CACHE:
         return 0.0
     t0 = time.perf_counter()
