@@ -142,19 +142,26 @@ def heavy_hitters(
             }
         )
 
+    # bounded by construction (<= partitions x (m+1) rows);
+    # localCheckpoint materializes it once so the bound-sum action and
+    # the candidate broadcast reuse it without re-scanning the corpus.
+    # Candidates stay DISTRIBUTED — only the scalar bound and the
+    # final k rows ever land on the driver, so the operator holds at
+    # partition counts where a candidate collect() would not.
     raw = df.select(col).mapInPandas(
         local_top, "item string, ceiling long"
+    ).localCheckpoint()
+    missed_bound = int(
+        raw.agg(F.sum("ceiling").alias("s")).first()["s"] or 0
     )
-    # bounded materialization: <= partitions x (m+1) rows
-    cand_rows = raw.collect()
-    cand_items = sorted({r["item"] for r in cand_rows if r["item"] is not None})
-    missed_bound = sum(r["ceiling"] for r in cand_rows)
 
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    cands = spark.createDataFrame(
-        [(i,) for i in cand_items], "item string"
+    cands = (
+        raw.filter(F.col("item").isNotNull())
+        .select("item")
+        .distinct()
     )
     exact = (
         df.join(

@@ -19,6 +19,10 @@ def get_spark(
 ) -> SparkSession:
     import tempfile
 
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active  # configs below only apply to a NEW JVM anyway
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
