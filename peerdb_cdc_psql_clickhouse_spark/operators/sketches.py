@@ -333,14 +333,14 @@ def minhash_sample_quantiles(
         .orderBy("h", "v")
         .limit(n)
     )
+    # both windows scoped to a literal partition: the sample is n rows
+    # by construction, and the explicit partition silences Spark's
+    # move-everything-to-one-partition WARN on every declared run
+    one = Window.partitionBy(F.lit(1))
     ranked = sample.select(
         "v",
-        F.row_number()
-        .over(Window.orderBy("v", "h"))
-        .alias("r"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy(F.lit(1)))
-        .alias("n"),
+        F.row_number().over(one.orderBy("v", "h")).alias("r"),
+        F.count(F.lit(1)).over(one).alias("n"),
     )
     out = None
     for name, q in qs.items():
