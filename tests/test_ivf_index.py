@@ -183,3 +183,33 @@ def test_load_reopens_same_index(spark, tmp_path):
         idx, emb.filter(F.col("vec_id") == 0), k=3, nprobe=2
     )
     assert res.count() == 3
+
+
+def test_index_cache_invalidates_on_source_mtime(spark, tmp_path):
+    """ivf_index_for keys on (path, mtime): rewriting the corpus under
+    the same path yields a fresh index, not a stale cache hit."""
+    import os
+    import shutil
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ivf_index_for,
+    )
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+    shutil.copy(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        f"{sfd}/embeddings.parquet",
+    )
+    idx1 = ivf_index_for(spark, sfd)
+    p1 = idx1.path
+    assert ivf_index_for(spark, sfd).path == p1  # cache hit
+
+    os.utime(f"{sfd}/embeddings.parquet", None)  # "regenerated"
+    # bump well past 1s granularity
+    st = os.stat(f"{sfd}/embeddings.parquet")
+    os.utime(
+        f"{sfd}/embeddings.parquet", (st.st_atime + 5, st.st_mtime + 5)
+    )
+    idx2 = ivf_index_for(spark, sfd)
+    assert idx2.path != p1  # rebuilt for the new corpus identity
