@@ -346,6 +346,54 @@ class Mirror:
         for d in batch_dirs:
             shutil.rmtree(d, ignore_errors=True)
 
+    # -- content-checksum parity (beyond-reference hardening, r5) ----------
+    def checksum_parity(self, source: DataFrame) -> DataFrame:
+        """One row: row-count AND content-checksum comparison between
+        the source and the converged target — the monitor's count-only
+        parity (monitor.ps1:743) upgraded to catch value drift that
+        leaves counts equal (a corrupted apply, a missed update).
+
+        Checksum = DECIMAL sum over rows of the portable 60-bit md5
+        hash of the canonicalized row (columns joined in declared
+        order, nulls marked) — order-insensitive by construction, so
+        it needs no sort and distributes as one partial-agg scan per
+        side. Engine-portable like every declared hash: an external
+        system (e.g. the real ClickHouse side) can compute the same
+        sum with its own md5."""
+        from ..functions.hashing import hash64
+
+        def side_sum(df: DataFrame, alias: str):
+            canon = F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(
+                        F.col(c).cast("string"), F.lit("\x00null")
+                    )
+                    for c in self._data_cols
+                ],
+            )
+            return df.agg(
+                F.count(F.lit(1)).alias(f"{alias}_cnt"),
+                F.coalesce(
+                    F.sum(hash64(canon).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias(f"{alias}_sum"),
+            )
+
+        src = side_sum(source.select(*self._data_cols), "src")
+        tgt = side_sum(self.read_target(), "tgt")
+        return src.crossJoin(tgt).select(
+            F.lit(self.target_table).alias("table_name"),
+            "src_cnt",
+            "tgt_cnt",
+            (
+                (F.col("src_cnt") == F.col("tgt_cnt"))
+                & (F.col("src_sum") == F.col("tgt_sum"))
+            ).alias("in_sync"),
+            F.col("src_sum").cast("string").alias("src_checksum"),
+            F.col("tgt_sum").cast("string").alias("tgt_checksum"),
+        )
+
     # -- O-D1 parity (monitor.ps1:743) -------------------------------------
     def parity(self, source: DataFrame) -> DataFrame:
         src = source.agg(F.count(F.lit(1)).alias("src_cnt"))

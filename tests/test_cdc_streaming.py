@@ -233,6 +233,35 @@ def test_mirror_evolves_schema_mid_stream_without_resync(
     assert n_batches_after == n_batches_before + 1
 
 
+def test_checksum_parity_catches_value_drift(spark, tmp_path, mirror):
+    """checksum_parity: equal counts with different VALUES must flag
+    out-of-sync (count-only parity cannot see this); a true match
+    reports in_sync with equal checksums."""
+    snap = spark.createDataFrame([(10, "s10"), (11, "s11")], ROW_SCHEMA)
+    mirror.snapshot(snap)
+    changes_dir = str(tmp_path / "changes")
+    write_change_batches(_mk_changes(spark, EVENTS), changes_dir, 3)
+    mirror.start(changes_dir, available_now=True).awaitTermination(120)
+
+    expect = _naive_replay(EVENTS, base={10: "s10", 11: "s11"})
+    true_src = spark.createDataFrame(sorted(expect.items()), ROW_SCHEMA)
+    row = mirror.checksum_parity(true_src).collect()[0]
+    assert row["in_sync"] and row["src_checksum"] == row["tgt_checksum"]
+    assert row["src_cnt"] == row["tgt_cnt"] == len(expect)
+
+    # same COUNT, one drifted value -> counts agree, checksums don't
+    drifted = [
+        (k, (v + "_corrupt") if k == 1 else v)
+        for k, v in sorted(expect.items())
+    ]
+    row2 = mirror.checksum_parity(
+        spark.createDataFrame(drifted, ROW_SCHEMA)
+    ).collect()[0]
+    assert row2["src_cnt"] == row2["tgt_cnt"]
+    assert not row2["in_sync"]
+    assert row2["src_checksum"] != row2["tgt_checksum"]
+
+
 def test_compact_after_evolve_preserves_widened_state(
     spark, tmp_path, mirror
 ):
