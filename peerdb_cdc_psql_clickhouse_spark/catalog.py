@@ -179,7 +179,10 @@ def corpus_cache_key(sf_dir: str, filename: str) -> str:
     import os
 
     src = os.path.join(os.path.abspath(sf_dir), filename)
-    mt = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    # nanosecond mtime: a corpus rewritten within the same SECOND as
+    # the cached build must still get a fresh key (code review r5 —
+    # parquet rewrites routinely complete in <1 s)
+    mt = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
     return f"{src}:{mt}"
 
 

@@ -645,12 +645,17 @@ def _write_fingerprint(spark, stage_path: str, fp: str) -> None:
 
 
 def _plan_fingerprint(df: DataFrame) -> str:
-    """Stable digest of a frame's LOGICAL plan (expression ids — which
-    differ per session — stripped): identifies the input source +
-    transformations, so a stage keyed on it re-runs when the corpus or
-    upstream recipe changes. Content-level changes behind an unchanged
-    plan (a path rewritten in place) are NOT detected — the usual
-    make-style contract; use fresh stage dirs for in-place data."""
+    """Stable digest of (normalized logical plan, sorted input
+    files): the plan carries every parameter of the recipe; the
+    inputFiles list carries the INPUT IDENTITY, file by file — code
+    review r5 proved plan strings alone cannot: the unresolved
+    logical plan prints only 'paths: 1 provided', and the physical
+    plan truncates Location at maxMetadataStringLength (100), so two
+    corpora whose paths differ past that point fingerprinted
+    identically and silently reused stale stage output. inputFiles
+    also catches files appended under an unchanged path; only data
+    rewritten IN PLACE (same file names) remains undetected — the
+    make-style contract; use fresh stage dirs for that."""
     import hashlib
     import re
 
@@ -662,7 +667,8 @@ def _plan_fingerprint(df: DataFrame) -> str:
     # Normalize only the lambda-variable references (every appearance
     # is printed with the 'lambda ' prefix), never data column names.
     plan = re.sub(r"lambda (\w+?)_\d+", r"lambda \1_", plan)
-    return hashlib.md5(plan.encode()).hexdigest()
+    payload = plan + "\x00" + "\n".join(sorted(df.inputFiles()))
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def clean_corpus(

@@ -1316,12 +1316,24 @@ def project_embeddings(
 
 
 class IvfIndex:
-    """Handle to a persisted IVF index (see build_ivf_index)."""
+    """Handle to a persisted IVF index (see build_ivf_index). `meta`
+    carries the build parameters (dim, proj_dim, n_centroids,
+    n_assign) so search/insert derive the projection geometry from
+    the index instead of trusting caller arguments (code review r5: a
+    caller-side proj_dim/dim mismatch NULLed every projected score
+    and silently returned garbage rankings)."""
 
-    def __init__(self, path: str, centroids: DataFrame, lists: DataFrame):
+    def __init__(
+        self,
+        path: str,
+        centroids: DataFrame,
+        lists: DataFrame,
+        meta: dict | None = None,
+    ):
         self.path = path
         self.centroids = centroids
         self.lists = lists
+        self.meta = meta or {}
 
 
 def build_ivf_index(
@@ -1359,14 +1371,23 @@ def build_ivf_index(
         .partitionBy("centroid_id")
         .parquet(f"{path}/lists")
     )
+    spark.createDataFrame(
+        [(dim, proj_dim, n_centroids, n_assign)],
+        "dim int, proj_dim int, n_centroids int, n_assign int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return load_ivf_index(spark, path)
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    try:
+        meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    except Exception:  # pre-meta index layout
+        meta = {}
     return IvfIndex(
         path,
         centroids=spark.read.parquet(f"{path}/centroids"),
         lists=spark.read.parquet(f"{path}/lists"),
+        meta=meta,
     )
 
 
@@ -1418,14 +1439,47 @@ def search_ivf_index(
     )
 
 
+def _index_geometry(
+    index: IvfIndex, proj_dim: int | None, dim: int | None
+) -> tuple[int, int]:
+    """Resolve (proj_dim, dim) for a persisted index: meta wins, a
+    contradicting caller value raises, a pre-meta index with a
+    persisted proj gets its width verified against the resolved
+    value (one 1-row probe) — never silently NULLed arithmetic."""
+    meta_pd = index.meta.get("proj_dim")
+    meta_dim = index.meta.get("dim")
+    if proj_dim is None:
+        proj_dim = meta_pd if meta_pd is not None else 24
+    elif meta_pd is not None and proj_dim != meta_pd:
+        raise ValueError(
+            f"proj_dim={proj_dim} contradicts the index's persisted "
+            f"projection width {meta_pd} ({index.path})"
+        )
+    if dim is None:
+        dim = meta_dim if meta_dim is not None else EMB_DIM
+    elif meta_dim is not None and dim != meta_dim:
+        raise ValueError(
+            f"dim={dim} contradicts the index's embedding dim "
+            f"{meta_dim} ({index.path})"
+        )
+    if meta_pd is None and "proj" in index.lists.columns:
+        row = index.lists.select(F.size("proj").alias("d")).first()
+        if row is not None and row["d"] != proj_dim:
+            raise ValueError(
+                f"index persists {row['d']}-wide projections but the "
+                f"search would use proj_dim={proj_dim} ({index.path})"
+            )
+    return int(proj_dim), int(dim)
+
+
 def search_ivf_index_prerank(
     index: IvfIndex,
     queries: DataFrame,
     k: int = TOP_K,
     nprobe: int = NPROBE,
-    proj_dim: int = 24,
+    proj_dim: int | None = None,
     rerank: int = 250,
-    dim: int = EMB_DIM,
+    dim: int | None = None,
 ) -> DataFrame:
     """JL-preranked search over the persisted lists: the probed cells
     prune at the parquet scan exactly like search_ivf_index, then
@@ -1435,9 +1489,16 @@ def search_ivf_index_prerank(
     exact full-dim cosines — full-dim arithmetic touches
     |queries| x rerank rows, never a cell's whole list. Same output
     contract as ann_topk_ivf_prerank: (q_id, vec_id, cosine_sim,
-    rank)."""
+    rank).
+
+    proj_dim/dim default to the INDEX's persisted meta (the geometry
+    the lists were projected with) — a caller value that contradicts
+    the meta raises instead of NULLing every projected score (code
+    review r5: zip_with pads mismatched widths with nulls, which
+    sorted into a plausible-looking but garbage shortlist)."""
     from pyspark.sql import Window
 
+    proj_dim, dim = _index_geometry(index, proj_dim, dim)
     probes = project_embeddings(
         ivf_assign(queries, index.centroids, nprobe).select(
             F.col("vec_id").alias("q_id"),
@@ -2143,11 +2204,15 @@ def ivf_index_insert(
     assign = ivf_assign(new_emb, index.centroids, n_assign)
     cols = ["centroid_id", "vec_id", "embedding"]
     if "proj" in index.lists.columns:
-        # match the persisted projection width (plan-literal planes
-        # are deterministic, so build-time and insert-time projections
-        # agree exactly)
-        sample = index.lists.select(F.size("proj").alias("d")).first()
-        assign = project_embeddings(assign, out_dim=int(sample["d"]))
+        # match the persisted projection GEOMETRY — both the width
+        # and the embedding dim the planes were generated for (code
+        # review r5: re-deriving with the default dim against a
+        # dim!=EMB_DIM index produced NULL projections that silently
+        # never shortlisted). Meta wins; a pre-meta index verifies
+        # the width and assumes the module-default dim it was
+        # necessarily built with.
+        proj_dim, dim = _index_geometry(index, None, None)
+        assign = project_embeddings(assign, out_dim=proj_dim, dim=dim)
         cols.append("proj")
     (
         assign.select(*cols)

@@ -123,9 +123,14 @@ def heavy_hitters(
     BY PROOF, on every partition layout. Only when the bound fails
     (adversarially flat data) does the operator fall back to the full
     groupBy — correctness never depends on the Zipf assumption, only
-    the fast path does. Ties break lexicographically."""
+    the fast path does. Ties break lexicographically. NULL keys are
+    excluded up front (code review r5: pandas value_counts and the
+    equality semi-join both drop nulls, but the exact fallback's
+    groupBy counted them — the two paths must agree on every
+    layout)."""
     import pandas as pd
 
+    df = df.filter(F.col(col).isNotNull())
     m = candidate_factor * k
 
     def local_top(pdfs):

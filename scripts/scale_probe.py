@@ -337,6 +337,9 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             .otherwise(F.col("text"))
             .alias("text"),
         )
+        # each step records under ITS OWN key (code review r5: one
+        # shared except blamed a phrase_search failure on bm25 and
+        # destroyed bm25's already-recorded timing)
         t0 = time.perf_counter()
         try:
             save_text_index(
@@ -347,18 +350,34 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             res["text_index_build"] = round(time.perf_counter() - t0, 2)
             idx = load_text_index(spark, f"{tmp}/postings")
             lengths_saved = spark.read.parquet(f"{tmp}/lengths")
-            t0 = time.perf_counter()
-            bm25_search(
-                idx, lengths_saved, ["needlea", "needleb"], k=10
-            ).write.format("noop").mode("overwrite").save()
-            res["bm25_search"] = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            phrase_search(idx, "needlea needleb").write.format(
-                "noop"
-            ).mode("overwrite").save()
-            res["phrase_search"] = round(time.perf_counter() - t0, 2)
         except Exception as e:
-            res["bm25_search"] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+            res["text_index_build"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
+            idx = None
+        if idx is not None:
+            t0 = time.perf_counter()
+            try:
+                bm25_search(
+                    idx, lengths_saved, ["needlea", "needleb"], k=10
+                ).write.format("noop").mode("overwrite").save()
+                res["bm25_search"] = round(time.perf_counter() - t0, 2)
+            except Exception as e:
+                res["bm25_search"] = (
+                    f"ERR {type(e).__name__}: {str(e)[:160]}"
+                )
+            t0 = time.perf_counter()
+            try:
+                phrase_search(idx, "needlea needleb").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                res["phrase_search"] = round(
+                    time.perf_counter() - t0, 2
+                )
+            except Exception as e:
+                res["phrase_search"] = (
+                    f"ERR {type(e).__name__}: {str(e)[:160]}"
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res

@@ -245,3 +245,45 @@ def test_stage_fingerprint_invalidates_on_param_or_input_change(
         if "/exact/" in f and f.endswith("_SUCCESS")
     )
     assert {r["doc_id"] for r in out_small} <= {1, 2, 3}
+
+
+def test_stage_fingerprint_sees_a_corpus_swapped_by_path(
+    spark, tmp_path
+):
+    """r5 code review: the logical plan prints only 'paths: N
+    provided', so two parquet reads from DIFFERENT directories
+    fingerprinted identically — the realistic corpus change (same
+    recipe, new path) reused stale stages. The physical-plan
+    fingerprint must rebuild."""
+    import time
+
+    sd = str(tmp_path / "stages")
+    pa, pb = str(tmp_path / "corpusA"), str(tmp_path / "corpusB")
+    _corpus(spark).write.parquet(pa)
+    _corpus(spark).filter("doc_id % 2 = 0").write.parquet(pb)
+
+    out_a = clean_corpus(spark.read.parquet(pa), stage_dir=sd).collect()
+    before = _stage_mtimes(sd)
+    time.sleep(1.1)
+    # same path -> full reuse
+    clean_corpus(spark.read.parquet(pa), stage_dir=sd).collect()
+    assert _stage_mtimes(sd) == before
+
+    time.sleep(1.1)
+    out_b = clean_corpus(spark.read.parquet(pb), stage_dir=sd).collect()
+    after = _stage_mtimes(sd)
+    assert any(
+        after[f] != before.get(f)
+        for f in after
+        if "/exact/" in f and f.endswith("_SUCCESS")
+    ), "path swap must invalidate the first stage"
+    # the staged result equals a fresh unstaged clean of corpus B
+    # (canonical choices legitimately differ from corpus A's: a doc
+    # whose duplicate-canonical was odd survives in the even-only
+    # corpus)
+    want_b = {
+        r["doc_id"]
+        for r in clean_corpus(spark.read.parquet(pb)).collect()
+    }
+    assert {r["doc_id"] for r in out_b} == want_b
+    assert out_a  # corpus A result was non-trivial

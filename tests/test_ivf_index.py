@@ -185,6 +185,34 @@ def test_load_reopens_same_index(spark, tmp_path):
     assert res.count() == 3
 
 
+def test_prerank_geometry_comes_from_index_meta(spark, tmp_path):
+    """r5 code review: a caller proj_dim/dim that contradicts the
+    persisted projection must RAISE, not NULL every score; with no
+    caller args the geometry resolves from the index meta."""
+    import pytest
+
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf"), n_centroids=8, n_assign=1,
+        proj_dim=16,
+    )
+    assert idx.meta["proj_dim"] == 16 and idx.meta["dim"] == 64
+    queries = emb.filter(F.col("vec_id") < 2)
+    # meta-resolved search works without geometry args
+    assert (
+        search_ivf_index_prerank(idx, queries, k=3, nprobe=8).count()
+        > 0
+    )
+    with pytest.raises(ValueError, match="projection width"):
+        search_ivf_index_prerank(
+            idx, queries, k=3, nprobe=8, proj_dim=24
+        )
+    with pytest.raises(ValueError, match="embedding dim"):
+        search_ivf_index_prerank(
+            idx, queries, k=3, nprobe=8, dim=128
+        )
+
+
 def test_index_cache_invalidates_on_source_mtime(spark, tmp_path):
     """ivf_index_for keys on (path, mtime): rewriting the corpus under
     the same path yields a fresh index, not a stale cache hit."""
