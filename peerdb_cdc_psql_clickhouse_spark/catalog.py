@@ -181,8 +181,12 @@ def corpus_cache_key(sf_dir: str, filename: str) -> str:
     src = os.path.join(os.path.abspath(sf_dir), filename)
     # nanosecond mtime: a corpus rewritten within the same SECOND as
     # the cached build must still get a fresh key (code review r5 —
-    # parquet rewrites routinely complete in <1 s)
-    mt = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
+    # parquet rewrites routinely complete in <1 s). One atomic stat —
+    # exists-then-stat would crash if the file vanished in between.
+    try:
+        mt = os.stat(src).st_mtime_ns
+    except FileNotFoundError:
+        mt = 0
     return f"{src}:{mt}"
 
 

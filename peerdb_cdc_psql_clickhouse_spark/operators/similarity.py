@@ -1379,9 +1379,14 @@ def build_ivf_index(
 
 
 def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
+    from pyspark.errors import AnalysisException
+
     try:
         meta = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
-    except Exception:  # pre-meta index layout
+    except AnalysisException:  # pre-meta index layout: no meta/ dir.
+        # Only the missing-path case degrades to {} — an IO error or
+        # corrupt meta must surface, not silently fall back to
+        # default geometry (review r5 pass 2)
         meta = {}
     return IvfIndex(
         path,
@@ -1442,32 +1447,57 @@ def search_ivf_index(
 def _index_geometry(
     index: IvfIndex, proj_dim: int | None, dim: int | None
 ) -> tuple[int, int]:
-    """Resolve (proj_dim, dim) for a persisted index: meta wins, a
-    contradicting caller value raises, a pre-meta index with a
-    persisted proj gets its width verified against the resolved
-    value (one 1-row probe) — never silently NULLed arithmetic."""
+    """Resolve (proj_dim, dim) for a persisted index. Meta wins; a
+    contradicting caller value raises. For a pre-meta index BOTH
+    widths are measured off the lists themselves (one 1-row probe:
+    the persisted proj width and the embedding length are
+    authoritative — review r5 pass 2: falling back to module
+    defaults regressed pre-meta proj_dim=16 indexes and NULLed
+    projections for dim!=64 ones). Never silently NULLed
+    arithmetic."""
     meta_pd = index.meta.get("proj_dim")
     meta_dim = index.meta.get("dim")
+    measured_pd = measured_dim = None
+    if meta_pd is None or meta_dim is None:
+        has_proj = "proj" in index.lists.columns
+        cols = [F.size("embedding").alias("ed")]
+        if has_proj:
+            cols.append(F.size("proj").alias("pd"))
+        row = index.lists.select(*cols).first()
+        if row is not None:
+            measured_dim = int(row["ed"])
+            if has_proj:
+                measured_pd = int(row["pd"])
     if proj_dim is None:
-        proj_dim = meta_pd if meta_pd is not None else 24
-    elif meta_pd is not None and proj_dim != meta_pd:
-        raise ValueError(
-            f"proj_dim={proj_dim} contradicts the index's persisted "
-            f"projection width {meta_pd} ({index.path})"
+        proj_dim = (
+            meta_pd
+            if meta_pd is not None
+            else measured_pd
+            if measured_pd is not None
+            else 24
         )
-    if dim is None:
-        dim = meta_dim if meta_dim is not None else EMB_DIM
-    elif meta_dim is not None and dim != meta_dim:
-        raise ValueError(
-            f"dim={dim} contradicts the index's embedding dim "
-            f"{meta_dim} ({index.path})"
-        )
-    if meta_pd is None and "proj" in index.lists.columns:
-        row = index.lists.select(F.size("proj").alias("d")).first()
-        if row is not None and row["d"] != proj_dim:
+    else:
+        persisted = meta_pd if meta_pd is not None else measured_pd
+        if persisted is not None and proj_dim != persisted:
             raise ValueError(
-                f"index persists {row['d']}-wide projections but the "
-                f"search would use proj_dim={proj_dim} ({index.path})"
+                f"proj_dim={proj_dim} contradicts the index's "
+                f"persisted projection width {persisted} "
+                f"({index.path})"
+            )
+    if dim is None:
+        dim = (
+            meta_dim
+            if meta_dim is not None
+            else measured_dim
+            if measured_dim is not None
+            else EMB_DIM
+        )
+    else:
+        persisted = meta_dim if meta_dim is not None else measured_dim
+        if persisted is not None and dim != persisted:
+            raise ValueError(
+                f"dim={dim} contradicts the index's embedding dim "
+                f"{persisted} ({index.path})"
             )
     return int(proj_dim), int(dim)
 
@@ -2190,7 +2220,7 @@ def search_ivfpq_index(
 
 
 def ivf_index_insert(
-    index: IvfIndex, new_emb: DataFrame, n_assign: int = N_ASSIGN
+    index: IvfIndex, new_emb: DataFrame, n_assign: int | None = None
 ) -> IvfIndex:
     """Fold a batch of new vectors into the persisted plain-IVF index
     WITHOUT a rebuild (r5 — completes the build/search/insert
@@ -2201,6 +2231,12 @@ def ivf_index_insert(
     batch touches only the cell directories it lands in. Rebuild
     (build_ivf_index) when quantizer drift accumulates."""
     spark = new_emb.sparkSession
+    if n_assign is None:
+        # the index's own multi-assignment factor is authoritative
+        # (review r5 pass 2: a module-default 2 against an n_assign=1
+        # index double-assigned inserted vectors, breaking the
+        # indexed-exactly-once invariant)
+        n_assign = int(index.meta.get("n_assign", N_ASSIGN))
     assign = ivf_assign(new_emb, index.centroids, n_assign)
     cols = ["centroid_id", "vec_id", "embedding"]
     if "proj" in index.lists.columns:
@@ -2208,9 +2244,8 @@ def ivf_index_insert(
         # and the embedding dim the planes were generated for (code
         # review r5: re-deriving with the default dim against a
         # dim!=EMB_DIM index produced NULL projections that silently
-        # never shortlisted). Meta wins; a pre-meta index verifies
-        # the width and assumes the module-default dim it was
-        # necessarily built with.
+        # never shortlisted). Meta wins; a pre-meta index MEASURES
+        # both widths off its own lists (1-row probe).
         proj_dim, dim = _index_geometry(index, None, None)
         assign = project_embeddings(assign, out_dim=proj_dim, dim=dim)
         cols.append("proj")

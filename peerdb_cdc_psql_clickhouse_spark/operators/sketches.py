@@ -437,12 +437,15 @@ HH_K = 25
 
 def _hh_oracle(k: int = HH_K) -> str:
     # ties break on the STRING form of the key in both engines (the
-    # operator receives the key as a string column)
+    # operator receives the key as a string column). NULL keys are
+    # excluded to mirror the operator's contract (review r5 pass 2:
+    # DuckDB's GROUP BY would otherwise keep a NULL group the
+    # operator never emits)
     return f"""
 WITH f AS (
   SELECT CAST(user_id AS VARCHAR) AS item,
          CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM events GROUP BY item
+  FROM events WHERE user_id IS NOT NULL GROUP BY item
 ), r AS (
   SELECT item, cnt,
          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS INT) AS rank

@@ -317,13 +317,22 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
                 two_level=mult > 1,
             )
             res["ivfpq_index_build"] = round(time.perf_counter() - t0, 2)
-            t0 = time.perf_counter()
-            search_ivfpq_index(
-                ivfpq, queries, emb_plain, k=10, nprobe=8, rerank=50
-            ).write.format("noop").mode("overwrite").save()
-            res["ivfpq_search"] = round(time.perf_counter() - t0, 2)
         except Exception as e:
-            res["ivfpq_search"] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+            res["ivfpq_index_build"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
+            ivfpq = None
+        if ivfpq is not None:
+            t0 = time.perf_counter()
+            try:
+                search_ivfpq_index(
+                    ivfpq, queries, emb_plain, k=10, nprobe=8, rerank=50
+                ).write.format("noop").mode("overwrite").save()
+                res["ivfpq_search"] = round(time.perf_counter() - t0, 2)
+            except Exception as e:
+                res["ivfpq_search"] = (
+                    f"ERR {type(e).__name__}: {str(e)[:160]}"
+                )
 
         # text index: a fixed-df needle (500 copy-0 docs carry it at
         # every mult — the realistic "query term's postings, not the
@@ -348,10 +357,17 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             lengths = doc_lengths(docs_needle)
             lengths.write.mode("overwrite").parquet(f"{tmp}/lengths")
             res["text_index_build"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:
+            res["text_index_build"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
+        # reopen in its own try: a LOAD failure must not overwrite the
+        # recorded build timing (review r5 pass 2)
+        try:
             idx = load_text_index(spark, f"{tmp}/postings")
             lengths_saved = spark.read.parquet(f"{tmp}/lengths")
         except Exception as e:
-            res["text_index_build"] = (
+            res["text_index_load"] = (
                 f"ERR {type(e).__name__}: {str(e)[:160]}"
             )
             idx = None
