@@ -218,6 +218,18 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
             out = copies[0]
             for c in copies[1:]:
                 out = out.unionByName(c)
+            # Split count must track the multiplier (VERDICT r5 #4):
+            # a source stored as 1 file yields mult narrow partitions
+            # after the union — a 10x replica written as ~10 files
+            # underparallelizes a 32-core scan and every timing on it
+            # measures the write layout, not the operator. Repartition
+            # replicated tables so downstream scans always see at
+            # least full-core parallelism; fixed dimension tables
+            # (region/nation) keep their natural tiny layout.
+            cores = spark.sparkContext.defaultParallelism
+            out = out.repartition(
+                max(cores, out.rdd.getNumPartitions())
+            )
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
@@ -251,6 +263,9 @@ def scaled_inventory(
     import shutil
     import tempfile
 
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        text_index_build_seconds,
+    )
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         ivf_index_build_seconds,
     )
@@ -259,10 +274,13 @@ def scaled_inventory(
     try:
         materialize_scaled(spark, sf_dir, work, mult)
         spark.catalog.clearCache()
-        # one-time index build for the replica corpus, reported as its
-        # own lifecycle cost — the x2b/x2d timings below are pure
-        # search (VERDICT r4 #1: build was being charged per query)
+        # one-time index builds for the replica corpus, reported as
+        # their own lifecycle cost — the x2b/x2d/x9 timings below are
+        # pure index SEARCH (VERDICT r4 #1 for IVF; r5 #2 for text:
+        # x9's 5.27 worst scaled ratio was ~entirely the in-query
+        # text-index build)
         ivf_build = ivf_index_build_seconds(spark, work)
+        text_build = text_index_build_seconds(spark, work)
         timings, errors = inventory(spark, work)
         ratios = {
             q: round(t / max(timings_1x.get(q, t), 1e-6), 2)
@@ -276,6 +294,7 @@ def scaled_inventory(
             "mult": mult,
             "total_sec": round(sum(timings.values()), 3),
             "ivf_index_build_sec": ivf_build,
+            "text_index_build_sec": text_build,
             "queries": timings,
             "time_ratio_vs_1x": ratios,
             "worst_ratio": ratios.get(worst_q),
@@ -639,6 +658,54 @@ def extended_ops(spark, sf_dir: str) -> dict:
     return out
 
 
+# The driver captures exactly the LAST 2000 characters of stdout and
+# parses the final line as JSON. r3 AND r5 both lost the parsed signal
+# to this limit (VERDICT r5 #1), so the budget is now enforced, not
+# estimated: if the line outgrows the budget, headline scalars are
+# dropped in a defined least-important-first order (every dropped
+# value still lives in BENCH_DETAIL.json); the driver-contract fields
+# metric/value/unit/queries/sf are never dropped.
+COMPACT_BUDGET = 1950
+_COMPACT_DROP_ORDER = [
+    "ivfpq_recall_at_10",
+    "bm25_overlap_min",
+    "scaled_worst_query",
+    "ivf_prerank_index_recall_at_3",
+    "scaled_over_2x_per_row_cost_count",
+    "cdc_bulk_rows_per_sec",
+    "text_index_build_sec",
+    "ivf_index_build_sec",
+    "cdc_ops_per_sec_declared_profile",
+    "scaled_total_sec",
+    "ivf_index_recall_at_3",
+    "detail_file",
+    "scaled_mult",
+    "scaled_worst_ratio",
+    "cdc_ops_per_sec",
+]
+
+
+def compact_json_line(compact: dict) -> str:
+    """Serialize the compact bench dict, guaranteed under
+    COMPACT_BUDGET chars (drops optional scalars, least important
+    first, if needed). Raises if even the bare driver-contract dict
+    cannot fit — that means the query inventory itself outgrew the
+    tail capture and the surface must shrink, loudly."""
+    line = json.dumps(compact, separators=(",", ":"))
+    drop = list(_COMPACT_DROP_ORDER)
+    while len(line) >= COMPACT_BUDGET and drop:
+        compact.pop(drop.pop(0), None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) >= COMPACT_BUDGET:
+        raise AssertionError(
+            f"compact bench line is {len(line)} chars >= "
+            f"{COMPACT_BUDGET} even after dropping every optional "
+            "scalar; the driver tail-captures 2000 chars — shrink "
+            "the declared-query names/count"
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -670,13 +737,18 @@ def main() -> None:
             pass
     spark.catalog.clearCache()  # drop warmup persists (reuse() frames)
 
-    # one-time persisted-IVF build for this corpus, timed separately
-    # (the x2b/x2d inventory entries are pure index SEARCH)
+    # one-time persisted-index builds for this corpus, timed
+    # separately (the x2b/x2d inventory entries are pure IVF-index
+    # search; x9 is pure text-index search — VERDICT r5 #2)
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        text_index_build_seconds,
+    )
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         ivf_index_build_seconds,
     )
 
     ivf_build = ivf_index_build_seconds(spark, sf_dir)
+    text_build = text_index_build_seconds(spark, sf_dir)
 
     timings, errors = inventory(spark, sf_dir)
 
@@ -701,6 +773,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "ivf_index_build_sec": ivf_build,
+        "text_index_build_sec": text_build,
         "cdc_stress": stress,
         "cdc_stress_large_profile": stress_large,
         "ann_recall": recall,
@@ -729,33 +802,26 @@ def main() -> None:
         "metric": "declared_query_inventory_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal timings in the compact line (full precision in
+        # BENCH_DETAIL.json) — every byte counts against the tail
+        # capture budget
+        "queries": {q: round(t, 2) for q, t in timings.items()},
         "sf": sf_val,
         "ivf_index_build_sec": ivf_build,
+        "text_index_build_sec": text_build,
         "cdc_ops_per_sec": stress.get("ops_per_sec"),
         "cdc_ops_per_sec_declared_profile": stress_large.get("ops_per_sec"),
         "cdc_bulk_rows_per_sec": stress.get("bulk_rows_per_sec"),
-        "baseline_ops_per_sec": stress.get("baseline_ops_per_sec"),
-        "ivf_recall_at_3": recall.get("ivf_recall_at_3"),
-        "ivf_recall_at_10": recall.get("ivf_recall_at_10"),
         "ivf_index_recall_at_3": recall.get("ivf_index_recall_at_3"),
         "ivf_prerank_index_recall_at_3": recall.get(
             "ivf_prerank_index_recall_at_3"
         ),
-        "ivf_scan_fraction": recall.get("ivf_scan_fraction"),
-        "ivf_prerank_recall_at_3": recall.get("ivf_prerank_recall_at_3"),
-        "ivf_prerank_effective_scan_fraction": recall.get(
-            "ivf_prerank_effective_scan_fraction"
-        ),
         "ivfpq_recall_at_10": recall.get("ivfpq_recall_at_10"),
-        "ivfpq_codes_scan_fraction": recall.get(
-            "ivfpq_codes_scan_fraction"
-        ),
-        "bm25_common_overlap_at_10": search_q.get(
-            "bm25_common_overlap_at_10"
-        ),
-        "bm25_mixed_overlap_at_10": search_q.get(
-            "bm25_mixed_overlap_at_10"
+        # one line for retrieval quality: the WORST of the three BM25
+        # query shapes (each reported separately in BENCH_DETAIL)
+        "bm25_overlap_min": min(
+            (v for k, v in search_q.items() if k.endswith("_overlap_at_10")),
+            default=None,
         ),
         **(
             {
@@ -773,7 +839,7 @@ def main() -> None:
         **({"error_count": len(errors)} if errors else {}),
         **({"detail_file": "BENCH_DETAIL.json"} if detail_file else {}),
     }
-    print(json.dumps(compact))
+    print(compact_json_line(compact))
     spark.stop()
 
 

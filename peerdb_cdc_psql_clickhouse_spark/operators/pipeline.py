@@ -660,8 +660,14 @@ def _plan_fingerprint(df: DataFrame) -> str:
     import re
 
     plan = df._jdf.queryExecution().logical().toString()
-    plan = re.sub(r"#\d+", "#", plan)  # per-session expression ids
-    plan = re.sub(r"0x[0-9a-f]+", "0x", plan)  # function addresses
+    # Anchor normalizations to the plan-printer contexts (ADVICE r5:
+    # a bare `#\d+` / `0x[0-9a-f]+` also rewrote genuine DATA
+    # literals — a decontaminate needle containing '#123' or a hex
+    # string — letting two materially different configs fingerprint
+    # identically). Attribute ids print as `name#N`; Python callable
+    # reprs as ` at 0xADDR`.
+    plan = re.sub(r"\b(\w+)#\d+", r"\1#", plan)  # expression ids
+    plan = re.sub(r" at 0x[0-9a-fA-F]+", " at 0x", plan)  # fn addrs
     # PySpark's higher-order-function lambda args use a session-global
     # counter (x_1, y_4, ...) — same recipe, different names per call.
     # Normalize only the lambda-variable references (every appearance

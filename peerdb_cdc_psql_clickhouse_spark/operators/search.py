@@ -255,6 +255,105 @@ def bm25_search(
     )
 
 
+def save_full_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = INDEX_BUCKETS,
+) -> None:
+    """Build and persist the full index layout at `path`: postings/
+    (PARTITIONED BY bucket), lengths/, stats/ (1 row: n_docs,
+    sum_dl). The one corpus pass of the index lifecycle."""
+    spark = docs.sparkSession
+    save_text_index(
+        build_text_index(docs, id_col, text_col, n_buckets),
+        f"{path}/postings",
+    )
+    lengths = doc_lengths(docs, id_col, text_col)
+    lengths.write.mode("overwrite").parquet(f"{path}/lengths")
+    st = lengths.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    spark.createDataFrame(
+        [(int(st["n"]), int(st["s"] or 0))], "n_docs long, sum_dl long"
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def open_text_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
+    """(postings, lengths, (n_docs, sum_dl)) for a persisted index
+    root — fresh frames each call, so inserts are visible."""
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    return (
+        load_text_index(spark, f"{path}/postings"),
+        spark.read.parquet(f"{path}/lengths"),
+        (int(st["n_docs"]), int(st["sum_dl"])),
+    )
+
+
+def text_index_insert(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = INDEX_BUCKETS,
+) -> dict:
+    """O(batch) incremental maintenance for a persisted text index
+    (VERDICT r5 #3 — the lifecycle parity with ivf_index_insert /
+    ivfpq_index_insert): fold a document batch's postings into ONLY
+    the touched term-bucket partitions, append the batch's lengths,
+    and update the 1-row stats. No existing partition is rewritten —
+    parquet append with partitionBy lands new files inside the
+    touched bucket=K directories and leaves every other bucket's
+    files untouched, so the cost is the batch tokenize + one
+    batch-sized shuffle, independent of standing index size.
+
+    Correctness is structural: postings rows are per-(term, doc) and
+    dl is per-doc, so a batch's rows are identical whether the doc
+    was indexed at build time or inserted later; df/N/avgdl are
+    derived per-query from postings + stats. An inserted-then-opened
+    index therefore equals a from-scratch rebuild ROW FOR ROW
+    (pytest-asserted in tests/test_search.py).
+
+    Contract: new_docs' ids must be NEW (re-inserting an indexed
+    doc_id double-counts its postings — same append contract as the
+    ANN index inserts); the stats rewrite is last, so a crash
+    mid-insert leaves stats stale-but-consistent with a re-runnable
+    repair (re-derive stats from lengths), never a corrupt posting.
+
+    Returns {"n_new_docs", "new_tokens", "touched_buckets"}."""
+    batch_post = build_text_index(new_docs, id_col, text_col, n_buckets)
+    # one batch-sized pass; touched-bucket count read off the same
+    # frame Spark is about to write
+    batch_post.persist()
+    try:
+        touched = batch_post.select("bucket").distinct().count()
+        batch_post.write.mode("append").partitionBy("bucket").parquet(
+            f"{path}/postings"
+        )
+    finally:
+        batch_post.unpersist()
+    new_len = doc_lengths(new_docs, id_col, text_col)
+    new_len.write.mode("append").parquet(f"{path}/lengths")
+    st = new_len.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    old = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_new, s_new = int(st["n"]), int(st["s"] or 0)
+    spark.createDataFrame(
+        [(int(old["n_docs"]) + n_new, int(old["sum_dl"]) + s_new)],
+        "n_docs long, sum_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    return {
+        "n_new_docs": n_new,
+        "new_tokens": s_new,
+        "touched_buckets": touched,
+    }
+
+
 # Build-once cache behind the declared x9 query and bench: one
 # persisted text index (postings PARTITIONED BY term-hash bucket +
 # the narrow lengths table) per corpus directory per process — the
@@ -287,22 +386,28 @@ def text_index_for(
         docs = load_table(spark, sf_dir, "documents")
         path = tempfile.mkdtemp(prefix="spark_graft_textidx_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        save_text_index(build_text_index(docs), f"{path}/postings")
-        lengths = doc_lengths(docs)
-        lengths.write.mode("overwrite").parquet(f"{path}/lengths")
-        st = lengths.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
-        spark.createDataFrame(
-            [(int(st["n"]), int(st["s"]))], "n_docs long, sum_dl long"
-        ).write.mode("overwrite").parquet(f"{path}/stats")
+        save_full_text_index(docs, path)
         _TEXT_IDX_CACHE[key] = path
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
-    return (
-        load_text_index(spark, f"{path}/postings"),
-        spark.read.parquet(f"{path}/lengths"),
-        (int(st["n_docs"]), int(st["sum_dl"])),
-    )
+    return open_text_index(spark, path)
+
+
+def text_index_build_seconds(spark: SparkSession, sf_dir: str) -> float:
+    """Force (and time) the text-index build for sf_dir — the exact
+    analog of similarity.ivf_index_build_seconds (VERDICT r5 #2:
+    x9_bm25_search was charging the one-time build to the timed
+    search at both scales, polluting the scaled-ratio trend line).
+    bench.py calls this before timing; returns 0.0 when the index is
+    already standing."""
+    import time
+
+    from ..catalog import corpus_cache_key
+
+    key = corpus_cache_key(sf_dir, "documents.parquet")
+    if key in _TEXT_IDX_CACHE:
+        return 0.0
+    t0 = time.perf_counter()
+    text_index_for(spark, sf_dir)
+    return round(time.perf_counter() - t0, 3)
 
 
 # Declared BM25 query (r5, VERDICT r4 #10): retrieval joins the hash

@@ -529,6 +529,13 @@ def kmeans_centroids(
         cm = cent_mat  # bind the loop value for the closure
 
         def partials(pdfs, cm=cm):
+            # Accumulate across ALL Arrow batches and yield ONCE per
+            # partition, so the driver collect is bounded by
+            # partitions x n_centroids rows regardless of corpus size
+            # (a per-batch yield would grow the collect linearly with
+            # rows — the 100 TB bounded-collect claim depends on this).
+            acc_sum = np.zeros_like(cm)
+            acc_cnt = np.zeros(cm.shape[0], dtype="int64")
             for pdf in pdfs:
                 if not len(pdf):
                     continue
@@ -539,14 +546,16 @@ def kmeans_centroids(
                     + (cm**2).sum(axis=1)[None, :]
                 )
                 a = d2.argmin(axis=1)  # first index wins = smallest id
-                out_c, out_p, out_n = [], [], []
-                for c in np.unique(a):
-                    mask = a == c
-                    out_c.append(int(c))
-                    out_p.append(x[mask].sum(axis=0).tolist())
-                    out_n.append(int(mask.sum()))
+                np.add.at(acc_sum, a, x)
+                np.add.at(acc_cnt, a, 1)
+            hit = np.nonzero(acc_cnt)[0]
+            if len(hit):
                 yield pd.DataFrame(
-                    {"c": out_c, "psum": out_p, "cnt": out_n}
+                    {
+                        "c": [int(c) for c in hit],
+                        "psum": [acc_sum[c].tolist() for c in hit],
+                        "cnt": [int(acc_cnt[c]) for c in hit],
+                    }
                 )
 
         combined = (
@@ -1444,6 +1453,13 @@ def search_ivf_index(
     )
 
 
+# Module default projection width for JL-prerank columns. Defined
+# here (above _index_geometry) so the pre-meta fallback below and
+# every builder reference the SAME constant (ADVICE r5: a hardcoded
+# 24 in the fallback would silently drift if the default changed).
+_IVF_PROJ_DIM = 24
+
+
 def _index_geometry(
     index: IvfIndex, proj_dim: int | None, dim: int | None
 ) -> tuple[int, int]:
@@ -1474,7 +1490,7 @@ def _index_geometry(
             if meta_pd is not None
             else measured_pd
             if measured_pd is not None
-            else 24
+            else _IVF_PROJ_DIM
         )
     else:
         persisted = meta_pd if meta_pd is not None else measured_pd
@@ -1595,7 +1611,6 @@ def search_ivf_index_prerank(
 # the handle is re-materialized from disk per call so it stays valid
 # across SparkSession restarts within the process. Index dirs live in
 # a tempdir and are removed at process exit.
-_IVF_PROJ_DIM = 24
 _IVF_CACHE: dict[str, str] = {}
 
 

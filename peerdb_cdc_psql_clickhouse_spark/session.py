@@ -21,7 +21,15 @@ def get_spark(
 
     active = SparkSession.getActiveSession()
     if active is not None:
-        return active  # configs below only apply to a NEW JVM anyway
+        # Most configs below only apply to a NEW JVM, but
+        # spark.sql.shuffle.partitions is runtime-modifiable: honor an
+        # EXPLICIT caller request instead of silently returning a
+        # session pinned at some other parallelism (ADVICE r5).
+        if shuffle_partitions is not None:
+            active.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
+        return active
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

@@ -296,6 +296,25 @@ class Mirror:
                 f"schema evolution cannot retype columns {retyped}; "
                 "use resync() for type changes"
             )
+        # Appended columns MUST be nullable (ADVICE r5): pre-evolution
+        # base/delta rows surface them as NULL, so a non-null
+        # declaration would lie to every downstream consumer. Coerce
+        # rather than reject — the VALUES are unchanged either way and
+        # nullable=True is the only truthful declaration.
+        appended_nonnull = [
+            f.name
+            for f in new_row_schema.fields
+            if f.name not in old and not f.nullable
+        ]
+        if appended_nonnull:
+            new_row_schema = T.StructType(
+                [
+                    T.StructField(f.name, f.dataType, True, f.metadata)
+                    if f.name in appended_nonnull
+                    else f
+                    for f in new_row_schema.fields
+                ]
+            )
         self.row_schema = new_row_schema
         self._data_cols = [f.name for f in new_row_schema.fields]
 

@@ -114,3 +114,64 @@ def test_survey_split_matches_registry():
         t.strip(" `\n") for t in m.group(4).split(",")
     )
     assert documented == rows_only, (documented, rows_only)
+
+
+def test_bench_compact_line_fits_tail_capture():
+    """VERDICT r5 #1: the driver tail-captures the LAST 2000 chars of
+    stdout; the compact bench line must stay under budget with the
+    full 50-query inventory and every headline scalar present. Build
+    the dict exactly as bench.main() shapes it, with worst-case
+    realistic values (3-digit seconds, long query names from the real
+    registry), and check the enforced serializer."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from peerdb_cdc_psql_clickhouse_spark.registry import all_queries
+
+    names = sorted(all_queries())
+    assert len(names) <= 50
+    compact = {
+        "metric": "declared_query_inventory_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {n: 123.45 for n in names},  # worst-case widths
+        "sf": 0.1,
+        "ivf_index_build_sec": 123.456,
+        "text_index_build_sec": 123.456,
+        "cdc_ops_per_sec": 16758.12,
+        "cdc_ops_per_sec_declared_profile": 16758.12,
+        "cdc_bulk_rows_per_sec": 192720.55,
+        "ivf_index_recall_at_3": 0.9867,
+        "ivf_prerank_index_recall_at_3": 0.9533,
+        "ivfpq_recall_at_10": 0.8964,
+        "bm25_overlap_min": 1.0,
+        "scaled_mult": 10,
+        "scaled_total_sec": 123.456,
+        "scaled_worst_ratio": 12.34,
+        "scaled_worst_query": "x1g_substring_spans",
+        "scaled_over_2x_per_row_cost_count": 0,
+        "error_count": 0,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = bench.compact_json_line(dict(compact))
+    assert len(line) < bench.COMPACT_BUDGET
+    parsed = json.loads(line)
+    # driver-contract fields always survive
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed
+    assert len(parsed["queries"]) == len(names)
+    # and with NO dropping needed at today's surface: every headline
+    # scalar should still be present (if this fails, the surface grew
+    # — rebudget deliberately, don't let the drop order hide it)
+    assert set(parsed) == set(compact), (
+        "compact line needed to drop scalars at the current "
+        "query-name widths — rebudget deliberately"
+    )
