@@ -532,25 +532,6 @@ def d16_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs.unionByName(latest).unionByName(ht)
 
 
-@declare(
-    "d19_container_health",
-    f"""
-SELECT n.n_name AS container,
-       CASE WHEN c.c_nationkey IS NULL THEN 'DOWN' ELSE 'RUNNING' END AS status,
-       {fround_sql(
-        '100.0 * COUNT(c.c_nationkey) OVER () / COUNT(*) OVER ()', 1)}
-         AS health_pct
-FROM nation n
-LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
-  ON n.n_nationkey = c.c_nationkey
-""",
-    doc="O-D19 expected-vs-actual existence check: per-container "
-    "RUNNING/DOWN classification (monitor.ps1:867-913) + overall health "
-    "percentage running/expected*100 (:905-913). The fleet scalar rides "
-    "along as a column: Spark computes it as a broadcast 1-row "
-    "aggregate crossed onto the per-container rows (no single-partition "
-    "window), DuckDB as COUNT() OVER ()",
-)
 def d19_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     present = (
@@ -575,12 +556,6 @@ def d19_container_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare(
-    "d20_error_top3",
-    "SELECT event_id, event_type, value FROM events "
-    "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 3",
-    doc="O-D20 error top-N: first 3 errors shown (insert.ps1:379-384)",
-)
 def d20_error_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "events")
@@ -589,3 +564,56 @@ def d20_error_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("event_id"))
         .limit(3)
     )
+
+
+@declare(
+    "d19_monitor_ops",
+    f"""
+WITH health AS (
+  SELECT n.n_name AS name,
+         CASE WHEN c.c_nationkey IS NULL THEN 'DOWN'
+              ELSE 'RUNNING' END AS tag,
+         {fround_sql(
+          '100.0 * COUNT(c.c_nationkey) OVER () / COUNT(*) OVER ()', 1)}
+           AS val
+  FROM nation n
+  LEFT JOIN (SELECT DISTINCT c_nationkey FROM customer) c
+    ON n.n_nationkey = c.c_nationkey
+), errors AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 3
+)
+SELECT 'container_health' AS op, name, tag, val,
+       CAST(NULL AS BIGINT) AS id1
+FROM health
+UNION ALL
+SELECT 'error_top3', CAST(NULL AS VARCHAR), event_type,
+       CAST(value AS DOUBLE), event_id
+FROM errors
+""",
+    doc="O-D19 + O-D20 monitor ops, op-labeled union (r6 merge — "
+    "frees a declared slot for the x9b search promotion; same "
+    "consolidation pattern as d13-d15/d16-d18/c10-c12): "
+    "op='container_health' is the expected-vs-actual existence "
+    "check — per-container RUNNING/DOWN (monitor.ps1:867-913) with "
+    "the fleet health percentage riding along as a column (Spark: "
+    "broadcast 1-row aggregate crossed onto the rows, DuckDB: "
+    "COUNT() OVER ()); op='error_top3' is the first-3-errors view "
+    "(insert.ps1:379-384), total ORDER BY event_id under the LIMIT",
+)
+def d19_monitor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    health = d19_container_health(spark, sf_dir).select(
+        F.lit("container_health").alias("op"),
+        F.col("container").alias("name"),
+        F.col("status").alias("tag"),
+        F.col("health_pct").alias("val"),
+        F.lit(None).cast("long").alias("id1"),
+    )
+    errors = d20_error_top3(spark, sf_dir).select(
+        F.lit("error_top3").alias("op"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("event_type").alias("tag"),
+        F.col("value").cast("double").alias("val"),
+        F.col("event_id").alias("id1"),
+    )
+    return health.unionByName(errors)

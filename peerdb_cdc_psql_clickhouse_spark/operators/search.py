@@ -469,8 +469,78 @@ def x9_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Declared phrase + boolean retrieval (r6, VERDICT r5 #6 follow-on:
+# the slot freed by the d19+d20 merge promotes the index's OTHER two
+# search modes into the hash surface). Both are deterministic —
+# phrase occurrence counts and boolean match stats have no
+# approximation — and replay exactly in DuckDB positional SQL.
+X9B_PHRASE = "the data"
+X9B_AND_TERMS = ("vector", "window")
+
+_X9B_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(tk) AS term, generate_subscripts(tk, 1) AS p
+  FROM toks
+), phrase AS (
+  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS v1
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{X9B_PHRASE.split()[0]}'
+    AND b.term = '{X9B_PHRASE.split()[1]}'
+  GROUP BY 1
+), bool_and AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v1,
+         CAST(COUNT(*) AS BIGINT) AS v2
+  FROM pos WHERE term IN {X9B_AND_TERMS!r}
+  GROUP BY doc_id
+  HAVING COUNT(DISTINCT term) = {len(X9B_AND_TERMS)}
+)
+SELECT 'phrase' AS op, doc_id, v1, CAST(NULL AS BIGINT) AS v2
+FROM phrase
+UNION ALL
+SELECT 'and', doc_id, v1, v2 FROM bool_and
+"""
+
+
+def x9b_search_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    index, _lengths, _stats = text_index_for(spark, sf_dir)
+    ph = phrase_search(index, X9B_PHRASE).select(
+        F.lit("phrase").alias("op"),
+        "doc_id",
+        F.col("n_occurrences").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    bo = term_search(index, list(X9B_AND_TERMS), "and").select(
+        F.lit("and").alias("op"),
+        "doc_id",
+        F.col("match_terms").alias("v1"),
+        F.col("total_tf").alias("v2"),
+    )
+    return ph.unionByName(bo)
+
+
 def _register() -> None:
     from ..registry import declare
+
+    declare(
+        "x9b_search_ops",
+        _X9B_ORACLE,
+        doc="brief/search: phrase + boolean retrieval against the "
+        "same PERSISTED positional index as x9, op-labeled union "
+        "(op='phrase': exact consecutive-phrase occurrence counts "
+        "via positional algebra — term i's postings shifted by -i, "
+        "one groupBy, no text re-scan; op='and': boolean "
+        "all-terms retrieval with match_terms + total tf). Work = "
+        "the query terms' bucket-pruned postings only; the DuckDB "
+        "oracle replays both from raw positions, so the hash "
+        "verifies tokenize -> postings -> positional algebra "
+        "end-to-end",
+    )(x9b_search_ops)
 
     declare(
         "x9_bm25_search",

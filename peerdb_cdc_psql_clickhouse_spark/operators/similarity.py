@@ -742,18 +742,14 @@ def ann_topk_ivf_prerank(
     )
 
 
-@declare(
-    "x2d_ann_ivf",
-    None,  # approximate by construction; rows-only check
-    doc="O-X2/brief: IVF ANN against the PERSISTED index (VERDICT r4 "
-    "#1): build_ivf_index runs once per corpus (k-means centroids + "
-    "multi-assigned inverted lists written PARTITIONED BY "
-    "centroid_id); the declared query is search_ivf_index — its "
-    "nprobe cells prune at the parquet scan, so per-query cost is "
-    "independent of corpus size. bench.py reports the one-time build "
-    "seconds separately",
-)
 def x2d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the PERSISTED index (VERDICT r4 #1):
+    build_ivf_index runs once per corpus (k-means centroids +
+    multi-assigned inverted lists written PARTITIONED BY
+    centroid_id); this is search_ivf_index — its nprobe cells prune
+    at the parquet scan, so per-query cost is independent of corpus
+    size. bench.py reports the one-time build seconds separately.
+    Declared via the x2b_ann_searches union (r6)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         "vec_id", "embedding"
@@ -761,22 +757,14 @@ def x2d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivf_index(ivf_index_for(spark, sf_dir), queries)
 
 
-@declare(
-    "x2b_ann_prerank",
-    None,  # approximate by construction; driver rows-only check
-    doc="O-X2 JL-preranked ANN against the same persisted IVF index "
-    "(VERDICT r4 #2 — replaces the x2b LSH top-k slot, whose "
-    "sign-bucket method is a near-dup screen, not a retrieval "
-    "method: recall@3 0.14 vs prerank 0.90 at a LOWER effective "
-    "scan). Candidates in the probed (partition-pruned) cells are "
-    "scored on the proj column persisted at build time — "
-    "proj_dim/dim of full-dim cost — and only top-rerank rows per "
-    "query get exact cosines (rerank=250: recall@3 0.95 / @10 0.91 "
-    "at sf0.1, wall flat vs 150 — the rerank join touches nq*rerank "
-    "rows regardless of corpus size). LSH banding stays where it "
-    "wins: minhash dedup (x1b) and hyperplane near-dup screens (x2c)",
-)
 def x2b_ann_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-preranked ANN against the same persisted IVF index
+    (VERDICT r4 #2). Candidates in the probed (partition-pruned)
+    cells are scored on the proj column persisted at build time —
+    proj_dim/dim of full-dim cost — and only top-rerank rows per
+    query get exact cosines (rerank=250: recall@3 0.95 / @10 0.91 at
+    sf0.1; the rerank join touches nq*rerank rows regardless of
+    corpus size). Declared via the x2b_ann_searches union (r6)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         "vec_id", "embedding"
@@ -784,6 +772,57 @@ def x2b_ann_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivf_index_prerank(
         ivf_index_for(spark, sf_dir), queries, proj_dim=_IVF_PROJ_DIM
     )
+
+
+@declare(
+    "x2b_ann_searches",
+    None,  # approximate by construction; driver rows-only check
+    doc="O-X2 ANN searches over the persisted IVF index, op-labeled "
+    "union of the two approximate operating points (VERDICT r5 #6 "
+    "merge — frees a slot for the hash-verified x2e_ivf_fullprobe): "
+    "op='ivf' is plain probed search (search_ivf_index, recall@3 "
+    "~0.99 at 0.25 scan), op='prerank' is the JL-preranked variant "
+    "(search_ivf_index_prerank, recall@3 ~0.95 at 0.22 effective "
+    "scan). Both prune to probed cell partitions at the parquet "
+    "scan; both approximate, hence rows-only. The EXACT face of the "
+    "same index is hash-verified in x2e_ivf_fullprobe",
+)
+def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = x2b_ann_prerank(spark, sf_dir).select(
+        F.lit("prerank").alias("op"), "q_id", "vec_id",
+        "cosine_sim", "rank",
+    )
+    b = x2d_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("op"), "q_id", "vec_id",
+        "cosine_sim", "rank",
+    )
+    return a.unionByName(b)
+
+
+@declare(
+    "x2e_ivf_fullprobe",
+    _COSINE_ORACLE,
+    doc="O-X2 EXACT search through the persisted IVF index (VERDICT "
+    "r5 #6 — the deterministic, hash-checkable core of the declared "
+    "ANN family): search_ivf_index with nprobe = the index's own "
+    "n_centroids visits every inverted list, so the result equals "
+    "brute-force cosine top-k EXACTLY (same fround(,6) scoring, "
+    "same vec_id tiebreak; pytest-proven in tests/test_ivf_index.py) "
+    "and the brute-force DuckDB oracle hash-verifies the whole "
+    "index lifecycle: build -> persist -> partitioned scan -> "
+    "score -> rank. The approximate nprobe<k operating points stay "
+    "rows-only in x2b_ann_searches",
+)
+def x2e_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        "vec_id", "embedding"
+    )
+    index = ivf_index_for(spark, sf_dir)
+    n_cells = index.meta.get("n_centroids")
+    if n_cells is None:  # pre-meta index: measure off the lists
+        n_cells = index.centroids.count()
+    return search_ivf_index(index, queries, nprobe=int(n_cells))
 
 
 # ---------------------------------------------------------------------------

@@ -54,14 +54,19 @@ QUERY_ORDER = [
     "r11_batched_insert",
     "r12_ddl_catalog",
     "r13_seed_join",
-    # similarity / ANN — x2b/x2d search the PERSISTED per-corpus IVF
-    # index (built once per run; r5, VERDICT r4 #1/#2). x2b's old LSH
-    # top-k slot is replaced by the JL-prerank index search; LSH stays
-    # in the dedup family where it wins (x1b/x2c).
+    # similarity / ANN — the declared family searches the PERSISTED
+    # per-corpus IVF index (built once per run). r6 (VERDICT r5 #6):
+    # the two approximate operating points (prerank + plain probed
+    # search) merged into the op-labeled x2b_ann_searches union
+    # (rows-only by construction), freeing a slot for
+    # x2e_ivf_fullprobe — full-probe search through the same
+    # persisted index equals brute force EXACTLY, so the index
+    # lifecycle itself is now hash-verified against the brute-force
+    # DuckDB oracle.
     "x2_cosine_topk",
-    "x2b_ann_prerank",
+    "x2b_ann_searches",
     "x2c_cosine_neardup",
-    "x2d_ann_ivf",
+    "x2e_ivf_fullprobe",
     # multimodal + sketches (x4b/x5b errored in round 1 — fixed shapes)
     "x4_multimodal_meta",
     "x4b_frame_sample",
@@ -93,11 +98,14 @@ QUERY_ORDER = [
     # dedup and LM-perplexity promotions below — same consolidation
     # pattern as r3's r10 -> r14 merge.
     "d16_rank_ops",
-    "d19_container_health",
-    "d20_error_top3",
-    # retrieval: BM25 against the persisted bucket-partitioned
-    # positional index (r5, VERDICT r4 #10)
+    # r6: d19/d20 merged into one op-labeled monitor union, freeing a
+    # slot for the x9b phrase+boolean promotion below (same pattern
+    # as d13-d15/d16-d18/c10-c12)
+    "d19_monitor_ops",
+    # retrieval against the persisted bucket-partitioned positional
+    # index: BM25 (r5, VERDICT r4 #10) + phrase/boolean (r6)
     "x9_bm25_search",
+    "x9b_search_ops",
     # text analysis
     "x3_top_terms",
     "x3b_doc_signals",

@@ -99,6 +99,15 @@ def test_survey_split_matches_registry():
     rows_only = sorted(n for n, q in qs.items() if q.oracle is None)
     n_hash = n_total - len(rows_only)
 
+    # VERDICT r5 #9: pin the EXACT rows-only set in code, not just
+    # counts — a future slot swap that silently demotes a hash query
+    # to rows-only (or vice versa) must fail loudly here and be
+    # re-pinned deliberately.
+    assert rows_only == [
+        "r14_replication_slots",  # live stream drained in-query
+        "x2b_ann_searches",  # approximate ANN by construction
+    ], rows_only
+
     survey = open(
         os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
     ).read()

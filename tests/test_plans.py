@@ -52,8 +52,9 @@ def test_filtered_sum_prunes_columns(plans):
 
 
 def test_filter_pushed_to_parquet(plans):
-    # pushdown discipline now asserted on d20 (filter + ordered limit)
-    p = plans("d20_error_top3")
+    # pushdown discipline asserted on the error_top3 branch of the
+    # merged d19_monitor_ops union (filter + ordered limit)
+    p = plans("d19_monitor_ops")
     assert "EqualTo(event_type,error)" in p  # predicate reached the scan
 
 
@@ -243,12 +244,20 @@ def test_reuse_materialized_matches_persist(spark):
 
 
 def test_declared_ann_search_prunes_index_partitions(plans):
-    # r5: x2d/x2b search the PERSISTED IVF index — the physical plan
-    # must show the probed cells pruning at the parquet scan via the
-    # partition column, not a full-lists scan
-    for q in ("x2d_ann_ivf", "x2b_ann_prerank"):
-        p = plans(q)
-        assert "PartitionFilters" in p and "centroid_id" in p, q
+    # r5/r6: the declared ANN union searches the PERSISTED IVF index
+    # — both branches' physical plans must show the probed cells
+    # pruning at the parquet scan via the partition column, not a
+    # full-lists scan
+    p = plans("x2b_ann_searches")
+    assert "PartitionFilters" in p and "centroid_id" in p
+
+
+def test_declared_phrase_boolean_prunes_postings_buckets(plans):
+    # r6: x9b's phrase + boolean branches both search the persisted
+    # positional index — bucket partition filters must reach the scan
+    p = plans("x9b_search_ops")
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "term" in p
 
 
 def test_declared_bm25_prunes_postings_buckets(plans):
