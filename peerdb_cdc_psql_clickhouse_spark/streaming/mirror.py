@@ -184,6 +184,27 @@ class Mirror:
             )
         )
 
+    def max_version(self) -> int:
+        """Highest applied _version across base + delta (two bounded
+        1-row aggs) — BASE_VERSION if only the snapshot exists. The
+        snapshot-diff delete sweep stamps its synthetic events at
+        max_version()+1 so they beat every already-applied row under
+        max-version-wins."""
+        parts = []
+        base = self._read_base()
+        if base is not None:
+            parts.append(base.select("_version"))
+        delta = self._read_delta()
+        if delta is not None:
+            parts.append(delta.select("_version"))
+        if not parts:
+            return int(BASE_VERSION)
+        allv = parts[0]
+        for p in parts[1:]:
+            allv = allv.unionByName(p)
+        row = allv.agg(F.max("_version").alias("v")).collect()[0]
+        return int(row["v"]) if row["v"] is not None else int(BASE_VERSION)
+
     # -- merged view (FINAL analog) ---------------------------------------
     def read_target(
         self,

@@ -234,3 +234,80 @@ def test_ledger_point_probe_is_pushed(spark, derby_url, tmp_path):
     plan = sink.ledger_probe_plan(spark, 0)
     assert "PushedFilters" in plan
     assert "BATCH_ID" in plan.upper() and "EqualTo" in plan
+
+
+def test_hard_delete_sweep_converges(spark, derby_url, tmp_path):
+    """VERDICT r5 #7: a PLAIN Derby table (no outbox, no envelope
+    columns) takes hard DELETEs; the snapshot-diff sweep emits
+    synthetic delete events into the normal change spool and the
+    mirror converges through its unchanged streaming apply. A second
+    sweep is idempotent (no events, no batch dir advance)."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    plain = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (40, "d"), (41, "e")], ROW_SCHEMA
+    )
+    write_jdbc(plain, derby_url, "plain_t")
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_t"))
+    assert _state(mirror) == {1: "a", 2: "b", 3: "c", 40: "d", 41: "e"}
+
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate(
+        'DELETE FROM plain_t WHERE "entity_id" IN (2, 41)'
+    )
+    stmt.close()
+    conn.close()
+
+    sweeper = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="plain_t",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "dspool"),
+        state_path=str(tmp_path / "dstate.json"),
+        n_buckets=4,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 2
+    _drain(mirror, str(tmp_path / "dspool"))
+    assert _state(mirror) == {1: "a", 3: "c", 40: "d"}
+    # idempotent second sweep: target and source now agree
+    assert sweeper.sweep_once(spark, mirror) == 0
+
+
+def test_sweep_never_deletes_mid_sweep_inserts(spark, derby_url, tmp_path):
+    """A row inserted at the source AFTER the mirror snapshot is
+    absent from the target, so the anti-join can never emit a false
+    delete for it — and the sweep's own spool leaves it alone for the
+    next poll to pick up."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    write_jdbc(
+        spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA),
+        derby_url,
+        "plain_u",
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_u"))
+    # new source row the mirror has not seen yet
+    write_jdbc(
+        spark.createDataFrame([(9, "z")], ROW_SCHEMA), derby_url, "plain_u"
+    )
+    sweeper = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="plain_u",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "uspool"),
+        state_path=str(tmp_path / "ustate.json"),
+        n_buckets=2,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 0
+    assert _state(mirror) == {1: "a", 2: "b"}
