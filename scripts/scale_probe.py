@@ -36,6 +36,29 @@ from peerdb_cdc_psql_clickhouse_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _materialize(df: DataFrame, tag: str, mult: int) -> DataFrame:
+    """Write a lazy replica to parquet with split count >= cores and
+    read it back (VERDICT r5 #4/#5: the source tables are single
+    files, so a 10x union replica is a 10-partition corpus on a
+    32-core box — probe timings then measure the write layout, not
+    the operator; the 10x SemDeDup and quality-score outliers were
+    exactly this). Materializing also takes the replication
+    transforms (translate/zip_with) OUT of every timed plan: jobs
+    scan a real corpus, as they would in production."""
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    path = tempfile.mkdtemp(prefix=f"probe_replica_{tag}_{mult}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    cores = spark.sparkContext.defaultParallelism
+    df.repartition(max(cores, df.rdd.getNumPartitions())).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def replicate(
     df: DataFrame,
     id_col: str,
@@ -155,26 +178,37 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
         semantic_neardup_pairs,
     )
 
-    docs = replicate_composed(
-        load_table(spark, SF_DIR, "documents").select("doc_id", "text"),
-        "doc_id", mult, 10_000_000, text_col="text",
-    )
-    emb = replicate_composed(
-        load_table(spark, SF_DIR, "embeddings").select(
-            "vec_id", "embedding"
+    docs = _materialize(
+        replicate_composed(
+            load_table(spark, SF_DIR, "documents").select(
+                "doc_id", "text"
+            ),
+            "doc_id", mult, 10_000_000, text_col="text",
         ),
-        "vec_id", mult, 10_000_000, emb_col="embedding",
+        "cdocs", mult,
+    )
+    emb = _materialize(
+        replicate_composed(
+            load_table(spark, SF_DIR, "embeddings").select(
+                "vec_id", "embedding"
+            ),
+            "vec_id", mult, 10_000_000, emb_col="embedding",
+        ),
+        "cemb", mult,
     )
     ev = load_table(spark, SF_DIR, "events")
-    changes = replicate_composed(
-        ev.select(
-            (F.col("event_id") % 257).alias("entity_id"),
-            F.lit("update").alias("_op"),
-            F.col("event_id").alias("_version"),
-            F.col("ts").alias("_ts"),
-            F.col("value"),
+    changes = _materialize(
+        replicate_composed(
+            ev.select(
+                (F.col("event_id") % 257).alias("entity_id"),
+                F.lit("update").alias("_op"),
+                F.col("event_id").alias("_version"),
+                F.col("ts").alias("_ts"),
+                F.col("value"),
+            ),
+            "_version", mult, 10_000_000,
         ),
-        "_version", mult, 10_000_000,
+        "cchanges", mult,
     )
     n_cells = 16 * mult
     seeds = emb.filter(F.col("vec_id") < n_cells).select(
@@ -288,11 +322,10 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
 
     from peerdb_cdc_psql_clickhouse_spark.operators.search import (
         bm25_search,
-        build_text_index,
-        doc_lengths,
-        load_text_index,
+        open_text_index,
         phrase_search,
-        save_text_index,
+        save_full_text_index,
+        text_index_insert,
     )
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         build_ivfpq_index,
@@ -351,21 +384,46 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
         # destroyed bm25's already-recorded timing)
         t0 = time.perf_counter()
         try:
-            save_text_index(
-                build_text_index(docs_needle), f"{tmp}/postings"
-            )
-            lengths = doc_lengths(docs_needle)
-            lengths.write.mode("overwrite").parquet(f"{tmp}/lengths")
+            save_full_text_index(docs_needle, f"{tmp}/tidx")
             res["text_index_build"] = round(time.perf_counter() - t0, 2)
         except Exception as e:
             res["text_index_build"] = (
                 f"ERR {type(e).__name__}: {str(e)[:160]}"
             )
+        # O(batch) incremental maintenance (r6, VERDICT r5 #3): fold a
+        # FIXED 500-doc batch into the standing index — wall should be
+        # ~flat across both decades because only the batch is
+        # tokenized and only its touched bucket partitions take new
+        # files, never the standing postings
+        try:
+            # batch comes from the CONSTANT 1x source, not the scaled
+            # corpus — deriving it from `docs` would hide a full
+            # corpus scan inside the timed insert and fake linear
+            # growth onto an O(batch) operation
+            ins_docs = (
+                load_table(spark, SF_DIR, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < 500)
+                .select(
+                    (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                    "text",
+                )
+            )
+            t0 = time.perf_counter()
+            text_index_insert(spark, f"{tmp}/tidx", ins_docs)
+            res["text_index_insert_500"] = round(
+                time.perf_counter() - t0, 2
+            )
+        except Exception as e:
+            res["text_index_insert_500"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
         # reopen in its own try: a LOAD failure must not overwrite the
         # recorded build timing (review r5 pass 2)
         try:
-            idx = load_text_index(spark, f"{tmp}/postings")
-            lengths_saved = spark.read.parquet(f"{tmp}/lengths")
+            idx, lengths_saved, _tstats = open_text_index(
+                spark, f"{tmp}/tidx"
+            )
         except Exception as e:
             res["text_index_load"] = (
                 f"ERR {type(e).__name__}: {str(e)[:160]}"
@@ -400,32 +458,41 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
 
 
 def probe(spark, mult: int) -> dict[str, float]:
-    docs = replicate(
-        load_table(spark, SF_DIR, "documents"),
-        "doc_id",
-        mult,
-        10_000_000,
-        text_col="text",
+    docs = _materialize(
+        replicate(
+            load_table(spark, SF_DIR, "documents"),
+            "doc_id",
+            mult,
+            10_000_000,
+            text_col="text",
+        ),
+        "docs", mult,
     )
-    emb = replicate(
-        load_table(spark, SF_DIR, "embeddings"),
-        "vec_id",
-        mult,
-        10_000_000,
-        emb_col="embedding",
+    emb = _materialize(
+        replicate(
+            load_table(spark, SF_DIR, "embeddings"),
+            "vec_id",
+            mult,
+            10_000_000,
+            emb_col="embedding",
+        ),
+        "emb", mult,
     )
     ev = load_table(spark, SF_DIR, "events")
-    changes = replicate(
-        ev.select(
-            (F.col("event_id") % 257).alias("entity_id"),
-            F.lit("update").alias("_op"),
-            F.col("event_id").alias("_version"),
-            F.col("ts").alias("_ts"),
-            F.col("value"),
+    changes = _materialize(
+        replicate(
+            ev.select(
+                (F.col("event_id") % 257).alias("entity_id"),
+                F.lit("update").alias("_op"),
+                F.col("event_id").alias("_version"),
+                F.col("ts").alias("_ts"),
+                F.col("value"),
+            ),
+            "_version",
+            mult,
+            10_000_000,
         ),
-        "_version",
-        mult,
-        10_000_000,
+        "changes", mult,
     )
     from peerdb_cdc_psql_clickhouse_spark.operators.asof import (
         asof_join,
@@ -440,10 +507,17 @@ def probe(spark, mult: int) -> dict[str, float]:
 
     # events table is not replicated by id (asof/range scale with
     # events x mult via per-key density): stack copies at shifted keys
-    evm = replicate(
-        ev.select("event_id", "ts", "user_id", "event_type"),
-        "event_id", mult, 100_000_000,
-    ).withColumn("user_id", F.col("user_id") + (F.col("event_id") / 100_000_000).cast("long") * 1_000_000)
+    evm = _materialize(
+        replicate(
+            ev.select("event_id", "ts", "user_id", "event_type"),
+            "event_id", mult, 100_000_000,
+        ).withColumn(
+            "user_id",
+            F.col("user_id")
+            + (F.col("event_id") / 100_000_000).cast("long") * 1_000_000,
+        ),
+        "evm", mult,
+    )
     err = evm.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )

@@ -911,3 +911,19 @@ def test_mirror_schema_evolution_widened_column(spark, tmp_path):
         for r in m2.read_target().collect()
     }
     assert got2 == got
+
+
+def test_evolve_coerces_appended_nonnull_to_nullable(spark, tmp_path, mirror):
+    """ADVICE r5: pre-evolution rows surface appended columns as NULL,
+    so a non-nullable appended field would lie to downstream schema
+    consumers — evolve() coerces it to nullable."""
+    widened = T.StructType(
+        list(ROW_SCHEMA.fields)
+        + [T.StructField("note", T.StringType(), False)]
+    )
+    mirror.evolve(widened)
+    got = {f.name: f.nullable for f in mirror.row_schema.fields}
+    assert got["note"] is True
+    # pre-existing fields keep their declared nullability
+    for f in ROW_SCHEMA.fields:
+        assert got[f.name] == f.nullable

@@ -287,3 +287,30 @@ def test_stage_fingerprint_sees_a_corpus_swapped_by_path(
     }
     assert {r["doc_id"] for r in out_b} == want_b
     assert out_a  # corpus A result was non-trivial
+
+
+def test_fingerprint_distinguishes_hashlike_data_literals(spark):
+    """ADVICE r5: the id/address normalizations are anchored to the
+    plan-printer contexts (`name#N`, ` at 0xADDR`), so two recipes
+    that differ ONLY in a data literal that LOOKS like an expression
+    id ('#123' vs '#124') or a hex string must fingerprint
+    differently."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        _plan_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a #123 b"), (2, "c 0xdead d")], "doc_id long, text string"
+    )
+    fp_a = _plan_fingerprint(docs.filter(F.col("text").contains("#123")))
+    fp_b = _plan_fingerprint(docs.filter(F.col("text").contains("#124")))
+    assert fp_a != fp_b
+    fp_c = _plan_fingerprint(docs.filter(F.col("text").contains("0xdead")))
+    fp_d = _plan_fingerprint(docs.filter(F.col("text").contains("0xbeef")))
+    assert fp_c != fp_d
+    # and the same recipe still fingerprints identically across calls
+    assert fp_a == _plan_fingerprint(
+        docs.filter(F.col("text").contains("#123"))
+    )

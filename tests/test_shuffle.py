@@ -97,3 +97,20 @@ def test_partition_order_streams_shuffle_order(spark):
         for r in part
     ]
     assert seq == sorted(seq)
+
+
+def test_get_spark_applies_explicit_shuffle_partitions(spark):
+    """ADVICE r5: an explicit shuffle_partitions request must reach an
+    ALREADY-ACTIVE session (the conf is runtime-modifiable); without
+    an explicit request the active session's setting is untouched."""
+    from peerdb_cdc_psql_clickhouse_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s2 = get_spark(shuffle_partitions=7)
+        assert s2 is spark  # same active session
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        get_spark()  # no explicit request -> untouched
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
