@@ -34,8 +34,11 @@ SECTIONS = {
     "flow_analysis": "d1_parity_report",
     # 5 Get-CDCOperationsAnalysis (:796-851): I/U/D op counts
     "cdc_operations": "c5_microbatch_sizes",
-    # 6 Get-ContainerHealthStatus (:853-918): expected-vs-found status
-    "container_health": "d19_container_health",
+    # 6 Get-ContainerHealthStatus (:853-918): expected-vs-found
+    # status — d19 left the declared registry as a standalone slot
+    # (merged into d19_monitor_ops, r6), so the monitor binds the
+    # builder directly
+    "container_health": "__container_health__",
     # 7 Get-PeerDBResourceUsage (:920-982): CPU/mem usage table —
     # d15 left the declared registry (merged into d13_transforms), so
     # the monitor binds the builder directly
@@ -140,6 +143,10 @@ def monitor_report(
             return r10_version_probe(spark, sf_dir)
         if qname == "__unit_normalize__":
             return unit_normalize(spark, sf_dir)
+        if qname == "__container_health__":
+            from .metrics import d19_container_health
+
+            return d19_container_health(spark, sf_dir)
         return queries[qname].build(spark, sf_dir)
 
     return {section: build(qname) for section, qname in SECTIONS.items()}
