@@ -222,14 +222,15 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
             # a source stored as 1 file yields mult narrow partitions
             # after the union — a 10x replica written as ~10 files
             # underparallelizes a 32-core scan and every timing on it
-            # measures the write layout, not the operator. Repartition
-            # replicated tables so downstream scans always see at
-            # least full-core parallelism; fixed dimension tables
-            # (region/nation) keep their natural tiny layout.
-            cores = spark.sparkContext.defaultParallelism
-            out = out.repartition(
-                max(cores, out.rdd.getNumPartitions())
+            # measures the write layout, not the operator. fan_out is
+            # the one shared policy for this (scripts/scale_probe.py
+            # materializes through the same call); fixed dimension
+            # tables (region/nation) keep their natural tiny layout.
+            from peerdb_cdc_psql_clickhouse_spark.plans.layout import (
+                fan_out,
             )
+
+            out = fan_out(out)
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 

@@ -644,36 +644,45 @@ def _write_fingerprint(spark, stage_path: str, fp: str) -> None:
         out.close()
 
 
-def _plan_fingerprint(df: DataFrame) -> str:
-    """Stable digest of (normalized logical plan, sorted input
-    files): the plan carries every parameter of the recipe; the
-    inputFiles list carries the INPUT IDENTITY, file by file — code
-    review r5 proved plan strings alone cannot: the unresolved
-    logical plan prints only 'paths: 1 provided', and the physical
-    plan truncates Location at maxMetadataStringLength (100), so two
-    corpora whose paths differ past that point fingerprinted
-    identically and silently reused stale stage output. inputFiles
-    also catches files appended under an unchanged path; only data
-    rewritten IN PLACE (same file names) remains undetected — the
-    make-style contract; use fresh stage dirs for that."""
-    import hashlib
-    import re
+def _plan_fingerprint(df: DataFrame, extra: str = "") -> str:
+    """Stable digest of (canonicalized analyzed plan, output schema,
+    sorted input files[, extra caller params]).
 
-    plan = df._jdf.queryExecution().logical().toString()
-    # Anchor normalizations to the plan-printer contexts (ADVICE r5:
-    # a bare `#\d+` / `0x[0-9a-f]+` also rewrote genuine DATA
-    # literals — a decontaminate needle containing '#123' or a hex
-    # string — letting two materially different configs fingerprint
-    # identically). Attribute ids print as `name#N`; Python callable
-    # reprs as ` at 0xADDR`.
-    plan = re.sub(r"\b(\w+)#\d+", r"\1#", plan)  # expression ids
-    plan = re.sub(r" at 0x[0-9a-fA-F]+", " at 0x", plan)  # fn addrs
-    # PySpark's higher-order-function lambda args use a session-global
-    # counter (x_1, y_4, ...) — same recipe, different names per call.
-    # Normalize only the lambda-variable references (every appearance
-    # is printed with the 'lambda ' prefix), never data column names.
-    plan = re.sub(r"lambda (\w+?)_\d+", r"lambda \1_", plan)
-    payload = plan + "\x00" + "\n".join(sorted(df.inputFiles()))
+    The CANONICALIZED plan (Catalyst's own `QueryPlan.canonicalized`)
+    replaces the r5 regex normalization wholesale: r6 review showed
+    any string-level rewrite of `#\\d+` must choose between erasing
+    data literals shaped like `bug#123` (wrong-hit: two configs
+    differing only in such a needle fingerprint identically) and
+    missing non-word-anchored attribute ids like `count(1)#12L`
+    (always-miss: session-specific ids survive, so the cross-session
+    cache never matches). Canonicalization rewrites expression ids
+    POSITIONALLY inside the plan tree — deterministic across
+    sessions — while leaving every data literal byte-for-byte intact,
+    and it normalizes higher-order-function lambda variables too (no
+    session-global x_1/x_4 counter residue). Python UDFs canonicalize
+    to their function NAME (no `at 0xADDR` repr), so same-named
+    closures with different captured params are indistinguishable in
+    the plan — callers must pass such params via `extra` (clean_corpus
+    does for its own kwargs).
+
+    Canonicalization erases output column NAMES, so the schema string
+    re-adds them; the inputFiles list carries the INPUT IDENTITY, file
+    by file — r5 review proved plan strings alone cannot (location is
+    truncated at maxMetadataStringLength). inputFiles also catches
+    files appended under an unchanged path; only data rewritten IN
+    PLACE (same file names) remains undetected — the make-style
+    contract; use fresh stage dirs for that."""
+    import hashlib
+
+    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    payload = "\x00".join(
+        [
+            plan,
+            df.schema.simpleString(),
+            "\n".join(sorted(df.inputFiles())),
+            extra,
+        ]
+    )
     return hashlib.md5(payload.encode()).hexdigest()
 
 
@@ -745,6 +754,43 @@ def clean_corpus(
 
     spark = docs.sparkSession
     rebuilt = False  # once a stage re-runs, everything downstream must
+    # explicit-params token for the fingerprint (r6 review): the
+    # canonical plan carries every SQL-level parameter, but params
+    # applied through Python closures (a BloomFilter's bits, a scoring
+    # threshold inside a mapInPandas fn) canonicalize to just the
+    # function name — hash them explicitly so two configs can never
+    # alias.
+    _deconta_token = ""
+    if decontaminate is not None:
+        from .text import BloomFilter as _BF
+
+        if isinstance(decontaminate, _BF):
+            import hashlib as _hl
+
+            _deconta_token = "bloom:" + _hl.md5(
+                repr(
+                    (
+                        decontaminate.m_bits,
+                        decontaminate.k,
+                        decontaminate.words,
+                    )
+                ).encode()
+            ).hexdigest()
+        else:
+            _deconta_token = "df:" + _plan_fingerprint(decontaminate)
+    _params_token = repr(
+        (
+            id_col,
+            text_col,
+            exact,
+            lines,
+            substrings,
+            line_min_count,
+            sorted((span_kwargs or {}).items()),
+            min_shared,
+            _deconta_token,
+        )
+    )
 
     def staged(name, build):
         nonlocal rebuilt
@@ -757,7 +803,7 @@ def clean_corpus(
         # computation are IN the plan, so re-running with a different
         # corpus / min_count / span_kwargs / decontaminate set forces
         # a rebuild instead of silently reusing stale stage output)
-        fp = _plan_fingerprint(df)
+        fp = _plan_fingerprint(df, extra=_params_token)
         if (
             rebuilt
             or not _stage_complete(spark, path)

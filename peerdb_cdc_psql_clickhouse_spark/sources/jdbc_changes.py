@@ -191,7 +191,30 @@ class SnapshotDiffDeleteSweeper:
     — with the default max_version()+1 stamp, run sweeps quiesced or
     accept that the next poll re-inserts the row). A row INSERTED
     mid-sweep is never falsely deleted: it is absent from the
-    target, so the anti-join cannot emit it."""
+    target, so the anti-join cannot emit it.
+
+    Spool-write protocol (r6 review — the first cut had two real
+    defects here): events are written to a HIDDEN staging dir
+    (`.sweep_stage`, invisible to Spark's file listing), counted
+    there, and only a NON-EMPTY batch is moved into the spool — a
+    zero-delete sweep really does leave no batch dir. The move
+    claims its slot FIRST (persist batch_seq = K+1, then rename
+    staging → `_batch=K`), and K is probed to the first slot with no
+    existing dir at or above the persisted seq. Consequences:
+    - composing with a JdbcChangePoller on ONE spool is safe when
+      they SHARE a state file (pass the poller's `cursor_path` as
+      `state_path`; `_persist` merges, preserving the cursor): batch
+      numbers interleave from the shared counter, and because a slot
+      number is claimed before any file appears in it, neither
+      writer can ever overwrite the other's (or its own crashed
+      predecessor's) possibly-consumed batch. Single orchestrator
+      thread at a time — the state file is not a lock.
+    - crash between claim and rename skips one slot number (no dir —
+      the file source does not care about gaps); the retry re-diffs
+      and writes to a fresh slot. Crash after rename re-emits the
+      same deletes at the same version stamp into a new slot —
+      absorbed by max-version-wins apply, the poller's exact
+      degradation contract."""
 
     def __init__(
         self,
@@ -231,10 +254,15 @@ class SnapshotDiffDeleteSweeper:
             return {"batch_seq": 0}
 
     def _persist(self, batch_seq: int) -> None:
+        """Merge batch_seq into the state file, PRESERVING any other
+        keys — state_path may be a poller's cursor_path (shared batch
+        counter, see class docstring), whose `cursor` must survive."""
         os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        st = self._state()
+        st["batch_seq"] = batch_seq
         tmp = f"{self.state_path}.tmp"
         with open(tmp, "w") as f:
-            json.dump({"batch_seq": batch_seq}, f)
+            json.dump(st, f)
         os.replace(tmp, self.state_path)
 
     def _remote_keys(self, spark: SparkSession, lo: int, hi: int) -> DataFrame:
@@ -252,7 +280,15 @@ class SnapshotDiffDeleteSweeper:
         self, spark: SparkSession, target_keys: DataFrame
     ) -> DataFrame:
         """Keys live in the target but gone from the source, computed
-        bucket by bucket. `target_keys`: one column, self.key."""
+        bucket by bucket. `target_keys`: one column, self.key.
+
+        Callers should pass a PERSISTED frame: target_keys is
+        evaluated once for the bounds agg and once per bucket branch
+        of the union (Spark does not share subplans across union
+        branches), and when it is a mirror's merge-on-read plan an
+        un-persisted frame would re-run the full base+delta
+        max-version-wins merge n_buckets+1 times (r6 review).
+        sweep_once persists it for exactly this reason."""
         bounds = target_keys.agg(
             F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
         ).collect()[0]
@@ -281,30 +317,57 @@ class SnapshotDiffDeleteSweeper:
     def sweep_once(self, spark: SparkSession, mirror, version: int | None = None) -> int:
         """One sweep against `mirror` (streaming.mirror.Mirror):
         spool one batch of synthetic delete events for hard-deleted
-        keys; returns how many. No event, no batch dir."""
-        target_keys = mirror.read_target().select(self.key)
-        gone = self.deleted_keys(spark, target_keys)
-        if version is None:
-            version = mirror.max_version() + 1
-        data_cols = []
-        for f in self.row_schema.fields:
-            if f.name == self.key:
-                data_cols.append(F.col(self.key))
-            else:
-                data_cols.append(
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                )
-        events = gone.select(
-            F.lit("delete").alias("_op"),
-            F.lit(int(version)).cast("long").alias("_version"),
-            F.current_timestamp().alias("_ts"),
-            *data_cols,
-        ).select(*[f.name for f in self.schema.fields])
-        st = self._state()
-        batch_dir = f"{self.spool_dir}/_batch={st['batch_seq']}"
-        events.write.mode("overwrite").parquet(batch_dir)
-        n = spark.read.schema(self.schema).parquet(batch_dir).count()
+        keys; returns how many. No event, no batch dir — events are
+        staged in a hidden dir, counted there, and only a non-empty
+        batch is renamed into the spool, into a slot CLAIMED in the
+        state file before the rename (see class docstring for why
+        both halves matter)."""
+        target_keys = mirror.read_target().select(self.key).persist()
+        try:
+            gone = self.deleted_keys(spark, target_keys)
+            if version is None:
+                version = mirror.max_version() + 1
+            data_cols = []
+            for f in self.row_schema.fields:
+                if f.name == self.key:
+                    data_cols.append(F.col(self.key))
+                else:
+                    data_cols.append(
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+            events = gone.select(
+                F.lit("delete").alias("_op"),
+                F.lit(int(version)).cast("long").alias("_version"),
+                F.current_timestamp().alias("_ts"),
+                *data_cols,
+            ).select(*[f.name for f in self.schema.fields])
+            # hidden staging dir: leading '.' keeps it out of Spark's
+            # file listing, so a half-written batch is never visible
+            # to the Mirror's streaming source
+            stage = f"{self.spool_dir}/.sweep_stage"
+            events.write.mode("overwrite").parquet(stage)
+            n = spark.read.schema(self.schema).parquet(stage).count()
+        finally:
+            target_keys.unpersist()
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        stage_p = jvm.org.apache.hadoop.fs.Path(stage)
+        fs = stage_p.getFileSystem(hconf)
         if n == 0:
+            fs.delete(stage_p, True)
             return 0
-        self._persist(st["batch_seq"] + 1)
+        # claim the first free slot at/above the shared counter, THEN
+        # move the staged batch in — a slot number is never reused, so
+        # no writer can overwrite a possibly-consumed batch
+        k = self._state()["batch_seq"]
+        while fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{self.spool_dir}/_batch={k}")
+        ):
+            k += 1
+        self._persist(k + 1)
+        dest = jvm.org.apache.hadoop.fs.Path(f"{self.spool_dir}/_batch={k}")
+        if not fs.rename(stage_p, dest):
+            raise IOError(
+                f"sweep batch rename failed: {stage} -> {dest}"
+            )
         return n

@@ -49,13 +49,15 @@ def _materialize(df: DataFrame, tag: str, mult: int) -> DataFrame:
     import shutil
     import tempfile
 
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import fan_out
+
     spark = df.sparkSession
     path = tempfile.mkdtemp(prefix=f"probe_replica_{tag}_{mult}_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
-    cores = spark.sparkContext.defaultParallelism
-    df.repartition(max(cores, df.rdd.getNumPartitions())).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # fan_out is the single shared split-count policy (bench.py's
+    # materialize_scaled goes through the same call) — tune it once,
+    # both measurement paths move together.
+    fan_out(df).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

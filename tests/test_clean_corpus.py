@@ -314,3 +314,70 @@ def test_fingerprint_distinguishes_hashlike_data_literals(spark):
     assert fp_a == _plan_fingerprint(
         docs.filter(F.col("text").contains("#123"))
     )
+
+def test_fingerprint_distinguishes_word_anchored_literals(spark):
+    """r6 review: the r5 regex `\\b(\\w+)#\\d+` erased literals shaped
+    like `bug#123` (word char before '#') — the COMMON literal shape —
+    so two configs differing only in such a needle fingerprinted
+    identically. The canonicalized-plan fingerprint keeps every data
+    literal byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        _plan_fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "fix bug#123 now"), (2, "fix bug#124 now")],
+        "doc_id long, text string",
+    )
+    fp_a = _plan_fingerprint(docs.filter(F.col("text").contains("bug#123")))
+    fp_b = _plan_fingerprint(docs.filter(F.col("text").contains("bug#124")))
+    assert fp_a != fp_b
+
+
+def test_fingerprint_stable_for_unaliased_aggregates(spark, tmp_path):
+    """r6 review: attribute ids of unaliased aggregates print as
+    `count(1)#12L` — no word char before '#', so the r5 regex left the
+    session-specific id in place and the cross-session stage cache
+    could NEVER hit for such recipes. Canonicalization normalizes ids
+    positionally: two independently built copies of the same recipe
+    (different exprIds) must fingerprint identically, and a changed
+    grouping column must not."""
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        _plan_fingerprint,
+    )
+
+    p = str(tmp_path / "fp_corpus")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id long, text string, k string"
+    ).write.parquet(p)
+    base = spark.read.parquet(p)
+
+    def recipe(col):
+        return base.groupBy(col).agg(F.count("*"))
+
+    assert _plan_fingerprint(recipe("k")) == _plan_fingerprint(recipe("k"))
+    assert _plan_fingerprint(recipe("k")) != _plan_fingerprint(
+        recipe("text")
+    )
+
+
+def test_fingerprint_extra_params_disambiguate(spark):
+    """Python-closure params canonicalize to just the function name —
+    the `extra` channel must split otherwise-identical plans (this is
+    how clean_corpus hashes its own kwargs and the Bloom filter
+    bits)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.pipeline import (
+        _plan_fingerprint,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert _plan_fingerprint(docs, extra="t=1") != _plan_fingerprint(
+        docs, extra="t=2"
+    )
+    assert _plan_fingerprint(docs, extra="t=1") == _plan_fingerprint(
+        docs, extra="t=1"
+    )

@@ -311,3 +311,167 @@ def test_sweep_never_deletes_mid_sweep_inserts(spark, derby_url, tmp_path):
     )
     assert sweeper.sweep_once(spark, mirror) == 0
     assert _state(mirror) == {1: "a", 2: "b"}
+
+def test_zero_delete_sweep_leaves_no_batch_dir(spark, derby_url, tmp_path):
+    """r6 review: the first cut always wrote a batch dir (empty on a
+    zero-delete sweep) and its docstring claimed otherwise. Events are
+    now staged hidden and only a non-empty batch is moved in — an
+    idle sweep leaves the spool untouched (no _batch dirs, no visible
+    files at all)."""
+    import glob
+    import os
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    write_jdbc(
+        spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA),
+        derby_url,
+        "plain_z",
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_z"))
+    spool = str(tmp_path / "zspool")
+    sweeper = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="plain_z",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=spool,
+        state_path=str(tmp_path / "zstate.json"),
+        n_buckets=2,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 0
+    assert glob.glob(f"{spool}/_batch=*") == []
+    # nothing Spark's listing would see either (staging is deleted)
+    visible = [
+        p
+        for p in glob.glob(f"{spool}/*")
+        if not os.path.basename(p).startswith((".", "_"))
+    ]
+    assert visible == []
+
+
+def test_sweeper_composes_with_poller_on_shared_spool(
+    spark, derby_url, tmp_path
+):
+    """r6 review: sharing ONE spool between a poller and a sweeper
+    used to collide _batch=N across their independent counters, and
+    mode('overwrite') destroyed the other writer's batch. With a
+    SHARED state file the batch numbers interleave, slot claiming
+    prevents any overwrite, and the poller's cursor survives the
+    sweeper's persist."""
+    import glob
+    import json
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    # outbox feeds the poller; the same logical table also exists as a
+    # plain table the sweeper diffs (outbox-for-upserts + sweep-for-
+    # deletes is exactly the documented composition)
+    write_jdbc(
+        _events(
+            spark, [("insert", 1, T0, 1, "a"), ("insert", 2, T0, 2, "b")]
+        ),
+        derby_url,
+        "outbox",
+        mode="overwrite",
+    )
+    write_jdbc(
+        spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA),
+        derby_url,
+        "plain_s",
+    )
+    poller = _poller(derby_url, tmp_path)
+    spool = poller.spool_dir
+    assert poller.poll_once(spark) == 2  # writes _batch=0, seq -> 1
+    mirror = _mirror(spark, tmp_path)
+    _drain(mirror, spool)
+    assert _state(mirror) == {1: "a", 2: "b"}
+
+    # hard DELETE on the plain table; sweeper SHARES the poller state
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate('DELETE FROM plain_s WHERE "entity_id" = 2')
+    stmt.close()
+    conn.close()
+    sweeper = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="plain_s",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=spool,
+        state_path=poller.cursor_path,  # the shared counter
+        n_buckets=2,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 1
+    # poller's batch 0 untouched; sweep landed in the NEXT slot
+    dirs = sorted(glob.glob(f"{spool}/_batch=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1"]
+    with open(poller.cursor_path) as f:
+        st = json.load(f)
+    assert st == {"cursor": 2, "batch_seq": 2}  # cursor preserved
+    _drain(mirror, spool)
+    assert _state(mirror) == {1: "a"}
+    # and the next poll writes _batch=2, not a collision
+    write_jdbc(
+        _events(spark, [("insert", 3, T0, 5, "c")]), derby_url, "outbox"
+    )
+    assert poller.poll_once(spark) == 1
+    assert sorted(
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{spool}/_batch=*")
+    ) == [0, 1, 2]
+
+
+def test_sweep_never_overwrites_existing_batch_dir(
+    spark, derby_url, tmp_path
+):
+    """r6 review: crash between rename and persist leaves a batch dir
+    the state file does not know about — possibly already consumed by
+    the stream. The retry must claim the NEXT free slot, never rewrite
+    the orphan's files."""
+    import os
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    write_jdbc(
+        spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA),
+        derby_url,
+        "plain_o",
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_o"))
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate('DELETE FROM plain_o WHERE "entity_id" = 2')
+    stmt.close()
+    conn.close()
+
+    spool = str(tmp_path / "ospool")
+    # orphan from a "crashed predecessor": exists on disk, state says 0
+    orphan = f"{spool}/_batch=0"
+    os.makedirs(orphan)
+    with open(f"{orphan}/sentinel", "w") as f:
+        f.write("consumed-batch stand-in")
+    sweeper = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="plain_o",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=spool,
+        state_path=str(tmp_path / "ostate.json"),
+        n_buckets=2,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 1
+    with open(f"{orphan}/sentinel") as f:
+        assert f.read() == "consumed-batch stand-in"  # untouched
+    assert os.path.isdir(f"{spool}/_batch=1")
+    assert sweeper._state()["batch_seq"] == 2
