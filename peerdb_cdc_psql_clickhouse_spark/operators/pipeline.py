@@ -778,32 +778,24 @@ def clean_corpus(
             ).hexdigest()
         else:
             _deconta_token = "df:" + _plan_fingerprint(decontaminate)
-    _params_token = repr(
-        (
-            id_col,
-            text_col,
-            exact,
-            lines,
-            substrings,
-            line_min_count,
-            sorted((span_kwargs or {}).items()),
-            min_shared,
-            _deconta_token,
-        )
-    )
 
-    def staged(name, build):
+    def staged(name, build, extra: str = ""):
         nonlocal rebuilt
         if stage_dir is None:
             return build()
         path = f"{stage_dir}/{name}"
         df = build()
         # resume key = _SUCCESS + a fingerprint of the stage's logical
-        # plan (ADVICE r4: inputs and every parameter that changes the
-        # computation are IN the plan, so re-running with a different
-        # corpus / min_count / span_kwargs / decontaminate set forces
-        # a rebuild instead of silently reusing stale stage output)
-        fp = _plan_fingerprint(df, extra=_params_token)
+        # plan (ADVICE r4: inputs and every SQL-level parameter that
+        # changes the computation are IN the canonical plan as
+        # literals, so re-running with a different corpus / min_count /
+        # span_kwargs forces a rebuild instead of silently reusing
+        # stale stage output). `extra` carries ONLY the params that
+        # bypass the plan for THIS stage (closure/LocalRelation-level,
+        # e.g. bloom bits) — r6 VERDICT: one global token on every
+        # stage made a lines-only kwarg change invalidate the exact
+        # stage too, defeating stage-granular reuse on restart.
+        fp = _plan_fingerprint(df, extra=extra)
         if (
             rebuilt
             or not _stage_complete(spark, path)
@@ -830,12 +822,18 @@ def clean_corpus(
             flags = contamination_flags(
                 cur, decontaminate, id_col, text_col, min_shared=min_shared
             )
+        # the bloom words ride a 1-row LocalRelation (data absent from
+        # the canonical plan string) and a reference-frame
+        # decontaminate may too — so this stage, and only this stage,
+        # hashes the screen's identity explicitly. min_shared rides
+        # along for the closure-safety of either flags impl.
         cur = staged(
             "decontaminated",
             lambda cur=cur, flags=flags: cur.join(
                 flags.filter(~F.col("contaminated")).select(id_col),
                 id_col,
             ),
+            extra=repr(("deconta", _deconta_token, min_shared)),
         )
     if exact:
 
@@ -867,7 +865,14 @@ def clean_corpus(
                 id_col, text_col, "removed_lines", "removed_tokens"
             )
 
-        cur = staged("substrings", _substrings)
+        # span_kwargs are SQL literals today, but hash them here as a
+        # guard against future closure-level span params — a
+        # span_kwargs change legitimately invalidates ONLY this stage.
+        cur = staged(
+            "substrings",
+            _substrings,
+            extra=repr(("spans", sorted((span_kwargs or {}).items()))),
+        )
     else:
         cur = cur.withColumn("removed_tokens", F.lit(0).cast("long"))
     return cur
