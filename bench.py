@@ -146,6 +146,10 @@ _REPL_STRIDE = 10_000_000
 _ROT_ALPHABET = "etaoinshrdluc"
 MAX_SCALE_MULT = len(_ROT_ALPHABET)  # 13: transforms are identity past it
 
+# a query's scaled ratio is a scaling SIGNAL only if its 1x time
+# clears the fixed plan-compile/submit overhead (~0.2 s on local[32])
+SCALE_SIGNAL_MIN_1X_SEC = 0.5
+
 
 def _rot_text(col, i: int):
     from pyspark.sql import functions as F
@@ -287,7 +291,17 @@ def scaled_inventory(
             q: round(t / max(timings_1x.get(q, t), 1e-6), 2)
             for q, t in timings.items()
         }
-        worst_q = max(ratios, key=ratios.get) if ratios else None
+        # headline worst ratio only over queries whose 1x time clears
+        # the fixed-overhead floor (VERDICT r6 #3: a 4.07 ratio on a
+        # 0.20 s query is plan-compile noise, not a scaling signal);
+        # the unfiltered per-query ratios stay in BENCH_DETAIL.
+        signal = {
+            q: r
+            for q, r in ratios.items()
+            if timings_1x.get(q, 0.0) >= SCALE_SIGNAL_MIN_1X_SEC
+        }
+        pick_from = signal or ratios
+        worst_q = max(pick_from, key=pick_from.get) if pick_from else None
         over = {
             q: r for q, r in ratios.items() if r > 2 * mult
         }
@@ -300,6 +314,7 @@ def scaled_inventory(
             "time_ratio_vs_1x": ratios,
             "worst_ratio": ratios.get(worst_q),
             "worst_query": worst_q,
+            "worst_ratio_min_1x_sec": SCALE_SIGNAL_MIN_1X_SEC,
             "over_2x_per_row_cost": over,
             **({"errors": errors} if errors else {}),
         }

@@ -184,3 +184,23 @@ def test_bench_compact_line_fits_tail_capture():
         "compact line needed to drop scalars at the current "
         "query-name widths — rebudget deliberately"
     )
+    # the driver-contract fields must never be droppable (VERDICT r6
+    # #9): the drop-order list is the only mechanism that removes
+    # fields, so membership is the invariant
+    contract = {"metric", "value", "unit", "queries", "sf"}
+    assert not contract & set(bench._COMPACT_DROP_ORDER)
+    # worst case: a budget so tight every optional scalar drops —
+    # the contract fields still survive in the emitted line
+    bare = dict(compact)
+    for k in bench._COMPACT_DROP_ORDER:
+        bare.pop(k, None)
+    bare.pop("error_count", None)
+    floor = len(json.dumps(bare, separators=(",", ":")))
+    orig = bench.COMPACT_BUDGET
+    bench.COMPACT_BUDGET = floor + 30
+    try:
+        squeezed = json.loads(bench.compact_json_line(dict(compact)))
+    finally:
+        bench.COMPACT_BUDGET = orig
+    assert contract <= set(squeezed)
+    assert len(squeezed["queries"]) == len(names)
