@@ -153,6 +153,8 @@ def test_bench_compact_line_fits_tail_capture():
         "unit": "sec",
         "queries": {n: 123.45 for n in names},  # worst-case widths
         "sf": 0.1,
+        "bench_iters": 3,
+        "rel_spread_p90": 0.25,
         "ivf_index_build_sec": 123.456,
         "text_index_build_sec": 123.456,
         "cdc_ops_per_sec": 16758.12,
