@@ -14,6 +14,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import write_jdbc
@@ -182,10 +183,14 @@ def test_poll_predicate_pushed_to_remote(spark, derby_url, tmp_path):
 
 
 def test_crash_window_replay_converges(spark, derby_url, tmp_path):
-    """Crash between spool write and cursor persist: the replayed poll
-    overwrites the same batch dir with a superset; rows the stream
-    already consumed are re-applied and absorbed by max-version-wins —
+    """r7 brief #6 — the poller's stage-then-rename protocol. The
+    worst crash window (batch renamed in, cursor persist lost): the
+    committed batch is consumed, the retry re-fetches a superset into
+    a FRESH slot (claim probing never rewrites the possibly-consumed
+    dir), and max-version-wins apply absorbs the duplicates —
     duplicate storage, never duplicate state."""
+    import json
+
     write_jdbc(
         _events(
             spark,
@@ -199,23 +204,53 @@ def test_crash_window_replay_converges(spark, derby_url, tmp_path):
     m = _mirror(spark, tmp_path)
     spool = str(tmp_path / "spool")
 
-    # simulate the crash: spool lands, cursor persist is lost
-    st = poller.state()
-    poller._new_rows(spark, st["cursor"]).write.mode("overwrite").parquet(
-        f"{spool}/_batch={st['batch_seq']}"
-    )
-    _drain(m, spool)  # stream consumes the un-acked batch
+    # full poll, then simulate losing ONLY the final cursor persist:
+    # state rolls back to {cursor: None, batch_seq: 1} — exactly what
+    # a crash between the rename and the cursor write leaves behind
+    assert poller.poll_once(spark) == 2
+    with open(poller.cursor_path, "w") as f:
+        json.dump({"cursor": None, "batch_seq": 1}, f)
+    _drain(m, spool)  # stream consumes the committed-but-unacked batch
     assert _state(m) == {1: "a2"}
 
     # source grows, then the poller retries from the stale cursor:
-    # batch 0 is rewritten as a superset (versions 1..3)
+    # the superset (versions 1..3) lands in slot 1, never slot 0
     write_jdbc(
         _events(spark, [("insert", 3, T0, 2, "b")]), derby_url, "outbox"
     )
     assert poller.poll_once(spark) == 3
-    assert poller.state() == {"cursor": 3, "batch_seq": 1}
-    _drain(m, spool)  # re-reads the rewritten files; apply absorbs dups
+    assert poller.state() == {"cursor": 3, "batch_seq": 2}
+    _drain(m, spool)  # applies the new batch; dups absorbed
     assert _state(m) == {1: "a2", 2: "b"}
+
+
+def test_poll_crash_before_claim_leaves_nothing_visible(
+    spark, derby_url, tmp_path
+):
+    """The OTHER crash window (stage written, slot never claimed):
+    the old protocol's torn-batch orphan (ADVICE r7) is impossible —
+    the stage dir is hidden from Spark's file listing, no `_batch`
+    dir exists, and the retry simply overwrites the stage."""
+    import glob
+
+    write_jdbc(
+        _events(spark, [("insert", 1, T0, 1, "a")]),
+        derby_url,
+        "outbox",
+        mode="overwrite",
+    )
+    poller = _poller(derby_url, tmp_path)
+    spool = str(tmp_path / "spool")
+    # simulate the crash: stage lands, nothing claimed, cursor unmoved
+    poller._new_rows(spark, None).write.mode("overwrite").parquet(
+        f"{spool}/.poll_stage"
+    )
+    assert glob.glob(f"{spool}/_batch=*") == []
+    assert poller.state() == {"cursor": None, "batch_seq": 0}
+    # retry: normal poll, slot 0, no duplicate batch
+    assert poller.poll_once(spark) == 1
+    assert poller.state() == {"cursor": 1, "batch_seq": 1}
+    assert sorted(glob.glob(f"{spool}/_batch=*")) == [f"{spool}/_batch=0"]
 
 
 def test_ledger_point_probe_is_pushed(spark, derby_url, tmp_path):
@@ -475,3 +510,304 @@ def test_sweep_never_overwrites_existing_batch_dir(
         assert f.read() == "consumed-batch stand-in"  # untouched
     assert os.path.isdir(f"{spool}/_batch=1")
     assert sweeper._state()["batch_seq"] == 2
+
+
+# ---------------------------------------------------------------------------
+# r7 brief items #1/#4/#5/#6: update capture, composite keys, plan
+# gates, and the composed sweep+poll race.
+# ---------------------------------------------------------------------------
+
+
+def _exec_sql(spark, derby_url, sql):
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby_url)
+    stmt = conn.createStatement()
+    stmt.executeUpdate(sql)
+    stmt.close()
+    conn.close()
+
+
+def test_update_sweep_converges_plain_table(spark, derby_url, tmp_path):
+    """r7 brief #1: an in-place UPDATE on an envelope-less Derby table
+    (plus a missed INSERT) converges through the unchanged Mirror via
+    the checksum sweep's synthetic upserts. A second sweep is
+    idempotent (no events, no batch dir)."""
+    import glob
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+    )
+
+    write_jdbc(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (40, "d")], ROW_SCHEMA
+        ),
+        derby_url,
+        "plain_up",
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_up"))
+
+    # invisible to any poll tail: no version column moves
+    _exec_sql(
+        spark, derby_url, "UPDATE plain_up SET \"val\" = 'b9' WHERE \"entity_id\" = 2"
+    )
+    _exec_sql(
+        spark, derby_url, "INSERT INTO plain_up VALUES (9, 'z')"
+    )
+
+    sweeper = ChecksumDiffUpdateSweeper(
+        url=derby_url,
+        table="plain_up",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "upspool"),
+        state_path=str(tmp_path / "upstate.json"),
+        n_buckets=4,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 2
+    _drain(mirror, str(tmp_path / "upspool"))
+    assert _state(mirror) == {1: "a", 2: "b9", 3: "c", 40: "d", 9: "z"}
+    # converged: idempotent second sweep, no batch dir
+    before = sorted(glob.glob(str(tmp_path / "upspool" / "_batch=*")))
+    assert sweeper.sweep_once(spark, mirror) == 0
+    assert sorted(glob.glob(str(tmp_path / "upspool" / "_batch=*"))) == before
+
+
+def test_update_sweep_remote_screen_prunes_buckets(
+    spark, derby_url, tmp_path
+):
+    """The 100 TB path: with a remote checksum screen, phase 1 is one
+    pushed GROUP-BY-bucket aggregation (n_buckets rows transferred)
+    and only MISMATCHED buckets pay the row fetch + diff. The screen
+    pair here is Derby-computable; the result must equal the default
+    path's."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+    )
+
+    rows = [(i, f"v{i}") for i in range(1, 33)]
+    write_jdbc(
+        spark.createDataFrame(rows, ROW_SCHEMA), derby_url, "plain_rs"
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_rs"))
+
+    _exec_sql(
+        spark, derby_url, "UPDATE plain_rs SET \"val\" = 'X' WHERE \"entity_id\" = 5"
+    )
+
+    screen = (
+        (F.col("entity_id") * F.length("val")).cast("long"),
+        '"entity_id" * LENGTH("val")',
+    )
+    sweeper = ChecksumDiffUpdateSweeper(
+        url=derby_url,
+        table="plain_rs",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "rsspool"),
+        state_path=str(tmp_path / "rsstate.json"),
+        n_buckets=8,
+        remote_screen=screen,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 1
+    # the screen isolated the one dirty bucket out of 8
+    assert sweeper.last_stats["buckets"] == 8
+    assert len(sweeper.last_stats["mismatched"]) == 1
+    _drain(mirror, str(tmp_path / "rsspool"))
+    got = _state(mirror)
+    assert got[5] == "X" and len(got) == 32
+    # converged: the screen reports NO mismatched buckets and the
+    # sweep fetches zero source rows beyond the n_buckets screen rows
+    assert sweeper.sweep_once(spark, mirror) == 0
+    assert sweeper.last_stats["mismatched"] == []
+
+
+COMPOSITE_SCHEMA = T.StructType(
+    [
+        T.StructField("entity_id", T.LongType()),
+        T.StructField("sub_id", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ]
+)
+
+
+def _composite_mirror(spark, tmp_path) -> Mirror:
+    return Mirror(
+        spark,
+        name="jdbc_comp_mirror",
+        schema="public",
+        table="comp_t",
+        key_cols=["entity_id", "sub_id"],
+        row_schema=COMPOSITE_SCHEMA,
+        target_root=str(tmp_path / "cwh"),
+        checkpoint_root=str(tmp_path / "cckpt"),
+    )
+
+
+def _comp_state(mirror) -> dict:
+    return {
+        (int(r["entity_id"]), int(r["sub_id"])): r["val"]
+        for r in mirror.read_target().collect()
+    }
+
+
+def test_composite_key_delete_and_update_sweeps(spark, derby_url, tmp_path):
+    """r7 brief #4: a two-column-pk Derby table sweeps cleanly —
+    bucketing rides the FIRST key column's range (pushable BETWEEN),
+    the diff joins carry BOTH key columns, and the emitted events
+    converge through a composite-key Mirror."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+        SnapshotDiffDeleteSweeper,
+    )
+
+    rows = [(i, s, f"v{i}{s}") for i in range(1, 9) for s in (0, 1)]
+    write_jdbc(
+        spark.createDataFrame(rows, COMPOSITE_SCHEMA), derby_url, "comp_src"
+    )
+    mirror = _composite_mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="comp_src"))
+    assert len(_comp_state(mirror)) == 16
+
+    # same first key, different sub keys: (3,0) deleted, (3,1) kept
+    _exec_sql(
+        spark,
+        derby_url,
+        'DELETE FROM comp_src WHERE "entity_id" = 3 AND "sub_id" = 0',
+    )
+    _exec_sql(
+        spark,
+        derby_url,
+        "UPDATE comp_src SET \"val\" = 'UP' "
+        'WHERE "entity_id" = 5 AND "sub_id" = 1',
+    )
+
+    dsw = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="comp_src",
+        key_cols=["entity_id", "sub_id"],
+        row_schema=COMPOSITE_SCHEMA,
+        spool_dir=str(tmp_path / "cspool"),
+        state_path=str(tmp_path / "cstate.json"),
+        n_buckets=4,
+    )
+    usw = ChecksumDiffUpdateSweeper(
+        url=derby_url,
+        table="comp_src",
+        key_cols=["entity_id", "sub_id"],
+        row_schema=COMPOSITE_SCHEMA,
+        spool_dir=str(tmp_path / "cspool"),
+        state_path=str(tmp_path / "cstate.json"),  # shared counter
+        n_buckets=4,
+    )
+    assert dsw.sweep_once(spark, mirror) == 1
+    assert usw.sweep_once(spark, mirror) == 1
+    _drain(mirror, str(tmp_path / "cspool"))
+    got = _comp_state(mirror)
+    assert (3, 0) not in got and got[(3, 1)] == "v31"
+    assert got[(5, 1)] == "UP" and len(got) == 15
+    assert dsw.sweep_once(spark, mirror) == 0
+    assert usw.sweep_once(spark, mirror) == 0
+
+
+def test_sweep_plans_push_range_predicate(spark, derby_url, tmp_path):
+    """ADVICE r7: the O(keys/bucket) claim is now plan-gated like the
+    poller's — the per-bucket range predicate must reach the remote
+    scan's PushedFilters for BOTH sweepers (a non-pushing dialect
+    would silently degrade each sweep to n_buckets full scans)."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+        SnapshotDiffDeleteSweeper,
+    )
+
+    write_jdbc(
+        spark.createDataFrame([(1, "a")], ROW_SCHEMA), derby_url, "plain_pp"
+    )
+    common = dict(
+        url=derby_url,
+        table="plain_pp",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "ppspool"),
+        state_path=str(tmp_path / "ppstate.json"),
+        n_buckets=2,
+    )
+    for cls in (SnapshotDiffDeleteSweeper, ChecksumDiffUpdateSweeper):
+        plan = cls(**common).sweep_plan(spark)
+        assert "PushedFilters" in plan
+        up = plan.upper()
+        assert "ENTITY_ID" in up
+        assert "GreaterThanOrEqual" in plan and "LessThanOrEqual" in plan
+
+
+def test_sweep_then_reinsert_then_poll_converges(spark, derby_url, tmp_path):
+    """r7 brief #6 (composed race): a hard delete is swept, the same
+    key is later re-inserted at the source with a version above the
+    sweep stamp, and the next poll re-captures it — the documented
+    composition contract (sweep stamps at max_version()+1; later
+    genuine events must carry higher versions, which an ordered
+    outbox does by construction)."""
+    import glob
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    write_jdbc(
+        _events(
+            spark, [("insert", 1, T0, 1, "a"), ("insert", 2, T0, 2, "b")]
+        ),
+        derby_url,
+        "outbox",
+        mode="overwrite",
+    )
+    write_jdbc(
+        spark.createDataFrame([(1, "a"), (2, "b")], ROW_SCHEMA),
+        derby_url,
+        "plain_rr",
+    )
+    poller = _poller(derby_url, tmp_path)
+    spool = poller.spool_dir
+    mirror = _mirror(spark, tmp_path)
+    assert poller.poll_once(spark) == 2
+    _drain(mirror, spool)
+    assert _state(mirror) == {1: "a", 2: "b"}
+
+    # hard delete; sweep shares the poller's state file (one counter)
+    _exec_sql(spark, derby_url, 'DELETE FROM plain_rr WHERE "entity_id" = 2')
+    sweeper = SnapshotDiffDeleteSweeper(
+        url=derby_url,
+        table="plain_rr",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=spool,
+        state_path=poller.cursor_path,
+        n_buckets=2,
+    )
+    assert sweeper.sweep_once(spark, mirror) == 1
+    _drain(mirror, spool)
+    assert _state(mirror) == {1: "a"}
+    sweep_stamp = mirror.max_version()
+
+    # re-insert at the source: plain table row returns AND the outbox
+    # records it at a version above the sweep stamp
+    _exec_sql(spark, derby_url, "INSERT INTO plain_rr VALUES (2, 'b2')")
+    write_jdbc(
+        _events(spark, [("insert", sweep_stamp + 1, T0, 2, "b2")]),
+        derby_url,
+        "outbox",
+    )
+    assert poller.poll_once(spark) == 1
+    _drain(mirror, spool)
+    assert _state(mirror) == {1: "a", 2: "b2"}
+    # and the follow-up sweep agrees: nothing to delete
+    assert sweeper.sweep_once(spark, mirror) == 0
+    # batch slots interleaved without collision across both writers
+    assert sorted(
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{spool}/_batch=*")
+    ) == [0, 1, 2]
