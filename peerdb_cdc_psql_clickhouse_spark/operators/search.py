@@ -60,6 +60,12 @@ def build_text_index(
         "*",
         F.sum("tf").over(Window.partitionBy(id_col)).alias("dl"),
         F.pmod(hash64(F.col("term")), F.lit(n_buckets)).alias("bucket"),
+        # insertion generation (r8 delete lifecycle): build rows are
+        # gen 0; text_index_insert stamps each batch with the next
+        # generation, and a tombstone (doc_id, up_to_gen) hides
+        # exactly the generations at or below the deleted version —
+        # so delete-then-reinsert needs no compaction to be visible
+        F.lit(0).cast("long").alias("_gen"),
     )
 
 
@@ -174,6 +180,7 @@ def doc_lengths(
     return docs.select(
         F.col(id_col),
         F.size(tokens_col(F.col(text_col))).cast("long").alias("dl"),
+        F.lit(0).cast("long").alias("_gen"),
     )
 
 
@@ -263,8 +270,8 @@ def save_full_text_index(
     n_buckets: int = INDEX_BUCKETS,
 ) -> None:
     """Build and persist the full index layout at `path`: postings/
-    (PARTITIONED BY bucket), lengths/, stats/ (1 row: n_docs,
-    sum_dl). The one corpus pass of the index lifecycle."""
+    (PARTITIONED BY bucket), lengths/, stats/ (1 row: n_docs, sum_dl,
+    gen). The one corpus pass of the index lifecycle."""
     spark = docs.sparkSession
     save_text_index(
         build_text_index(docs, id_col, text_col, n_buckets),
@@ -275,22 +282,153 @@ def save_full_text_index(
     st = lengths.agg(
         F.count("*").alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
+    _write_stats(spark, path, int(st["n"]), int(st["s"] or 0), 0)
+
+
+# -- insert commit protocol + delete lifecycle (r8) -------------------------
+# Layout under the index root:
+#   postings/bucket=K/   lengths/   stats/      the live index
+#   tombstones/          (doc_id, dl, up_to_gen) delete markers
+#   .insert_stage/       hidden staging area for one insert batch
+#       postings/... lengths/...  _COMMIT (marker file)
+# An insert stages its postings AND lengths hidden, writes the
+# _COMMIT marker, then moves the staged files into the live dirs and
+# derives stats last. Recovery (run by open/insert/delete/compact):
+# stage without marker -> roll BACK (drop the stage — nothing was
+# visible); stage with marker -> roll FORWARD (finish the moves,
+# re-derive stats from lengths). Either way the batch is all-visible
+# or not-visible; the old append-in-place path could strand postings
+# without lengths/stats forever (ADVICE r7 medium — the docstring
+# claimed an atomicity the writes didn't have).
+
+_STAGE = ".insert_stage"
+_COMMIT = "_COMMIT"
+
+
+def _hfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _write_stats(
+    spark: SparkSession, path: str, n_docs: int, sum_dl: int, gen: int
+) -> None:
     spark.createDataFrame(
-        [(int(st["n"]), int(st["s"] or 0))], "n_docs long, sum_dl long"
+        [(int(n_docs), int(sum_dl), int(gen))],
+        "n_docs long, sum_dl long, gen long",
     ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _read_stats(spark: SparkSession, path: str) -> tuple[int, int, int]:
+    row = spark.read.parquet(f"{path}/stats").collect()[0].asDict()
+    # pre-r8 stats rows carry no gen column
+    return int(row["n_docs"]), int(row["sum_dl"]), int(row.get("gen", 0))
+
+
+def _staged_parquet_files(fs, jvm, stage: str) -> list[str]:
+    """Absolute paths of every staged .parquet file (markers and
+    _SUCCESS files are not data and are never moved)."""
+    out = []
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(stage), True)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        name = p.rsplit("/", 1)[1]
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            out.append(p)
+    return out
+
+
+def _recover_insert(spark: SparkSession, path: str) -> None:
+    """Finish or undo a crashed text_index_insert (idempotent; cost
+    when there is nothing to do: one fs.exists)."""
+    stage = f"{path}/{_STAGE}"
+    fs, stage_p, jvm = _hfs(spark, stage)
+    if not fs.exists(stage_p):
+        return
+    committed = fs.exists(jvm.org.apache.hadoop.fs.Path(f"{stage}/{_COMMIT}"))
+    if not committed:
+        fs.delete(stage_p, True)  # roll back: batch was never visible
+        return
+    # roll forward: move remaining staged files to their live twins
+    # (same relative path; Spark part-file names are unique, so a
+    # repeated recovery skips already-moved files)
+    prefix = stage.rstrip("/") + "/"
+    for src in _staged_parquet_files(fs, jvm, stage):
+        rel = src.split(prefix, 1)[1]
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if not fs.exists(dest):
+            fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest)
+    # stats derive from lengths (RAW, tombstone-corrections stay
+    # open-time): the one write a crash can strand is re-derivable
+    st = (
+        spark.read.parquet(f"{path}/lengths")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("s"),
+            F.max("_gen").alias("g"),
+        )
+        .collect()[0]
+    )
+    _write_stats(
+        spark, path, int(st["n"]), int(st["s"] or 0), int(st["g"] or 0)
+    )
+    fs.delete(stage_p, True)
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        t = spark.read.schema(
+            "doc_id long, dl long, up_to_gen long"
+        ).parquet(f"{path}/tombstones")
+        return t
+    except Exception:  # noqa: BLE001 - no tombstones dir yet
+        return None
+
+
+def _apply_tombstones(
+    gen_frame: DataFrame, tomb: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Hide rows whose (doc_id, _gen) is at or below a tombstone —
+    a broadcast anti-join against the small marker table, composed
+    under every search so membership is consistent across bm25 /
+    term / phrase modes."""
+    t = tomb.select(
+        F.col("doc_id").alias("_t_id"), F.col("up_to_gen").alias("_t_gen")
+    )
+    return gen_frame.join(
+        F.broadcast(t),
+        (F.col(id_col) == F.col("_t_id"))
+        & (F.col("_gen") <= F.col("_t_gen")),
+        "left_anti",
+    )
 
 
 def open_text_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
     """(postings, lengths, (n_docs, sum_dl)) for a persisted index
-    root — fresh frames each call, so inserts are visible."""
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
-    return (
-        load_text_index(spark, f"{path}/postings"),
-        spark.read.parquet(f"{path}/lengths"),
-        (int(st["n_docs"]), int(st["sum_dl"])),
-    )
+    root — fresh frames each call, so inserts and deletes are
+    visible. Runs insert recovery first (see _recover_insert), then
+    composes the tombstone filter into both frames and corrects the
+    stored stats by the tombstoned docs' (count, dl) — BM25's N and
+    avgdl track deletes without any rewrite."""
+    _recover_insert(spark, path)
+    n_docs, sum_dl, _gen = _read_stats(spark, path)
+    post = load_text_index(spark, f"{path}/postings")
+    lengths = spark.read.parquet(f"{path}/lengths")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        agg = tomb.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        if int(agg["n"]) > 0:
+            post = _apply_tombstones(post, tomb)
+            lengths = _apply_tombstones(lengths, tomb)
+            n_docs -= int(agg["n"])
+            sum_dl -= int(agg["s"] or 0)
+    return post, lengths, (n_docs, sum_dl)
 
 
 def text_index_insert(
@@ -306,52 +444,215 @@ def text_index_insert(
     ivfpq_index_insert): fold a document batch's postings into ONLY
     the touched term-bucket partitions, append the batch's lengths,
     and update the 1-row stats. No existing partition is rewritten —
-    parquet append with partitionBy lands new files inside the
-    touched bucket=K directories and leaves every other bucket's
-    files untouched, so the cost is the batch tokenize + one
-    batch-sized shuffle, independent of standing index size.
+    the staged files land inside the touched bucket=K directories and
+    leave every other bucket's files untouched, so the cost is the
+    batch tokenize + one batch-sized shuffle, independent of standing
+    index size.
 
     Correctness is structural: postings rows are per-(term, doc) and
     dl is per-doc, so a batch's rows are identical whether the doc
     was indexed at build time or inserted later; df/N/avgdl are
-    derived per-query from postings + stats. An inserted-then-opened
-    index therefore equals a from-scratch rebuild ROW FOR ROW
-    (pytest-asserted in tests/test_search.py).
+    derived per-query from postings + stats.
 
-    Contract: new_docs' ids must be NEW (re-inserting an indexed
-    doc_id double-counts its postings — same append contract as the
-    ANN index inserts); the stats rewrite is last, so a crash
-    mid-insert leaves stats stale-but-consistent with a re-runnable
-    repair (re-derive stats from lengths), never a corrupt posting.
+    Crash atomicity (r8, ADVICE r7 medium): the batch's postings AND
+    lengths stage under a hidden dir, a _COMMIT marker makes the
+    batch durable, and only then do the files move into the live
+    layout (stats derived last). A crash at ANY point leaves the
+    index all-or-nothing after the recovery that open/insert run
+    automatically — never postings without lengths, and a retry
+    after a pre-commit crash cannot double-count. (Readers racing a
+    live mid-move insert may transiently see part of the batch;
+    crash-consistency, not snapshot isolation, is the contract.)
+
+    Contract: new_docs' ids must not be LIVE in the index
+    (re-inserting a live doc_id double-counts its postings — same
+    append contract as the ANN index inserts). Re-inserting a
+    DELETED id is fine: the batch's generation is above the
+    tombstone's up_to_gen, so the new rows are visible immediately.
 
     Returns {"n_new_docs", "new_tokens", "touched_buckets"}."""
-    batch_post = build_text_index(new_docs, id_col, text_col, n_buckets)
-    # one batch-sized pass; touched-bucket count read off the same
-    # frame Spark is about to write
+    _recover_insert(spark, path)
+    n0, s0, gen0 = _read_stats(spark, path)
+    gen = gen0 + 1
+    stage = f"{path}/{_STAGE}"
+    stamp = F.lit(gen).cast("long").alias("_gen")
+
+    batch_post = build_text_index(
+        new_docs, id_col, text_col, n_buckets
+    ).withColumn("_gen", stamp)
     batch_post.persist()
     try:
         touched = batch_post.select("bucket").distinct().count()
-        batch_post.write.mode("append").partitionBy("bucket").parquet(
-            f"{path}/postings"
+        batch_post.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{stage}/postings"
         )
     finally:
         batch_post.unpersist()
-    new_len = doc_lengths(new_docs, id_col, text_col)
-    new_len.write.mode("append").parquet(f"{path}/lengths")
+    new_len = doc_lengths(new_docs, id_col, text_col).withColumn(
+        "_gen", stamp
+    )
+    new_len.write.mode("overwrite").parquet(f"{stage}/lengths")
     st = new_len.agg(
         F.count("*").alias("n"), F.sum("dl").alias("s")
     ).collect()[0]
-    old = spark.read.parquet(f"{path}/stats").collect()[0]
     n_new, s_new = int(st["n"]), int(st["s"] or 0)
-    spark.createDataFrame(
-        [(int(old["n_docs"]) + n_new, int(old["sum_dl"]) + s_new)],
-        "n_docs long, sum_dl long",
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+    fs, _p, jvm = _hfs(spark, stage)
+    fs.createNewFile(jvm.org.apache.hadoop.fs.Path(f"{stage}/{_COMMIT}"))
+    prefix = stage.rstrip("/") + "/"
+    for src in _staged_parquet_files(fs, jvm, stage):
+        rel = src.split(prefix, 1)[1]
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest)
+    _write_stats(spark, path, n0 + n_new, s0 + s_new, gen)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
     return {
         "n_new_docs": n_new,
         "new_tokens": s_new,
         "touched_buckets": touched,
     }
+
+
+def text_index_delete(
+    spark: SparkSession, path: str, doc_ids, id_col: str = "doc_id"
+) -> int:
+    """Tombstone-delete documents from a persisted index (r8 — the
+    lifecycle gap r6 #6 named: the index was append-only). O(deleted
+    ids): appends (doc_id, dl, up_to_gen) markers; every search
+    excludes marked docs via a broadcast anti-join composed at
+    open_text_index time, and BM25's N/avgdl are corrected from the
+    markers' own (count, dl). Ids that are not live (never indexed,
+    or already deleted) append nothing, so the call is idempotent and
+    stats never drift. Returns how many docs were newly tombstoned.
+
+    Postings bytes are reclaimed by text_index_compact(); update =
+    text_index_delete + text_index_insert (the re-insert's generation
+    outranks the tombstone — no compaction needed for visibility)."""
+    _recover_insert(spark, path)
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(F.col(id_col).cast("long").alias(id_col))
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in doc_ids], f"{id_col} long"
+        )
+    # live view of lengths (tombstone-filtered) -> one marker per
+    # still-live requested id, carrying the dl/gen of the version
+    # being removed
+    lengths = spark.read.parquet(f"{path}/lengths")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        lengths = _apply_tombstones(lengths, tomb, id_col)
+    marks = lengths.join(F.broadcast(ids), id_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("_gen").cast("long").alias("up_to_gen"),
+    )
+    marks.persist()
+    try:
+        n = marks.count()
+        if n:
+            marks.write.mode("append").parquet(f"{path}/tombstones")
+    finally:
+        marks.unpersist()
+    return int(n)
+
+
+def text_index_compact(spark: SparkSession, path: str) -> dict:
+    """Fold tombstones into the data: rewrite postings (keeping the
+    bucket partitioning) and lengths without the deleted docs, then
+    clear the markers. Swaps each dir via retire-renames (the
+    Mirror.compact protocol) and deletes the tombstones LAST — a
+    crash at any midpoint leaves markers that still filter correctly
+    over whichever dirs were already rewritten (the anti-join is a
+    no-op on rewritten data), so re-running converges. Row _gen
+    values are preserved: a crashed compact must not resurrect a
+    tombstone's reach over a re-inserted doc.
+
+    Returns {"dropped_docs", "n_docs"}; a compacted index equals a
+    from-scratch rebuild on the surviving docs (pytest-asserted)."""
+    import os
+    import shutil
+
+    _recover_insert(spark, path)
+    tomb = _read_tombstones(spark, path)
+    post, lengths, (n_docs, sum_dl) = open_text_index(spark, path)
+    dropped = 0
+    if tomb is not None:
+        dropped = tomb.count()
+    if dropped == 0:
+        return {"dropped_docs": 0, "n_docs": n_docs}
+
+    def swap(live: str, build_df, partition_by: str | None) -> None:
+        tmp, retired = f"{live}_compacting", f"{live}_retired"
+        w = build_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(retired, ignore_errors=True)
+        os.rename(live, retired)
+        os.rename(tmp, live)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    swap(f"{path}/postings", post, "bucket")
+    swap(f"{path}/lengths", lengths, None)
+    # (swap windows: between the two renames inside swap() the live
+    # dir is briefly absent — the Mirror.compact contract; between
+    # the two swaps the tombstones still filter the not-yet-rewritten
+    # dir, so readers stay consistent)
+    gen = int(
+        spark.read.parquet(f"{path}/lengths")
+        .agg(F.max("_gen").alias("g"))
+        .collect()[0]["g"]
+        or 0
+    )
+    _write_stats(spark, path, n_docs, sum_dl, gen)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return {"dropped_docs": int(dropped), "n_docs": int(n_docs)}
+
+
+def text_index_apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = INDEX_BUCKETS,
+) -> dict:
+    """Maintain a persisted text index from a CDC change batch (r6
+    brief #6's last clause — the mirror's change feed drives the
+    index incrementally): `changes` carries the engine envelope
+    (_op/_version/_ts + id/text). The batch is thinned to its latest
+    state per doc (max-version-wins, operators/cdc.latest_state —
+    exactly the Mirror's apply semantics), then:
+      - every touched id is tombstoned (a delete of a never-indexed
+        id is a no-op by text_index_delete's contract);
+      - the surviving upserts re-insert in one batch at the next
+        generation, which outranks the tombstones — so an UPDATE is
+        delete+insert with immediate visibility and no compaction.
+    Cost: O(batch) — one tombstone append + one staged insert; run
+    text_index_compact() on the same schedule as Mirror.compact() to
+    reclaim postings bytes. Use from Mirror.start's foreachBatch (or
+    replay a spool's batch dirs in order) to keep search membership
+    converged with the mirrored table."""
+    from .cdc import latest_state
+
+    thinned = latest_state(
+        changes, [id_col], keep_deletes=True
+    ).persist()
+    try:
+        deleted = text_index_delete(
+            spark, path, thinned.select(id_col), id_col
+        )
+        live = thinned.filter(F.col("_op") != "delete").select(
+            id_col, text_col
+        )
+        ins = text_index_insert(
+            spark, path, live, id_col, text_col, n_buckets
+        )
+    finally:
+        thinned.unpersist()
+    return {"tombstoned": deleted, **ins}
 
 
 # Build-once cache behind the declared x9 query and bench: one
