@@ -777,7 +777,32 @@ def clean_corpus(
                 ).encode()
             ).hexdigest()
         else:
-            _deconta_token = "df:" + _plan_fingerprint(decontaminate)
+            # ADVICE r7: a benchmark frame built in memory
+            # canonicalizes to a LocalRelation whose plan string
+            # omits the ROW DATA (and inputFiles() is empty) — a
+            # plan-only token would let a swapped benchmark set (same
+            # schema) resume with the stale decontaminated stage.
+            # File-backed frames keep the cheap plan fingerprint (the
+            # input paths ARE in the plan); data-carrying plans hash
+            # the collected rows — benchmark sets are small by the
+            # contamination screen's own contract (they broadcast).
+            try:
+                _files = decontaminate.inputFiles()
+            except Exception:  # noqa: BLE001 - treat as data-carrying
+                _files = []
+            if _files:
+                _deconta_token = "df:" + _plan_fingerprint(decontaminate)
+            else:
+                import hashlib as _hl
+
+                _rows = sorted(
+                    repr(tuple(r)) for r in decontaminate.collect()
+                )
+                _deconta_token = "dfrows:" + _hl.md5(
+                    "\n".join(
+                        [decontaminate.schema.simpleString(), *_rows]
+                    ).encode()
+                ).hexdigest()
 
     def staged(name, build, extra: str = ""):
         nonlocal rebuilt

@@ -289,6 +289,68 @@ def test_stage_fingerprint_sees_a_corpus_swapped_by_path(
     assert out_a  # corpus A result was non-trivial
 
 
+def test_deconta_fingerprint_sees_inmemory_benchmark_swap(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium): an in-memory benchmark frame is a
+    LocalRelation whose canonical plan string omits the ROW DATA and
+    whose inputFiles() is empty — a plan-only fingerprint let a
+    swapped benchmark set (same schema) resume with the STALE
+    decontaminated stage. The data-carrying case must hash the rows
+    themselves."""
+    import time
+
+    sd = str(tmp_path / "stages")
+    phrase_a = "what is the capital of assyria and its rivers"
+    phrase_b = "name the airspeed velocity of an unladen swallow"
+    docs = _corpus(spark).unionByName(
+        _docs(
+            spark,
+            [
+                (6, f"padding {phrase_a} more padding"),
+                (7, f"filler {phrase_b} more filler"),
+            ],
+        )
+    )
+    bench_a = spark.createDataFrame([(phrase_a,)], "text string")
+    bench_b = spark.createDataFrame([(phrase_b,)], "text string")
+
+    out_a = {
+        r["doc_id"]
+        for r in clean_corpus(
+            docs, stage_dir=sd, decontaminate=bench_a
+        ).collect()
+    }
+    assert out_a == {1, 3, 4, 5, 7}  # 6 contaminated, 2 exact-dup
+    before = _stage_mtimes(sd)
+
+    # same benchmark rows (a fresh but identical frame) -> full reuse
+    time.sleep(1.1)
+    clean_corpus(
+        docs,
+        stage_dir=sd,
+        decontaminate=spark.createDataFrame([(phrase_a,)], "text string"),
+    ).collect()
+    assert _stage_mtimes(sd) == before
+
+    # swapped benchmark SET, identical schema -> the decontaminated
+    # stage (and downstream) must rebuild and drop doc 7 instead
+    time.sleep(1.1)
+    out_b = {
+        r["doc_id"]
+        for r in clean_corpus(
+            docs, stage_dir=sd, decontaminate=bench_b
+        ).collect()
+    }
+    assert out_b == {1, 3, 4, 5, 6}
+    after = _stage_mtimes(sd)
+    assert any(
+        after[f] != before.get(f)
+        for f in after
+        if "/decontaminated/" in f and f.endswith("_SUCCESS")
+    ), "benchmark swap must invalidate the decontaminated stage"
+
+
 def test_fingerprint_distinguishes_hashlike_data_literals(spark):
     """ADVICE r5: the id/address normalizations are anchored to the
     plan-printer contexts (`name#N`, ` at 0xADDR`), so two recipes
