@@ -692,22 +692,88 @@ def text_index_for(
     return open_text_index(spark, path)
 
 
+# The lifecycle-built twin of _TEXT_IDX_CACHE: same corpus, same
+# final contents, but constructed through the FULL maintenance path
+# (partial build -> incremental insert -> tombstone delete ->
+# CDC-envelope re-insert -> compact). x9b searches THIS index, so the
+# driver's hash against the raw-corpus DuckDB oracle verifies the
+# whole lifecycle, not just the one-pass build (r8 — the lifecycle
+# was pytest-only; same promotion pattern as x2e_ivf_fullprobe).
+_TEXT_IDX_LIFECYCLE_CACHE: dict[str, str] = {}
+
+
+def text_index_lifecycle_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
+    """(postings, lengths, stats) for sf_dir's documents table, built
+    through every maintenance operation and converging to EXACTLY the
+    full corpus:
+
+      1. save_full_text_index on docs with doc_id % 10 != 0 (~90%);
+      2. text_index_insert of the remaining ~10% (staged commit);
+      3. text_index_delete of docs with doc_id % 7 == 0 (tombstones);
+      4. text_index_apply_changes re-upserting those same docs from a
+         synthetic CDC envelope batch (tombstone + generation-ranked
+         re-insert — the update path, visible without compaction);
+      5. text_index_compact (retire-rename rewrite, markers cleared).
+
+    Final membership, postings, lengths, and BM25 stats all equal a
+    fresh one-pass build of the full corpus, so any search over this
+    index must be bit-equal to the raw-corpus oracle — a wrong
+    generation rank, a stats drift, a tombstone leak, or a compaction
+    bug each breaks the declared x9b hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..catalog import corpus_cache_key, load_table
+
+    key = corpus_cache_key(sf_dir, "documents.parquet")
+    path = _TEXT_IDX_LIFECYCLE_CACHE.get(key)
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="spark_graft_textidx_lc_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        churn = F.col("doc_id") % 7 == 0
+        save_full_text_index(docs.filter(F.col("doc_id") % 10 != 0), path)
+        text_index_insert(
+            spark, path, docs.filter(F.col("doc_id") % 10 == 0)
+        )
+        text_index_delete(spark, path, docs.select("doc_id").filter(churn))
+        text_index_apply_changes(
+            spark,
+            path,
+            docs.filter(churn).select(
+                F.lit("upsert").alias("_op"),
+                F.lit(1).cast("long").alias("_version"),
+                F.current_timestamp().alias("_ts"),
+                "doc_id",
+                "text",
+            ),
+        )
+        text_index_compact(spark, path)
+        _TEXT_IDX_LIFECYCLE_CACHE[key] = path
+    return open_text_index(spark, path)
+
+
 def text_index_build_seconds(spark: SparkSession, sf_dir: str) -> float:
-    """Force (and time) the text-index build for sf_dir — the exact
+    """Force (and time) the text-index builds for sf_dir — the exact
     analog of similarity.ivf_index_build_seconds (VERDICT r5 #2:
     x9_bm25_search was charging the one-time build to the timed
     search at both scales, polluting the scaled-ratio trend line).
-    bench.py calls this before timing; returns 0.0 when the index is
-    already standing."""
+    Covers BOTH standing indexes (the one-pass build behind x9 and
+    the lifecycle-built twin behind x9b) so bench timings stay pure
+    search. Returns 0.0 when both are already standing."""
     import time
 
     from ..catalog import corpus_cache_key
 
     key = corpus_cache_key(sf_dir, "documents.parquet")
-    if key in _TEXT_IDX_CACHE:
+    if key in _TEXT_IDX_CACHE and key in _TEXT_IDX_LIFECYCLE_CACHE:
         return 0.0
     t0 = time.perf_counter()
     text_index_for(spark, sf_dir)
+    text_index_lifecycle_for(spark, sf_dir)
     return round(time.perf_counter() - t0, 3)
 
 
@@ -809,7 +875,10 @@ SELECT 'and', doc_id, v1, v2 FROM bool_and
 
 
 def x9b_search_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    index, _lengths, _stats = text_index_for(spark, sf_dir)
+    # searches the LIFECYCLE-built index (r8): membership converges to
+    # the full corpus, so the raw-corpus oracle hash-verifies insert /
+    # delete / generation ranking / compaction along with the searches
+    index, _lengths, _stats = text_index_lifecycle_for(spark, sf_dir)
     ph = phrase_search(index, X9B_PHRASE).select(
         F.lit("phrase").alias("op"),
         "doc_id",
@@ -831,8 +900,12 @@ def _register() -> None:
     declare(
         "x9b_search_ops",
         _X9B_ORACLE,
-        doc="brief/search: phrase + boolean retrieval against the "
-        "same PERSISTED positional index as x9, op-labeled union "
+        doc="brief/search: phrase + boolean retrieval against a "
+        "PERSISTED positional index built through the FULL "
+        "maintenance lifecycle (partial build -> staged insert -> "
+        "tombstone delete -> CDC-envelope re-upsert -> compact) that "
+        "converges to exactly the corpus — the raw-corpus oracle "
+        "hash therefore verifies the whole lifecycle, op-labeled union "
         "(op='phrase': exact consecutive-phrase occurrence counts "
         "via positional algebra — term i's postings shifted by -i, "
         "one groupBy, no text re-scan; op='and': boolean "

@@ -204,6 +204,46 @@ def test_update_is_delete_plus_insert_no_compaction(spark, tmp_path):
     assert _index_state(spark, root) == _index_state(spark, rebuilt)
 
 
+def test_lifecycle_index_equals_one_pass_build_on_corpus(spark):
+    """The declared x9b index (r8): built through partial build ->
+    staged insert -> tombstone delete -> CDC-envelope re-upsert ->
+    compact, converging to exactly the corpus — observable state and
+    every search mode bit-equal to the one-pass build x9 uses. This
+    pins locally what the driver's x9b hash checks against DuckDB."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _TEXT_IDX_CACHE,
+        _TEXT_IDX_LIFECYCLE_CACHE,
+        text_index_for,
+        text_index_lifecycle_for,
+        x9b_search_ops,
+    )
+    from tests.conftest import SF_SMOKE
+
+    plain_p, plain_l, plain_s = text_index_for(spark, SF_SMOKE)
+    lc_p, lc_l, lc_s = text_index_lifecycle_for(spark, SF_SMOKE)
+    assert lc_s == plain_s
+    def post_set(df):
+        return {
+            (r.term, r.doc_id, tuple(r.positions), r.tf, r.dl, r.bucket)
+            for r in df.collect()
+        }
+
+    assert post_set(lc_p) == post_set(plain_p)
+    assert {tuple(r) for r in lc_l.select("doc_id", "dl").collect()} == {
+        tuple(r) for r in plain_l.select("doc_id", "dl").collect()
+    }
+    # compaction really ran: no tombstones dir left on the cached path
+    from peerdb_cdc_psql_clickhouse_spark.catalog import corpus_cache_key
+
+    key = corpus_cache_key(SF_SMOKE, "documents.parquet")
+    assert not os.path.exists(
+        f"{_TEXT_IDX_LIFECYCLE_CACHE[key]}/tombstones"
+    )
+    assert _TEXT_IDX_LIFECYCLE_CACHE[key] != _TEXT_IDX_CACHE[key]
+    # the declared query itself returns rows from the lifecycle index
+    assert x9b_search_ops(spark, SF_SMOKE).count() > 0
+
+
 def test_change_feed_maintains_index(spark, tmp_path):
     """The mirror's change feed drives the index: one envelope batch
     mixing insert/update/delete (with an intra-batch supersede)
