@@ -408,6 +408,72 @@ class _BucketedSweeper(_SpoolWriter):
         return n
 
 
+def md5_checksum_screen(
+    row_schema: T.StructType, dialect: str = "ansi"
+) -> tuple[Column, str]:
+    """Ready-made `(spark_checksum_column, remote_checksum_sql)` pair
+    for ChecksumDiffUpdateSweeper(remote_screen=...) — the r8 NOTES
+    left the pair's equivalence entirely to the caller; this builder
+    is the provided, pytest-pinned option (tests assert the Spark
+    column and the generated SQL agree value-for-value on the same
+    rows, nulls and separator-bytes included).
+
+    Canonical form: columns cast to string in declared order, NULL
+    marked as CHR(1)||'null', joined by the CHR(31) unit separator,
+    then the portable 60-bit md5 checksum (functions.hashing.hash64).
+    The NULL marker deliberately differs from Mirror.checksum_parity's
+    \\x00-based one: Postgres text cannot carry null bytes, and the
+    screen only has to agree with ITSELF on both engines, not with
+    the parity hash.
+
+    Scope: integral and string columns only — float/timestamp/decimal
+    string renderings are engine-specific, so a schema containing them
+    raises rather than silently producing a screen that never matches
+    (a falsely-mismatching screen costs a bucket re-diff; the raise
+    prevents the caller shipping one that mismatches every sweep).
+
+    dialect='ansi' (DuckDB and engines with CAST-hex-literal support)
+    or 'postgres' (bit(60) hex cast idiom). Derby has no md5 — plain
+    sweeps there fall back to the screenless bounded path."""
+    from ..functions.hashing import hash64
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in row_schema.fields
+        if not isinstance(f.dataType, _INTEGRAL + (T.StringType,))
+    ]
+    if bad:
+        raise ValueError(
+            "md5_checksum_screen supports integral/string columns only "
+            f"(engine-portable string rendering); unsupported: {bad}"
+        )
+    spark_col = hash64(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(
+                    F.col(f.name).cast("string"), F.lit("\x01null")
+                )
+                for f in row_schema.fields
+            ],
+        )
+    )
+    parts = ", ".join(
+        f"COALESCE(CAST(\"{f.name}\" AS VARCHAR), CHR(1) || 'null')"
+        for f in row_schema.fields
+    )
+    canon = f"CONCAT_WS(CHR(31), {parts})"
+    if dialect == "ansi":
+        remote = (
+            f"CAST(CONCAT('0x', SUBSTR(md5({canon}), 1, 15)) AS BIGINT)"
+        )
+    elif dialect == "postgres":
+        remote = f"('x' || SUBSTR(md5({canon}), 1, 15))::bit(60)::bigint"
+    else:
+        raise ValueError(f"unknown dialect {dialect!r}")
+    return spark_col, remote
+
+
 class SnapshotDiffDeleteSweeper(_BucketedSweeper):
     """Delete capture for PLAIN tables — no outbox, no _op/_version
     audit trail (VERDICT r5 #7): the reference's PeerDB sees hard
@@ -554,10 +620,12 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
     instead of the table; only MISMATCHED buckets pay the row fetch
     and diff. Without it, every bucket pays its bounded row fetch —
     the universal fallback (Derby has no md5), still bucket-bounded
-    in state, O(table) in transfer. The caller owns the pair's
-    equivalence; `last_stats` exposes per-sweep screen/mismatch
-    counts so a drifting pair is visible (a screen that misses a
-    change skips the bucket — equivalence is load-bearing).
+    in state, O(table) in transfer. md5_checksum_screen() builds a
+    tested pair for md5-capable dialects; a hand-rolled pair's
+    equivalence is the caller's (a screen that misses a change skips
+    the bucket — equivalence is load-bearing), and `last_stats`
+    exposes per-sweep screen/mismatch counts so a drifting pair is
+    visible.
 
     Race contract (same honest snapshot-diff semantics as the delete
     sweep): a row updated mid-sweep after its bucket was diffed is

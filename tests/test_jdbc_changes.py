@@ -811,3 +811,54 @@ def test_sweep_then_reinsert_then_poll_converges(spark, derby_url, tmp_path):
     assert sorted(
         int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{spool}/_batch=*")
     ) == [0, 1, 2]
+
+
+def test_md5_checksum_screen_matches_remote_sql(spark):
+    """The provided screen pair (r8): the Spark checksum column and
+    the generated remote SQL agree value-for-value on the same rows —
+    nulls, empty strings, and separator bytes included — evaluated
+    here on DuckDB (the md5-capable stand-in for a remote engine).
+    Unsupported column types raise instead of shipping a screen that
+    mismatches every bucket."""
+    import duckdb
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        md5_checksum_screen,
+    )
+
+    rows = [
+        (1, "a"),
+        (2, None),
+        (3, "x\x1fy"),  # a value containing the separator itself
+        (None, "q"),
+        (4, ""),
+        (5, "\x01null"),  # a value colliding with the null marker text
+    ]
+    df = spark.createDataFrame(rows, ROW_SCHEMA)
+    spark_cs, remote_sql = md5_checksum_screen(ROW_SCHEMA)
+    got = {
+        (r["entity_id"], r["val"]): int(r["cs"])
+        for r in df.select("*", spark_cs.alias("cs")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t ("entity_id" BIGINT, "val" VARCHAR)')
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (r[0], r[1]): int(r[2])
+        for r in con.execute(
+            f'SELECT "entity_id", "val", {remote_sql} FROM t'
+        ).fetchall()
+    }
+    assert got == want
+    # the postgres variant shares the canonical form; only the
+    # hex->bigint idiom differs
+    _, pg_sql = md5_checksum_screen(ROW_SCHEMA, dialect="postgres")
+    assert "::bit(60)::bigint" in pg_sql
+
+    with pytest.raises(ValueError, match="unsupported"):
+        md5_checksum_screen(
+            T.StructType([T.StructField("x", T.DoubleType())])
+        )
+    with pytest.raises(ValueError, match="dialect"):
+        md5_checksum_screen(ROW_SCHEMA, dialect="oracle")
