@@ -718,9 +718,15 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
         )
         # nested derived table: several dialects (Derby included) only
         # accept column references in GROUP BY, so the bucket/checksum
-        # expressions are named in the inner query
+        # expressions are named in the inner query. The checksum SUM
+        # runs in DECIMAL on BOTH engines: 60-bit row checksums
+        # overflow BIGINT at ~16 rows/bucket, where Spark would wrap
+        # silently while the remote raises or promotes to numeric —
+        # either way every bucket would falsely mismatch. DECIMAL(31)
+        # is Derby's max precision and exact to ~8e12 rows/bucket.
         sub = (
-            f"(SELECT b, COUNT(*) AS cnt, SUM(rcs) AS cs FROM "
+            f"(SELECT b, COUNT(*) AS cnt, "
+            f"SUM(CAST(rcs AS DECIMAL(31, 0))) AS cs FROM "
             f"(SELECT {bucket_sql} AS b, {remote_cs} AS rcs "
             f"FROM {self.table}) AS rows_cs GROUP BY b) AS cs_screen"
         )
@@ -732,7 +738,7 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
             .select(
                 F.col("b").cast("long").alias("b"),
                 F.col("cnt").cast("long").alias("cnt"),
-                F.col("cs").cast("long").alias("cs"),
+                F.col("cs").cast("decimal(38,0)").alias("cs"),
             )
             .collect()
         }
@@ -748,12 +754,15 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
         local = {
             int(r["b"]): (int(r["cnt"]), int(r["cs"]))
             for r in target.select(
-                b_col.alias("b"), spark_cs.alias("_cs")
+                b_col.alias("b"),
+                spark_cs.cast("decimal(31,0)").alias("_cs"),
             )
             .groupBy("b")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.coalesce(F.sum("_cs"), F.lit(0)).alias("cs"),
+                F.coalesce(
+                    F.sum("_cs"), F.lit(0).cast("decimal(31,0)")
+                ).alias("cs"),
             )
             .collect()
         }

@@ -625,6 +625,58 @@ def test_update_sweep_remote_screen_prunes_buckets(
     assert sweeper.last_stats["mismatched"] == []
 
 
+def test_remote_screen_survives_bigint_sum_overflow(
+    spark, derby_url, tmp_path
+):
+    """Checksums are 60-bit, so a bucket's SUM overflows BIGINT at
+    ~16 rows — Spark would wrap silently while the remote raises
+    (Derby) or promotes to numeric that a long cast nulls out
+    (Postgres), falsely mismatching every bucket at scale. The screen
+    therefore sums in DECIMAL on both engines; this pins it with
+    2^59-magnitude screen values and 16 rows/bucket (sum > Long.Max)."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+    )
+
+    big = 576460752303423488  # 2^59 — the md5 screen's magnitude
+    rows = [(i, f"v{i}") for i in range(1, 33)]
+    write_jdbc(
+        spark.createDataFrame(rows, ROW_SCHEMA), derby_url, "plain_ov"
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_ov"))
+
+    screen = (
+        (F.lit(big) + F.col("entity_id") * F.length("val")).cast("long"),
+        f'({big} + "entity_id" * LENGTH("val"))',
+    )
+    sweeper = ChecksumDiffUpdateSweeper(
+        url=derby_url,
+        table="plain_ov",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "ovspool"),
+        state_path=str(tmp_path / "ovstate.json"),
+        n_buckets=2,
+        remote_screen=screen,
+    )
+    # in sync: every bucket sum exceeds Long.Max yet none mismatch
+    assert sweeper.sweep_once(spark, mirror) == 0
+    assert sweeper.last_stats["buckets"] == 2
+    assert sweeper.last_stats["mismatched"] == []
+    # one in-place update is still isolated to its bucket
+    _exec_sql(
+        spark,
+        derby_url,
+        "UPDATE plain_ov SET \"val\" = 'XX' WHERE \"entity_id\" = 30",
+    )
+    assert sweeper.sweep_once(spark, mirror) == 1
+    assert len(sweeper.last_stats["mismatched"]) == 1
+    _drain(mirror, str(tmp_path / "ovspool"))
+    assert _state(mirror)[30] == "XX"
+
+
 COMPOSITE_SCHEMA = T.StructType(
     [
         T.StructField("entity_id", T.LongType()),
