@@ -293,13 +293,27 @@ def save_full_text_index(
 #       postings/... lengths/...  _COMMIT (marker file)
 # An insert stages its postings AND lengths hidden, writes the
 # _COMMIT marker, then moves the staged files into the live dirs and
-# derives stats last. Recovery (run by open/insert/delete/compact):
+# derives stats last. Recovery (run by the WRITER entry points
+# insert/delete/compact, or explicitly via text_index_recover):
 # stage without marker -> roll BACK (drop the stage — nothing was
 # visible); stage with marker -> roll FORWARD (finish the moves,
 # re-derive stats from lengths). Either way the batch is all-visible
 # or not-visible; the old append-in-place path could strand postings
 # without lengths/stats forever (ADVICE r7 medium — the docstring
 # claimed an atomicity the writes didn't have).
+#
+# Readers are SNAPSHOT-ISOLATED and NON-DESTRUCTIVE (r8 follow-up —
+# the first cut ran recovery inside open_text_index, so a mere reader
+# racing a live writer could delete its not-yet-committed stage, and
+# a reader racing the move window could see part of a batch): open
+# runs no recovery at all; instead every row carries its insertion
+# generation `_gen` and the 1-row stats table (written LAST in the
+# commit sequence) records the highest COMMITTED generation, so open
+# filters both frames to `_gen <= stats.gen`. A mid-move batch is
+# therefore invisible in full until its stats row lands, after which
+# it is visible in full — single-writer/multi-reader safe with no
+# locks. A batch stranded mid-move by a crash stays invisible (and
+# uncounted — consistent) until the next maintenance op replays it.
 
 _STAGE = ".insert_stage"
 _COMMIT = "_COMMIT"
@@ -405,19 +419,31 @@ def _apply_tombstones(
     )
 
 
+def text_index_recover(spark: SparkSession, path: str) -> None:
+    """Finish (marker present) or undo (no marker) a crashed insert —
+    idempotent, run automatically by every writer entry point
+    (insert/delete/compact); call it directly to surface a stranded
+    committed batch to readers without performing another write."""
+    _recover_insert(spark, path)
+
+
 def open_text_index(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
     """(postings, lengths, (n_docs, sum_dl)) for a persisted index
-    root — fresh frames each call, so inserts and deletes are
-    visible. Runs insert recovery first (see _recover_insert), then
-    composes the tombstone filter into both frames and corrects the
-    stored stats by the tombstoned docs' (count, dl) — BM25's N and
+    root — fresh frames each call, so committed inserts and deletes
+    are visible. READ-ONLY and snapshot-isolated (see the commit
+    protocol block above): rows are gated to `_gen <= stats.gen`, the
+    highest committed generation — a concurrent insert's mid-move
+    files are invisible until its stats row (written last) lands, and
+    a reader can never disturb a live writer's stage. Then the
+    tombstone filter composes into both frames and the stored stats
+    are corrected by the tombstoned docs' (count, dl) — BM25's N and
     avgdl track deletes without any rewrite."""
-    _recover_insert(spark, path)
-    n_docs, sum_dl, _gen = _read_stats(spark, path)
-    post = load_text_index(spark, f"{path}/postings")
-    lengths = spark.read.parquet(f"{path}/lengths")
+    n_docs, sum_dl, gen = _read_stats(spark, path)
+    gate = F.col("_gen") <= F.lit(int(gen))
+    post = load_text_index(spark, f"{path}/postings").filter(gate)
+    lengths = spark.read.parquet(f"{path}/lengths").filter(gate)
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         agg = tomb.agg(
@@ -458,11 +484,12 @@ def text_index_insert(
     lengths stage under a hidden dir, a _COMMIT marker makes the
     batch durable, and only then do the files move into the live
     layout (stats derived last). A crash at ANY point leaves the
-    index all-or-nothing after the recovery that open/insert run
-    automatically — never postings without lengths, and a retry
-    after a pre-commit crash cannot double-count. (Readers racing a
-    live mid-move insert may transiently see part of the batch;
-    crash-consistency, not snapshot isolation, is the contract.)
+    index all-or-nothing after the recovery that every writer entry
+    point runs automatically — never postings without lengths, and a
+    retry after a pre-commit crash cannot double-count. Readers are
+    snapshot-isolated throughout: open_text_index gates rows on the
+    committed generation in stats, so a mid-move batch is invisible
+    in full until the stats write commits it.
 
     Contract: new_docs' ids must not be LIVE in the index
     (re-inserting a live doc_id double-counts its postings — same

@@ -99,20 +99,25 @@ def _stage_crashed_insert(spark, root, batch, commit: bool):
 
 def test_insert_crash_before_commit_rolls_back(spark, tmp_path):
     """Kill before the _COMMIT marker: nothing of the batch is ever
-    visible, and the retried insert lands exactly once."""
+    visible. READERS do not disturb the stage (it could belong to a
+    LIVE writer — the r8 follow-up contract); the next WRITER rolls
+    it back and the retried insert lands exactly once."""
     root = str(tmp_path / "idx")
     save_full_text_index(_docs(spark), root)
     before_p, before_l, before_s = _index_state(spark, root)
 
     batch = _docs(spark, [(6, "eta theta alpha")])
     _stage_crashed_insert(spark, root, batch, commit=False)
-    # recovery (run by open) rolls the stage back
+    # a reader sees the old index AND leaves the stage alone — open
+    # must never delete what might be a live writer's staged batch
     assert _index_state(spark, root) == (before_p, before_l, before_s)
-    assert not os.path.exists(f"{root}/{_STAGE}")
+    assert os.path.exists(f"{root}/{_STAGE}")
 
-    # the retry is a clean first insert — no double count
+    # the retry (a writer) rolls the stale stage back, then lands the
+    # batch exactly once — no double count
     st = text_index_insert(spark, root, batch)
     assert st["n_new_docs"] == 1
+    assert not os.path.exists(f"{root}/{_STAGE}")
     p, ln, stats = _index_state(spark, root)
     assert (6, 3) in ln and stats == (before_s[0] + 1, before_s[1] + 3)
     assert {
@@ -124,16 +129,30 @@ def test_insert_crash_before_commit_rolls_back(spark, tmp_path):
 
 
 def test_insert_crash_after_commit_rolls_forward(spark, tmp_path):
-    """Kill after the marker with files partially moved: recovery
-    finishes the moves and re-derives stats — the batch is FULLY
-    visible and bm25/term/phrase agree on membership with a
-    from-scratch rebuild of the same corpus."""
+    """Kill after the marker with files partially moved: READERS see
+    exactly the pre-insert index (the generation gate hides the
+    partially-moved files — snapshot isolation, never a torn batch);
+    recovery (text_index_recover or any writer op) finishes the moves
+    and re-derives stats — then the batch is FULLY visible and
+    bm25/term/phrase agree on membership with a from-scratch rebuild
+    of the same corpus."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        text_index_recover,
+    )
+
     root = str(tmp_path / "idx")
     full = str(tmp_path / "full")
     save_full_text_index(_docs(spark), root)
+    before = _index_state(spark, root)
+    before_searches = _searches(spark, root)
     batch_rows = [(6, "eta theta alpha"), (7, "theta iota beta gamma")]
     _stage_crashed_insert(spark, root, _docs(spark, batch_rows), commit=True)
 
+    # reader mid-crash: NOT a torn batch — exactly the old snapshot
+    assert _index_state(spark, root) == before
+    assert _searches(spark, root) == before_searches
+
+    text_index_recover(spark, root)
     save_full_text_index(_docs(spark, DOCS + batch_rows), full)
     got_p, got_l, got_s = _index_state(spark, root)
     want_p, want_l, want_s = _index_state(spark, full)
