@@ -865,6 +865,73 @@ def test_sweep_then_reinsert_then_poll_converges(spark, derby_url, tmp_path):
     ) == [0, 1, 2]
 
 
+def test_full_iud_convergence_on_plain_table(spark, derby_url, tmp_path):
+    """The README's composition claim, pinned end-to-end: a PLAIN
+    table (no envelope) takes one INSERT + one in-place UPDATE + one
+    hard DELETE at the source; the update sweep and the delete sweep
+    share one state file and one spool, and a SINGLE drain converges
+    the mirror to the source exactly. The two sweeps' batches carry
+    the same max_version()+1 stamp but touch disjoint keys by
+    construction (a deleted key is absent from the source, so the
+    update sweep cannot emit it), so max-version-wins stays
+    deterministic."""
+    import glob
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+        SnapshotDiffDeleteSweeper,
+    )
+
+    rows = [(i, f"v{i}") for i in range(1, 9)]
+    write_jdbc(
+        spark.createDataFrame(rows, ROW_SCHEMA), derby_url, "plain_iud"
+    )
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="plain_iud"))
+    assert _state(mirror) == {i: f"v{i}" for i in range(1, 9)}
+
+    _exec_sql(
+        spark, derby_url, "INSERT INTO plain_iud VALUES (20, 'new')"
+    )
+    _exec_sql(
+        spark,
+        derby_url,
+        "UPDATE plain_iud SET \"val\" = 'CHANGED' WHERE \"entity_id\" = 3",
+    )
+    _exec_sql(
+        spark, derby_url, 'DELETE FROM plain_iud WHERE "entity_id" = 6'
+    )
+
+    spool = str(tmp_path / "iudspool")
+    state = str(tmp_path / "iudstate.json")
+    common = dict(
+        url=derby_url,
+        table="plain_iud",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=spool,
+        state_path=state,
+        n_buckets=4,
+    )
+    assert ChecksumDiffUpdateSweeper(**common).sweep_once(spark, mirror) == 2
+    assert SnapshotDiffDeleteSweeper(**common).sweep_once(spark, mirror) == 1
+    # interleaved slots from the shared counter, then ONE drain
+    assert sorted(
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{spool}/_batch=*")
+    ) == [0, 1]
+    _drain(mirror, spool)
+    want = {i: f"v{i}" for i in range(1, 9) if i not in (3, 6)}
+    want.update({3: "CHANGED", 20: "new"})
+    assert _state(mirror) == want
+    # converged: a second full cycle is a no-op (no new batch dirs)
+    assert ChecksumDiffUpdateSweeper(**common).sweep_once(spark, mirror) == 0
+    assert SnapshotDiffDeleteSweeper(**common).sweep_once(spark, mirror) == 0
+    assert sorted(
+        int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{spool}/_batch=*")
+    ) == [0, 1]
+
+
 def test_md5_checksum_screen_matches_remote_sql(spark):
     """The provided screen pair (r8): the Spark checksum column and
     the generated remote SQL agree value-for-value on the same rows —
