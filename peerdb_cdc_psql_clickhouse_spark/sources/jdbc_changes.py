@@ -692,6 +692,24 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
             ]
         )
 
+    def _bucket_case_sql(self, lo: int, span: int, n: int) -> str:
+        """Remote-side bucket assignment, portable across division
+        semantics: `/` is integral in Derby/Postgres but FLOAT in
+        DuckDB-style dialects — and there CAST(double AS INT) ROUNDS,
+        which would shift half of every bucket's keys one bucket over
+        and falsely mismatch every screen. FLOOR before the cast
+        truncates identically everywhere (the operands are clamped
+        non-negative first), matching Spark's exact `div` locally.
+        (Keys whose offset exceeds 2^53 could still off-by-one under
+        float division; that costs a spurious bucket re-diff, never a
+        missed change — mismatch is the safe direction.)"""
+        k = f'"{self.key}"'
+        return (
+            f"CASE WHEN {k} < {lo} THEN 0 "
+            f"WHEN ({k} - {lo}) / {span} >= {n} THEN {n - 1} "
+            f"ELSE CAST(FLOOR(({k} - {lo}) / {span}) AS INT) END"
+        )
+
     def _screen_mismatched(
         self,
         spark: SparkSession,
@@ -710,12 +728,7 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
         spark_cs, remote_cs = self.remote_screen
         span = self._span(lo, hi)
         n = len(ranges)
-        k = f'"{self.key}"'
-        bucket_sql = (
-            f"CASE WHEN {k} < {lo} THEN 0 "
-            f"WHEN ({k} - {lo}) / {span} >= {n} THEN {n - 1} "
-            f"ELSE CAST(({k} - {lo}) / {span} AS INT) END"
-        )
+        bucket_sql = self._bucket_case_sql(lo, span, n)
         # nested derived table: several dialects (Derby included) only
         # accept column references in GROUP BY, so the bucket/checksum
         # expressions are named in the inner query. The checksum SUM

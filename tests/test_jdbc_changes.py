@@ -932,6 +932,42 @@ def test_full_iud_convergence_on_plain_table(spark, derby_url, tmp_path):
     ) == [0, 1]
 
 
+def test_bucket_case_sql_truncates_on_float_division_dialects(spark):
+    """The screen's remote bucket expression must assign exactly like
+    Spark's integral `div` under EVERY dialect's division: Derby and
+    Postgres divide integers integrally, but DuckDB-style dialects
+    return a DOUBLE whose CAST(... AS INT) ROUNDS — without the FLOOR
+    wrap, key 5 of bucket-span 10 lands in bucket 1 remotely and
+    bucket 0 locally, falsely mismatching half of every bucket."""
+    import duckdb
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+    )
+
+    sweeper = ChecksumDiffUpdateSweeper(
+        url="jdbc:unused",
+        table="t",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir="unused",
+        state_path="unused",
+    )
+    lo, span, n = 0, 10, 4
+    sql = sweeper._bucket_case_sql(lo, span, n)
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t ("entity_id" BIGINT)')
+    keys = list(range(-3, 55))
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    got = dict(
+        con.execute(f'SELECT "entity_id", {sql} FROM t').fetchall()
+    )
+    want = {
+        k: 0 if k < lo else min(n - 1, (k - lo) // span) for k in keys
+    }
+    assert got == want
+
+
 def test_md5_checksum_screen_matches_remote_sql(spark):
     """The provided screen pair (r8): the Spark checksum column and
     the generated remote SQL agree value-for-value on the same rows —
