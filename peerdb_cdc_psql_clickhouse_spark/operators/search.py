@@ -372,8 +372,13 @@ def _recover_insert(spark: SparkSession, path: str) -> None:
         rel = src.split(prefix, 1)[1]
         dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
         fs.mkdirs(dest.getParent())
-        if not fs.exists(dest):
-            fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest)
+        if not fs.exists(dest) and not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(src), dest
+        ):
+            # fail LOUD: the stage + marker survive for the next
+            # recovery; silently continuing would delete the stage
+            # below and lose the unmoved files
+            raise IOError(f"index recovery rename failed: {src} -> {dest}")
     # stats derive from lengths (RAW, tombstone-corrections stay
     # open-time): the one write a crash can strand is re-derivable
     st = (
@@ -531,7 +536,10 @@ def text_index_insert(
         rel = src.split(prefix, 1)[1]
         dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
         fs.mkdirs(dest.getParent())
-        fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest)
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest):
+            # committed batch, moves incomplete: leave stage + marker
+            # for recovery rather than deleting them below
+            raise IOError(f"index insert rename failed: {src} -> {dest}")
     _write_stats(spark, path, n0 + n_new, s0 + s_new, gen)
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
     return {
