@@ -302,6 +302,19 @@ def save_full_text_index(
 # without lengths/stats forever (ADVICE r7 medium — the docstring
 # claimed an atomicity the writes didn't have).
 #
+# Compaction commits through the SAME staged-marker protocol (review
+# follow-up — the first cut wrote tombstone-corrected stats before
+# deleting the tombstones, so a crash between the two permanently
+# double-subtracted them): rewritten postings+lengths stage under
+# .compact_stage, _COMMIT makes the compact durable, then
+# _finish_compact retire-swaps the live dirs, drops the tombstones,
+# and RE-DERIVES stats from the rewritten lengths (never carries
+# corrected numbers) — idempotent from any crash point via
+# _recover_compact. Readers stay exact in every window: while the
+# tombstones exist, old stats − tombstone totals is correct over any
+# mix of swapped dirs; once they are gone, open detects the _COMMIT
+# marker and recomputes stats from the filtered lengths frame.
+#
 # Readers are SNAPSHOT-ISOLATED and NON-DESTRUCTIVE (r8 follow-up —
 # the first cut ran recovery inside open_text_index, so a mere reader
 # racing a live writer could delete its not-yet-committed stage, and
@@ -316,6 +329,7 @@ def save_full_text_index(
 # uncounted — consistent) until the next maintenance op replays it.
 
 _STAGE = ".insert_stage"
+_CSTAGE = ".compact_stage"
 _COMMIT = "_COMMIT"
 
 
@@ -353,6 +367,44 @@ def _staged_parquet_files(fs, jvm, stage: str) -> list[str]:
     return out
 
 
+def _move_staged_files(fs, jvm, stage: str, path: str) -> None:
+    """THE stage-to-live move loop, shared by the live insert commit
+    and crash recovery so the two protocols cannot drift (review
+    follow-up): move every staged parquet file to its live twin (same
+    relative path). Spark part-file names are unique, so a repeated
+    recovery skips already-moved files; a FAILED rename raises — the
+    stage + marker survive for the next recovery, where silently
+    continuing would let the caller delete the stage over lost
+    files."""
+    prefix = stage.rstrip("/") + "/"
+    for src in _staged_parquet_files(fs, jvm, stage):
+        rel = src.split(prefix, 1)[1]
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if not fs.exists(dest) and not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(src), dest
+        ):
+            raise IOError(f"staged index rename failed: {src} -> {dest}")
+
+
+def _stats_from_lengths(spark: SparkSession, path: str) -> None:
+    """Re-derive the stats row from the live lengths dir (RAW totals;
+    tombstone corrections stay open-time) — ground truth after any
+    roll-forward."""
+    st = (
+        _with_gen(spark.read.parquet(f"{path}/lengths"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("s"),
+            F.max("_gen").alias("g"),
+        )
+        .collect()[0]
+    )
+    _write_stats(
+        spark, path, int(st["n"]), int(st["s"] or 0), int(st["g"] or 0)
+    )
+
+
 def _recover_insert(spark: SparkSession, path: str) -> None:
     """Finish or undo a crashed text_index_insert (idempotent; cost
     when there is nothing to do: one fs.exists)."""
@@ -364,36 +416,20 @@ def _recover_insert(spark: SparkSession, path: str) -> None:
     if not committed:
         fs.delete(stage_p, True)  # roll back: batch was never visible
         return
-    # roll forward: move remaining staged files to their live twins
-    # (same relative path; Spark part-file names are unique, so a
-    # repeated recovery skips already-moved files)
-    prefix = stage.rstrip("/") + "/"
-    for src in _staged_parquet_files(fs, jvm, stage):
-        rel = src.split(prefix, 1)[1]
-        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        fs.mkdirs(dest.getParent())
-        if not fs.exists(dest) and not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(src), dest
-        ):
-            # fail LOUD: the stage + marker survive for the next
-            # recovery; silently continuing would delete the stage
-            # below and lose the unmoved files
-            raise IOError(f"index recovery rename failed: {src} -> {dest}")
-    # stats derive from lengths (RAW, tombstone-corrections stay
-    # open-time): the one write a crash can strand is re-derivable
-    st = (
-        spark.read.parquet(f"{path}/lengths")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("dl").alias("s"),
-            F.max("_gen").alias("g"),
-        )
-        .collect()[0]
-    )
-    _write_stats(
-        spark, path, int(st["n"]), int(st["s"] or 0), int(st["g"] or 0)
-    )
+    _move_staged_files(fs, jvm, stage, path)
+    _stats_from_lengths(spark, path)
     fs.delete(stage_p, True)
+
+
+def _with_gen(df: DataFrame) -> DataFrame:
+    """Normalize a pre-r8 frame (no `_gen` maintenance column) to
+    generation 0 — without this the generation gate and the tombstone
+    join would raise UNRESOLVED_COLUMN on an index persisted before
+    the delete lifecycle existed (the stats-side compat branch in
+    _read_stats would otherwise be dead code)."""
+    if "_gen" in df.columns:
+        return df
+    return df.withColumn("_gen", F.lit(0).cast("long"))
 
 
 def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
@@ -425,10 +461,12 @@ def _apply_tombstones(
 
 
 def text_index_recover(spark: SparkSession, path: str) -> None:
-    """Finish (marker present) or undo (no marker) a crashed insert —
-    idempotent, run automatically by every writer entry point
-    (insert/delete/compact); call it directly to surface a stranded
-    committed batch to readers without performing another write."""
+    """Finish (marker present) or undo (no marker) a crashed insert
+    or compact — idempotent, run automatically by every writer entry
+    point (insert/delete/compact); call it directly to surface a
+    stranded committed batch to readers without performing another
+    write."""
+    _recover_compact(spark, path)
     _recover_insert(spark, path)
 
 
@@ -447,18 +485,35 @@ def open_text_index(
     avgdl track deletes without any rewrite."""
     n_docs, sum_dl, gen = _read_stats(spark, path)
     gate = F.col("_gen") <= F.lit(int(gen))
-    post = load_text_index(spark, f"{path}/postings").filter(gate)
-    lengths = spark.read.parquet(f"{path}/lengths").filter(gate)
+    post = _with_gen(load_text_index(spark, f"{path}/postings")).filter(gate)
+    lengths = _with_gen(spark.read.parquet(f"{path}/lengths")).filter(gate)
     tomb = _read_tombstones(spark, path)
+    t_agg = None
     if tomb is not None:
-        agg = tomb.agg(
+        t_agg = tomb.agg(
             F.count("*").alias("n"), F.sum("dl").alias("s")
         ).collect()[0]
-        if int(agg["n"]) > 0:
+        if int(t_agg["n"]) > 0:
             post = _apply_tombstones(post, tomb)
             lengths = _apply_tombstones(lengths, tomb)
-            n_docs -= int(agg["n"])
-            sum_dl -= int(agg["s"] or 0)
+    fs, commit_p, _jvm = _hfs(spark, f"{path}/{_CSTAGE}/{_COMMIT}")
+    if fs.exists(commit_p):
+        # a COMMITTED compact is mid-roll-forward (crash or live):
+        # between its tombstone drop and its stats rewrite the stored
+        # stats still count the dropped docs — recompute exactly from
+        # the filtered lengths frame (rare path; one narrow scan).
+        # The frames above are correct in every such window: swapped
+        # dirs make the anti-join a no-op, unswapped dirs still need
+        # it, and the generation gate passes all surviving rows.
+        st = lengths.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("s")
+        ).collect()[0]
+        n_docs, sum_dl = int(st["n"]), int(st["s"] or 0)
+    elif t_agg is not None and int(t_agg["n"]) > 0:
+        # normal path: stored stats are raw totals; tombstone totals
+        # correct them in O(tombstones)
+        n_docs -= int(t_agg["n"])
+        sum_dl -= int(t_agg["s"] or 0)
     return post, lengths, (n_docs, sum_dl)
 
 
@@ -503,6 +558,7 @@ def text_index_insert(
     tombstone's up_to_gen, so the new rows are visible immediately.
 
     Returns {"n_new_docs", "new_tokens", "touched_buckets"}."""
+    _recover_compact(spark, path)
     _recover_insert(spark, path)
     n0, s0, gen0 = _read_stats(spark, path)
     gen = gen0 + 1
@@ -531,15 +587,8 @@ def text_index_insert(
 
     fs, _p, jvm = _hfs(spark, stage)
     fs.createNewFile(jvm.org.apache.hadoop.fs.Path(f"{stage}/{_COMMIT}"))
-    prefix = stage.rstrip("/") + "/"
-    for src in _staged_parquet_files(fs, jvm, stage):
-        rel = src.split(prefix, 1)[1]
-        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        fs.mkdirs(dest.getParent())
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(src), dest):
-            # committed batch, moves incomplete: leave stage + marker
-            # for recovery rather than deleting them below
-            raise IOError(f"index insert rename failed: {src} -> {dest}")
+    _move_staged_files(fs, jvm, stage, path)
+    # exact deltas, no re-derivation needed on the live path
     _write_stats(spark, path, n0 + n_new, s0 + s_new, gen)
     fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
     return {
@@ -564,6 +613,7 @@ def text_index_delete(
     Postings bytes are reclaimed by text_index_compact(); update =
     text_index_delete + text_index_insert (the re-insert's generation
     outranks the tombstone — no compaction needed for visibility)."""
+    _recover_compact(spark, path)
     _recover_insert(spark, path)
     if isinstance(doc_ids, DataFrame):
         ids = doc_ids.select(F.col(id_col).cast("long").alias(id_col))
@@ -574,7 +624,7 @@ def text_index_delete(
     # live view of lengths (tombstone-filtered) -> one marker per
     # still-live requested id, carrying the dl/gen of the version
     # being removed
-    lengths = spark.read.parquet(f"{path}/lengths")
+    lengths = _with_gen(spark.read.parquet(f"{path}/lengths"))
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         lengths = _apply_tombstones(lengths, tomb, id_col)
@@ -593,57 +643,88 @@ def text_index_delete(
     return int(n)
 
 
+def _finish_compact(spark: SparkSession, path: str, fs, jvm, stage) -> None:
+    """Roll a COMMITTED compact forward — idempotent, so both the
+    live compact and crash recovery drive the same code: swap each
+    live dir whose staged twin still exists (retire-rename through
+    the Hadoop FS API — the whole lifecycle works on any supported
+    store, not just the local filesystem), drop the tombstones,
+    re-derive stats from the rewritten lengths (ground truth), drop
+    the stage LAST. Every crash prefix leaves readers consistent:
+    until the tombstones vanish, old stats − tombstone totals is
+    exact over any mix of swapped/unswapped dirs (a rewritten dir
+    makes the anti-join a no-op, and the OLD stats still count the
+    dropped docs); from tombstone-drop to stage-drop, open's
+    mid-compact fallback recomputes stats from the filtered lengths
+    frame directly."""
+    P = jvm.org.apache.hadoop.fs.Path
+    for sub in ("postings", "lengths"):
+        staged = P(f"{stage}/{sub}")
+        if not fs.exists(staged):
+            continue  # already swapped by a previous attempt
+        live = P(f"{path}/{sub}")
+        retired = P(f"{path}/.{sub}_retired")
+        fs.delete(retired, True)
+        if fs.exists(live) and not fs.rename(live, retired):
+            raise IOError(f"compact retire rename failed: {live}")
+        if not fs.rename(staged, live):
+            raise IOError(f"compact swap rename failed: {staged} -> {live}")
+        fs.delete(retired, True)
+    fs.delete(P(f"{path}/tombstones"), True)
+    _stats_from_lengths(spark, path)
+    fs.delete(P(str(stage)), True)
+
+
+def _recover_compact(spark: SparkSession, path: str) -> None:
+    """Finish or undo a crashed text_index_compact (idempotent; cost
+    when there is nothing to do: one fs.exists). Same marker protocol
+    as inserts: stage without _COMMIT rolls back (the live index was
+    never touched), stage with _COMMIT rolls forward."""
+    stage = f"{path}/{_CSTAGE}"
+    fs, stage_p, jvm = _hfs(spark, stage)
+    if not fs.exists(stage_p):
+        return
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{stage}/{_COMMIT}")):
+        fs.delete(stage_p, True)
+        return
+    _finish_compact(spark, path, fs, jvm, stage)
+
+
 def text_index_compact(spark: SparkSession, path: str) -> dict:
     """Fold tombstones into the data: rewrite postings (keeping the
     bucket partitioning) and lengths without the deleted docs, then
-    clear the markers. Swaps each dir via retire-renames (the
-    Mirror.compact protocol) and deletes the tombstones LAST — a
-    crash at any midpoint leaves markers that still filter correctly
-    over whichever dirs were already rewritten (the anti-join is a
-    no-op on rewritten data), so re-running converges. Row _gen
-    values are preserved: a crashed compact must not resurrect a
-    tombstone's reach over a re-inserted doc.
+    clear the markers and re-derive stats. Crash-atomic via the same
+    staged-commit protocol as inserts (review follow-up — the first
+    cut wrote tombstone-corrected stats BEFORE deleting the
+    tombstones, so a crash between the two double-subtracted
+    n_docs/sum_dl forever, and its os.rename swaps were local-FS
+    only): the rewritten dirs stage under .compact_stage, a _COMMIT
+    marker makes the compact durable, and _finish_compact swaps
+    dirs / drops tombstones / re-derives stats from the rewritten
+    lengths — every step idempotent, resumed by _recover_compact
+    from any crash point, with stats always re-DERIVED (never
+    carried) so no arithmetic can drift. Row _gen values are
+    preserved: a crashed compact must not resurrect a tombstone's
+    reach over a re-inserted doc.
 
     Returns {"dropped_docs", "n_docs"}; a compacted index equals a
     from-scratch rebuild on the surviving docs (pytest-asserted)."""
-    import os
-    import shutil
-
+    _recover_compact(spark, path)
     _recover_insert(spark, path)
     tomb = _read_tombstones(spark, path)
+    dropped = int(tomb.count()) if tomb is not None else 0
     post, lengths, (n_docs, sum_dl) = open_text_index(spark, path)
-    dropped = 0
-    if tomb is not None:
-        dropped = tomb.count()
     if dropped == 0:
         return {"dropped_docs": 0, "n_docs": n_docs}
-
-    def swap(live: str, build_df, partition_by: str | None) -> None:
-        tmp, retired = f"{live}_compacting", f"{live}_retired"
-        w = build_df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(partition_by)
-        w.parquet(tmp)
-        shutil.rmtree(retired, ignore_errors=True)
-        os.rename(live, retired)
-        os.rename(tmp, live)
-        shutil.rmtree(retired, ignore_errors=True)
-
-    swap(f"{path}/postings", post, "bucket")
-    swap(f"{path}/lengths", lengths, None)
-    # (swap windows: between the two renames inside swap() the live
-    # dir is briefly absent — the Mirror.compact contract; between
-    # the two swaps the tombstones still filter the not-yet-rewritten
-    # dir, so readers stay consistent)
-    gen = int(
-        spark.read.parquet(f"{path}/lengths")
-        .agg(F.max("_gen").alias("g"))
-        .collect()[0]["g"]
-        or 0
+    stage = f"{path}/{_CSTAGE}"
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{stage}/postings"
     )
-    _write_stats(spark, path, n_docs, sum_dl, gen)
-    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
-    return {"dropped_docs": int(dropped), "n_docs": int(n_docs)}
+    lengths.write.mode("overwrite").parquet(f"{stage}/lengths")
+    fs, _sp, jvm = _hfs(spark, stage)
+    fs.createNewFile(jvm.org.apache.hadoop.fs.Path(f"{stage}/{_COMMIT}"))
+    _finish_compact(spark, path, fs, jvm, stage)
+    return {"dropped_docs": dropped, "n_docs": int(n_docs)}
 
 
 def text_index_apply_changes(

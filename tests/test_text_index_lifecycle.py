@@ -198,6 +198,84 @@ def test_compact_equals_rebuild_and_clears_markers(spark, tmp_path):
     assert text_index_compact(spark, root)["dropped_docs"] == 0
 
 
+def test_compact_crash_before_swaps_stays_consistent(spark, tmp_path):
+    """Compact killed right after its _COMMIT marker (staged rewrite
+    durable, live dirs/tombstones/stats untouched): readers see
+    exactly the survivors with EXACT stats (the mid-compact fallback),
+    and recovery finishes the swaps — never the double-subtracted
+    stats the first-cut ordering allowed."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _CSTAGE,
+        open_text_index as _open,
+        text_index_recover,
+    )
+
+    root = str(tmp_path / "idx")
+    without = str(tmp_path / "without")
+    save_full_text_index(_docs(spark), root)
+    save_full_text_index(
+        _docs(spark, [r for r in DOCS if r[0] not in (2, 4)]), without
+    )
+    text_index_delete(spark, root, [2, 4])
+
+    # construct the crash state: staged rewritten dirs + _COMMIT,
+    # live dirs / tombstones / stats exactly as the kill left them
+    post, lengths, _stats = _open(spark, root)
+    stage = f"{root}/{_CSTAGE}"
+    post.write.partitionBy("bucket").parquet(f"{stage}/postings")
+    lengths.write.parquet(f"{stage}/lengths")
+    open(f"{stage}/{_COMMIT}", "w").close()
+
+    assert _index_state(spark, root) == _index_state(spark, without)
+    assert _searches(spark, root) == _searches(spark, without)
+
+    text_index_recover(spark, root)
+    assert not os.path.exists(stage)
+    assert not os.path.exists(f"{root}/tombstones")
+    assert _index_state(spark, root) == _index_state(spark, without)
+    assert _searches(spark, root) == _searches(spark, without)
+    # recovery is idempotent and stats cannot drift on re-runs
+    text_index_recover(spark, root)
+    assert _index_state(spark, root) == _index_state(spark, without)
+
+
+def test_compact_crash_after_tombstone_drop_stays_consistent(
+    spark, tmp_path
+):
+    """The exact window the first-cut compact got wrong, from the
+    other side: dirs rewritten and tombstones gone but stats still
+    the OLD raw totals (kill between the drop and the stats rewrite).
+    With no tombstones left to correct by, readers must detect the
+    committed compact stage and recompute stats from the lengths
+    frame; recovery then rewrites stats and clears the stage."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _CSTAGE,
+        _write_stats,
+        text_index_recover,
+    )
+
+    root = str(tmp_path / "idx")
+    without = str(tmp_path / "without")
+    survivors = [r for r in DOCS if r[0] not in (2, 4)]
+    save_full_text_index(_docs(spark, survivors), root)
+    save_full_text_index(_docs(spark, survivors), without)
+    # stats as the crash left them: the OLD raw totals over all 5 docs
+    all_dl = sum(len(t.split()) for _i, t in DOCS)
+    _write_stats(spark, root, len(DOCS), all_dl, 0)
+    stage = f"{root}/{_CSTAGE}"
+    os.makedirs(stage, exist_ok=True)
+    open(f"{stage}/{_COMMIT}", "w").close()
+
+    # reader fallback: exact stats despite the stale stored row
+    assert _index_state(spark, root) == _index_state(spark, without)
+    assert _searches(spark, root) == _searches(spark, without)
+
+    text_index_recover(spark, root)
+    assert not os.path.exists(stage)
+    assert _index_state(spark, root) == _index_state(spark, without)
+    assert _searches(spark, root) == _searches(spark, without)
+
+
 def test_update_is_delete_plus_insert_no_compaction(spark, tmp_path):
     """An UPDATE needs no compaction for visibility: the re-insert's
     generation outranks the tombstone, so the new text is searchable
@@ -261,6 +339,38 @@ def test_lifecycle_index_equals_one_pass_build_on_corpus(spark):
     assert _TEXT_IDX_LIFECYCLE_CACHE[key] != _TEXT_IDX_CACHE[key]
     # the declared query itself returns rows from the lifecycle index
     assert x9b_search_ops(spark, SF_SMOKE).count() > 0
+
+
+def test_pre_r8_index_without_gen_column_still_opens(spark, tmp_path):
+    """Backward compat (review follow-up): an index persisted BEFORE
+    the delete lifecycle existed has no `_gen` column and no `gen`
+    stats field — the generation gate and the delete path must
+    normalize it to generation 0 instead of raising
+    UNRESOLVED_COLUMN (otherwise _read_stats' compat branch is dead
+    code)."""
+    root = str(tmp_path / "oldidx")
+    rebuilt = str(tmp_path / "rebuilt")
+    build_text_index(_docs(spark)).drop("_gen").write.partitionBy(
+        "bucket"
+    ).parquet(f"{root}/postings")
+    doc_lengths(_docs(spark)).drop("_gen").write.parquet(f"{root}/lengths")
+    total_dl = sum(len(t.split()) for _i, t in DOCS)
+    spark.createDataFrame(
+        [(len(DOCS), total_dl)], "n_docs long, sum_dl long"
+    ).write.parquet(f"{root}/stats")
+
+    save_full_text_index(_docs(spark), rebuilt)
+    assert _index_state(spark, root) == _index_state(spark, rebuilt)
+    assert _searches(spark, root) == _searches(spark, rebuilt)
+
+    # the delete lifecycle works on the old layout too
+    without = str(tmp_path / "without")
+    save_full_text_index(
+        _docs(spark, [r for r in DOCS if r[0] != 3]), without
+    )
+    assert text_index_delete(spark, root, [3]) == 1
+    assert _index_state(spark, root) == _index_state(spark, without)
+    assert _searches(spark, root) == _searches(spark, without)
 
 
 def test_change_feed_maintains_index(spark, tmp_path):
