@@ -12,6 +12,7 @@ serialization.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -887,9 +888,12 @@ def main() -> None:
         # one dispersion scalar: p90 over queries of (max-min)/median —
         # the round-over-round reader's noise yardstick (full per-query
         # spreads in BENCH_DETAIL)
+        # nearest-rank p90: ceil(0.9*n)-th smallest (int(0.9*n)-1
+        # sat one rank LOW for most n, understating the noise
+        # yardstick regressions are judged against)
         "rel_spread_p90": (
             sorted(spreads.values())[
-                max(0, int(0.9 * len(spreads)) - 1)
+                min(len(spreads), math.ceil(0.9 * len(spreads))) - 1
             ]
             if spreads
             else None

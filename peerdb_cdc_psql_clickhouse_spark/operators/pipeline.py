@@ -779,18 +779,34 @@ def clean_corpus(
         else:
             # ADVICE r7: a benchmark frame built in memory
             # canonicalizes to a LocalRelation whose plan string
-            # omits the ROW DATA (and inputFiles() is empty) — a
-            # plan-only token would let a swapped benchmark set (same
-            # schema) resume with the stale decontaminated stage.
-            # File-backed frames keep the cheap plan fingerprint (the
-            # input paths ARE in the plan); data-carrying plans hash
+            # omits the ROW DATA — a plan-only token would let a
+            # swapped benchmark set (same schema) resume with the
+            # stale decontaminated stage. Purely file-backed frames
+            # keep the cheap plan fingerprint (the input paths ARE in
+            # the plan); any plan CONTAINING a LocalRelation leaf
+            # (fully in-memory, inputFiles() empty — or MIXED, e.g. a
+            # parquet benchmark unioned with an in-memory one, where
+            # inputFiles() is non-empty yet the in-memory half is
+            # still invisible to the plan string) additionally hashes
             # the collected rows — benchmark sets are small by the
             # contamination screen's own contract (they broadcast).
             try:
                 _files = decontaminate.inputFiles()
             except Exception:  # noqa: BLE001 - treat as data-carrying
                 _files = []
-            if _files:
+            _plan_str = (
+                decontaminate._jdf.queryExecution()
+                .analyzed()
+                .toString()
+            )
+            # data-carrying leaves: createDataFrame renders as
+            # LocalRelation (small literal) OR LogicalRDD/ExistingRDD
+            # (Arrow path) — neither prints its row data
+            _opaque = any(
+                leaf in _plan_str
+                for leaf in ("LocalRelation", "LogicalRDD", "ExistingRDD")
+            )
+            if _files and not _opaque:
                 _deconta_token = "df:" + _plan_fingerprint(decontaminate)
             else:
                 import hashlib as _hl
@@ -800,7 +816,11 @@ def clean_corpus(
                 )
                 _deconta_token = "dfrows:" + _hl.md5(
                     "\n".join(
-                        [decontaminate.schema.simpleString(), *_rows]
+                        [
+                            _plan_fingerprint(decontaminate),
+                            decontaminate.schema.simpleString(),
+                            *_rows,
+                        ]
                     ).encode()
                 ).hexdigest()
 

@@ -435,7 +435,7 @@ def md5_checksum_screen(
     dialect='ansi' (DuckDB and engines with CAST-hex-literal support)
     or 'postgres' (bit(60) hex cast idiom). Derby has no md5 — plain
     sweeps there fall back to the screenless bounded path."""
-    from ..functions.hashing import hash64
+    from ..functions.hashing import hash64, hash64_sql
 
     bad = [
         f"{f.name}: {f.dataType.simpleString()}"
@@ -464,9 +464,10 @@ def md5_checksum_screen(
     )
     canon = f"CONCAT_WS(CHR(31), {parts})"
     if dialect == "ansi":
-        remote = (
-            f"CAST(CONCAT('0x', SUBSTR(md5({canon}), 1, 15)) AS BIGINT)"
-        )
+        # THE portable-hash idiom, not a re-spelled copy — hash64 /
+        # hash64_sql / python_hash64 are kept in one module so the
+        # Spark column and the remote SQL cannot drift apart silently
+        remote = hash64_sql(canon)
     elif dialect == "postgres":
         remote = f"('x' || SUBSTR(md5({canon}), 1, 15))::bit(60)::bigint"
     else:
@@ -535,20 +536,26 @@ class SnapshotDiffDeleteSweeper(_BucketedSweeper):
         bounds = self._bounds(target_keys)
         if bounds is None:
             return self._empty_keys(spark)
+        lo, hi = bounds
         out = None
-        for b_lo, b_hi in self._bucket_ranges(*bounds):
-            # target keys never leave [lo, hi], so closed edges are
-            # fine on the target side; the remote side reuses the
-            # same closed range (keys outside the target span cannot
-            # produce deletes — they are not in the target)
-            t_pred = self._range_pred(F.col(self.key), b_lo, b_hi)
+        for b_lo, b_hi in self._bucket_ranges(lo, hi):
+            # _bucket_ranges opens the edge buckets (the update sweep
+            # needs source keys OUTSIDE the target span to be
+            # diffable as missed inserts), but a key outside [lo, hi]
+            # cannot produce a DELETE — it is not in the target — so
+            # THIS sweep clamps both sides back to the closed range:
+            # the remote edge-bucket scan stays O(keys/bucket) even
+            # when the source has run far ahead of the mirror
+            c_lo = lo if b_lo is None else b_lo
+            c_hi = hi if b_hi is None else b_hi
+            t_pred = self._range_pred(F.col(self.key), c_lo, c_hi)
             t = (
                 target_keys.filter(t_pred)
                 if t_pred is not None
                 else target_keys
             )
             gone = t.join(
-                self._remote_bucket_df(spark, b_lo, b_hi),
+                self._remote_bucket_df(spark, c_lo, c_hi),
                 self.key_cols,
                 "left_anti",
             )

@@ -351,6 +351,67 @@ def test_deconta_fingerprint_sees_inmemory_benchmark_swap(
     ), "benchmark swap must invalidate the decontaminated stage"
 
 
+def test_deconta_fingerprint_sees_mixed_plan_inmemory_swap(
+    spark, tmp_path
+):
+    """Review follow-up on the ADVICE r7 fix: a benchmark frame that
+    UNIONS a parquet-backed set with an in-memory one has non-empty
+    inputFiles(), but its LocalRelation half is still invisible to
+    the plan string — the fingerprint must hash rows whenever the
+    plan CONTAINS a LocalRelation leaf, not only when it is fully
+    in-memory."""
+    import time
+
+    sd = str(tmp_path / "stages")
+    phrase_a = "what is the capital of assyria and its rivers"
+    phrase_b = "name the airspeed velocity of an unladen swallow"
+    phrase_c = "what do you mean an african or european swallow"
+    docs = _corpus(spark).unionByName(
+        _docs(
+            spark,
+            [
+                (6, f"padding {phrase_a} more padding"),
+                (7, f"filler {phrase_b} more filler"),
+                (8, f"prefix {phrase_c} suffix"),
+            ],
+        )
+    )
+    file_bench = str(tmp_path / "bench_file")
+    spark.createDataFrame([(phrase_a,)], "text string").write.parquet(
+        file_bench
+    )
+
+    def bench(phrase):
+        return spark.read.parquet(file_bench).unionByName(
+            spark.createDataFrame([(phrase,)], "text string")
+        )
+
+    out_b = {
+        r["doc_id"]
+        for r in clean_corpus(
+            docs, stage_dir=sd, decontaminate=bench(phrase_b)
+        ).collect()
+    }
+    assert out_b == {1, 3, 4, 5, 8}  # 6 (file half) + 7 (memory half)
+    before = _stage_mtimes(sd)
+
+    # swap ONLY the in-memory half -> must rebuild, now dropping 8
+    time.sleep(1.1)
+    out_c = {
+        r["doc_id"]
+        for r in clean_corpus(
+            docs, stage_dir=sd, decontaminate=bench(phrase_c)
+        ).collect()
+    }
+    assert out_c == {1, 3, 4, 5, 7}
+    after = _stage_mtimes(sd)
+    assert any(
+        after[f] != before.get(f)
+        for f in after
+        if "/decontaminated/" in f and f.endswith("_SUCCESS")
+    ), "in-memory half swap must invalidate the decontaminated stage"
+
+
 def test_fingerprint_distinguishes_hashlike_data_literals(spark):
     """ADVICE r5: the id/address normalizations are anchored to the
     plan-printer contexts (`name#N`, ` at 0xADDR`), so two recipes
