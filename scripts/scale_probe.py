@@ -420,6 +420,67 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             res["text_index_insert_500"] = (
                 f"ERR {type(e).__name__}: {str(e)[:160]}"
             )
+        # r9 (VERDICT r8 #4) — the REST of the maintenance lifecycle.
+        # delete is O(requested ids) and apply_changes is O(batch):
+        # both walls should stay ~flat across the decades like the
+        # insert's. compact is the one honest O(corpus) rewrite —
+        # published as such; its scheduling policy is tombstone
+        # FRACTION (~0.2), see text_index_compact's docstring.
+        from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+            text_index_apply_changes,
+            text_index_compact,
+            text_index_delete,
+        )
+
+        try:
+            # half of the 500 just-inserted ids — a constant-size set
+            del_ids = [900_000_000 + i for i in range(0, 500, 2)]
+            t0 = time.perf_counter()
+            n_del = text_index_delete(spark, f"{tmp}/tidx", del_ids)
+            res["text_index_delete_250"] = round(
+                time.perf_counter() - t0, 2
+            )
+            res["text_index_delete_250_n"] = n_del
+        except Exception as e:
+            res["text_index_delete_250"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
+        try:
+            # a constant 500-event CDC batch from the 1x source:
+            # 250 upserts re-writing the tombstoned ids (the
+            # generation-ranked update path) + 250 deletes
+            env = (
+                load_table(spark, SF_DIR, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < 500)
+                .select(
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("upsert"))
+                    .otherwise(F.lit("delete"))
+                    .alias("_op"),
+                    (F.col("doc_id") + 1).cast("long").alias("_version"),
+                    F.current_timestamp().alias("_ts"),
+                    (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                    "text",
+                )
+            )
+            t0 = time.perf_counter()
+            text_index_apply_changes(spark, f"{tmp}/tidx", env)
+            res["text_index_apply_changes_500"] = round(
+                time.perf_counter() - t0, 2
+            )
+        except Exception as e:
+            res["text_index_apply_changes_500"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
+        try:
+            t0 = time.perf_counter()
+            cst = text_index_compact(spark, f"{tmp}/tidx")
+            res["text_index_compact"] = round(time.perf_counter() - t0, 2)
+            res["text_index_compact_dropped"] = cst["dropped_docs"]
+        except Exception as e:
+            res["text_index_compact"] = (
+                f"ERR {type(e).__name__}: {str(e)[:160]}"
+            )
         # reopen in its own try: a LOAD failure must not overwrite the
         # recorded build timing (review r5 pass 2)
         try:

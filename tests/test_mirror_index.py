@@ -1,0 +1,163 @@
+"""Live composition: poller -> spool -> Mirror streaming apply ->
+text-index maintenance, end to end (VERDICT r8 #5 — the r8 suite fed
+text_index_apply_changes a hand-built envelope batch; the docstring
+promised Mirror.start's foreachBatch as the deployment shape, so this
+pins exactly that shape: a Derby outbox tailed by JdbcChangePoller,
+drained by Mirror.start(on_batch=...), with search membership equal
+to the mirrored table after a mixed insert/update/delete run).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+    open_text_index,
+    save_full_text_index,
+    term_search,
+    text_index_apply_changes,
+)
+from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import write_jdbc
+from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+    JdbcChangePoller,
+)
+from peerdb_cdc_psql_clickhouse_spark.streaming.mirror import Mirror
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+@pytest.fixture()
+def derby_url(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/docsdb;create=true"
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+        )
+    except Exception:
+        pytest.skip("Derby embedded JDBC driver not on the classpath")
+    return url
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "_op string, _version long, _ts timestamp, doc_id long, text string",
+    )
+
+
+def _index_view(spark, root):
+    """Search-observable state: postings content (sans maintenance
+    columns) + lengths membership + BM25 stats."""
+    post, lengths, stats = open_text_index(spark, root)
+    p = {
+        (r.term, r.doc_id, tuple(r.positions), r.tf, r.dl, r.bucket)
+        for r in post.collect()
+    }
+    ln = {(r.doc_id, r.dl) for r in lengths.collect()}
+    return p, ln, stats
+
+
+def test_mirror_stream_maintains_text_index(spark, derby_url, tmp_path):
+    """snapshot + index build, then TWO streamed catchup cycles of a
+    mixed I/U/D outbox through Mirror.start(on_batch=index apply):
+    after each drain the index's observable state equals a fresh
+    one-pass build of the mirrored table itself — search membership
+    converges with the mirror batch for batch, through the REAL
+    checkpointed streaming path, not a hand-fed envelope frame."""
+    root = str(tmp_path / "idx")
+    spool = str(tmp_path / "spool")
+
+    # t0 deployment: snapshot the initial corpus into the mirror and
+    # one-pass build the index from the same snapshot
+    initial = [(1, "alpha beta"), (2, "beta gamma delta"), (3, "delta")]
+    init_df = spark.createDataFrame(initial, DOC_SCHEMA)
+    mirror = Mirror(
+        spark,
+        name="docs_mirror",
+        schema="public",
+        table="docs_t",
+        key_cols=["doc_id"],
+        row_schema=DOC_SCHEMA,
+        target_root=str(tmp_path / "wh"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    mirror.snapshot(init_df)
+    save_full_text_index(init_df, root)
+
+    poller = JdbcChangePoller(
+        url=derby_url,
+        table="doc_outbox",
+        row_schema=DOC_SCHEMA,
+        spool_dir=spool,
+        cursor_path=str(tmp_path / "cursor.json"),
+    )
+
+    def on_batch(batch, batch_id):
+        text_index_apply_changes(spark, root, batch)
+
+    def drain():
+        q = mirror.start(spool, on_batch=on_batch)
+        q.awaitTermination(120)
+
+    def assert_converged():
+        mirrored = mirror.read_target().select("doc_id", "text")
+        rebuilt = str(tmp_path / f"rebuilt_{mirror.max_version()}")
+        save_full_text_index(mirrored, rebuilt)
+        assert _index_view(spark, root) == _index_view(spark, rebuilt)
+        # and the index answers a live query over the mirrored docs
+        post, _l, _s = open_text_index(spark, root)
+        got = {
+            r.doc_id for r in term_search(post, ["beta"], "or").collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in mirrored.collect()
+            if "beta" in (r["text"] or "").split()
+        }
+        assert got == want
+
+    # cycle 1: insert doc 4, update doc 2
+    write_jdbc(
+        _events(
+            spark,
+            [
+                ("insert", 1, T0, 4, "epsilon beta"),
+                ("update", 2, T0, 2, "gamma rewritten"),
+            ],
+        ),
+        derby_url,
+        "doc_outbox",
+        mode="overwrite",
+    )
+    assert poller.pump(spark) == 2
+    drain()
+    assert_converged()
+
+    # cycle 2: delete doc 1, re-update doc 4, insert doc 5 — a second
+    # stream start against the SAME checkpoint applies only new spool
+    # batches, and the index hook rides each micro-batch
+    write_jdbc(
+        _events(
+            spark,
+            [
+                ("delete", 3, T0, 1, None),
+                ("update", 4, T0, 4, "epsilon zeta"),
+                ("insert", 5, T0, 5, "alpha zeta"),
+            ],
+        ),
+        derby_url,
+        "doc_outbox",
+    )
+    assert poller.pump(spark) == 3
+    drain()
+    assert_converged()

@@ -1,12 +1,15 @@
-"""Persisted text-index lifecycle (r8): crash-atomic inserts,
-tombstone deletes, compaction, update-as-delete+insert, and
-change-feed-driven maintenance.
+"""Persisted text-index lifecycle (r8/r9): crash-atomic inserts,
+tombstone deletes, compaction, update-as-delete+insert, change-feed
+maintenance, manifest snapshot isolation, and the writer lease.
 
 The crash tests drive the REAL recovery path by constructing the
 exact on-disk states a kill leaves behind (stage without/with the
-_COMMIT marker, partially-moved files) and asserting the index is
-all-or-nothing afterwards — the contract ADVICE r7 found the old
-append-in-place implementation claimed but did not have.
+_COMMIT marker, partially-moved files, orphan generation dirs,
+unlisted tombstone batches) and asserting the index is all-or-nothing
+afterwards. The r9 manifest protocol closed the four ADVICE r8
+windows: stats overwritten in place, the stats/tombstone/marker
+TOCTOU, the live-dir gap mid-compact-swap, and torn tombstone
+appends — each has a test below that fails on the r8 design.
 """
 
 from __future__ import annotations
@@ -182,6 +185,10 @@ def test_delete_then_search_excludes_doc_exactly(spark, tmp_path):
 
 
 def test_compact_equals_rebuild_and_clears_markers(spark, tmp_path):
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _read_manifest,
+    )
+
     root = str(tmp_path / "idx")
     without = str(tmp_path / "without")
     save_full_text_index(_docs(spark), root)
@@ -191,21 +198,25 @@ def test_compact_equals_rebuild_and_clears_markers(spark, tmp_path):
     text_index_delete(spark, root, [2, 4])
     st = text_index_compact(spark, root)
     assert st == {"dropped_docs": 2, "n_docs": 3}
-    assert not os.path.exists(f"{root}/tombstones")
+    m = _read_manifest(spark, root)
+    assert m["tombstones"] == []
+    # the retired batch dirs fall out of retention at the NEXT prune;
+    # the compacted dirs are the manifest's generation dirs
+    assert m["postings"].startswith("postings_g")
     assert _index_state(spark, root) == _index_state(spark, without)
     assert _searches(spark, root) == _searches(spark, without)
     # nothing tombstoned: compact is a no-op
     assert text_index_compact(spark, root)["dropped_docs"] == 0
 
 
-def test_compact_crash_before_swaps_stays_consistent(spark, tmp_path):
-    """Compact killed right after its _COMMIT marker (staged rewrite
-    durable, live dirs/tombstones/stats untouched): readers see
-    exactly the survivors with EXACT stats (the mid-compact fallback),
-    and recovery finishes the swaps — never the double-subtracted
-    stats the first-cut ordering allowed."""
+def test_compact_crash_before_commit_leaves_old_snapshot(spark, tmp_path):
+    """Compact killed after writing its new generation dirs but BEFORE
+    the manifest commit: the orphan dirs are invisible (no record
+    names them), readers see exactly the tombstone-filtered old
+    snapshot, recovery prunes the orphans, and a re-run compact
+    converges — no stats arithmetic exists to drift."""
     from peerdb_cdc_psql_clickhouse_spark.operators.search import (
-        _CSTAGE,
+        _read_manifest,
         open_text_index as _open,
         text_index_recover,
     )
@@ -218,62 +229,149 @@ def test_compact_crash_before_swaps_stays_consistent(spark, tmp_path):
     )
     text_index_delete(spark, root, [2, 4])
 
-    # construct the crash state: staged rewritten dirs + _COMMIT,
-    # live dirs / tombstones / stats exactly as the kill left them
+    # construct the crash state: the rewritten generation dirs exist
+    # at the version the crashed compact would have committed
     post, lengths, _stats = _open(spark, root)
-    stage = f"{root}/{_CSTAGE}"
-    post.write.partitionBy("bucket").parquet(f"{stage}/postings")
-    lengths.write.parquet(f"{stage}/lengths")
-    open(f"{stage}/{_COMMIT}", "w").close()
+    newv = _read_manifest(spark, root)["v"] + 1
+    post.write.partitionBy("bucket").parquet(f"{root}/postings_g{newv}")
+    lengths.write.parquet(f"{root}/lengths_g{newv}")
 
     assert _index_state(spark, root) == _index_state(spark, without)
     assert _searches(spark, root) == _searches(spark, without)
 
     text_index_recover(spark, root)
-    assert not os.path.exists(stage)
-    assert not os.path.exists(f"{root}/tombstones")
+    assert not os.path.exists(f"{root}/postings_g{newv}")
+    assert _index_state(spark, root) == _index_state(spark, without)
+
+    # the re-run compact lands cleanly over the pruned orphans
+    st = text_index_compact(spark, root)
+    assert st["dropped_docs"] == 2
+    assert _read_manifest(spark, root)["tombstones"] == []
     assert _index_state(spark, root) == _index_state(spark, without)
     assert _searches(spark, root) == _searches(spark, without)
-    # recovery is idempotent and stats cannot drift on re-runs
-    text_index_recover(spark, root)
-    assert _index_state(spark, root) == _index_state(spark, without)
 
 
-def test_compact_crash_after_tombstone_drop_stays_consistent(
-    spark, tmp_path
-):
-    """The exact window the first-cut compact got wrong, from the
-    other side: dirs rewritten and tombstones gone but stats still
-    the OLD raw totals (kill between the drop and the stats rewrite).
-    With no tombstones left to correct by, readers must detect the
-    committed compact stage and recompute stats from the lengths
-    frame; recovery then rewrites stats and clears the stage."""
+def test_reader_survives_live_compact(spark, tmp_path):
+    """ADVICE r8: the old retire-swap left the live postings dir
+    absent between two renames, so a reader racing a compact errored
+    on read.parquet. With the manifest flip, a reader that opened
+    BEFORE the compact keeps resolving its old dirs (retention keeps
+    the previous manifest's dirs through one compaction) — its lazy
+    frames still collect correct results AFTER the compact finishes."""
+    root = str(tmp_path / "idx")
+    without = str(tmp_path / "without")
+    save_full_text_index(_docs(spark), root)
+    save_full_text_index(
+        _docs(spark, [r for r in DOCS if r[0] not in (2, 4)]), without
+    )
+    text_index_delete(spark, root, [2, 4])
+
+    pre_post, pre_lengths, pre_stats = open_text_index(spark, root)
+    st = text_index_compact(spark, root)
+    assert st["dropped_docs"] == 2
+
+    # the pre-compact reader's frames evaluate AFTER the flip
+    got_p = {
+        (r.term, r.doc_id, tuple(r.positions), r.tf, r.dl, r.bucket)
+        for r in pre_post.collect()
+    }
+    want_p, want_l, want_s = _index_state(spark, without)
+    assert got_p == want_p
+    assert {(r.doc_id, r.dl) for r in pre_lengths.collect()} == want_l
+    assert pre_stats == want_s
+    # and a fresh open sees the compacted snapshot
+    assert _index_state(spark, root) == (want_p, want_l, want_s)
+
+
+def test_torn_tombstone_batch_is_invisible(spark, tmp_path):
+    """ADVICE r8: tombstones used to commit via a plain multi-file
+    append, so a reader racing a delete could observe a torn batch.
+    Now a batch is visible IFF the manifest lists it: an on-disk batch
+    dir without a manifest record (a delete killed between the batch
+    write and the commit) changes nothing a reader can see, and
+    recovery prunes it."""
     from peerdb_cdc_psql_clickhouse_spark.operators.search import (
-        _CSTAGE,
-        _write_stats,
+        _TOMB_DIR,
         text_index_recover,
     )
 
     root = str(tmp_path / "idx")
-    without = str(tmp_path / "without")
-    survivors = [r for r in DOCS if r[0] not in (2, 4)]
-    save_full_text_index(_docs(spark, survivors), root)
-    save_full_text_index(_docs(spark, survivors), without)
-    # stats as the crash left them: the OLD raw totals over all 5 docs
-    all_dl = sum(len(t.split()) for _i, t in DOCS)
-    _write_stats(spark, root, len(DOCS), all_dl, 0)
-    stage = f"{root}/{_CSTAGE}"
-    os.makedirs(stage, exist_ok=True)
-    open(f"{stage}/{_COMMIT}", "w").close()
+    save_full_text_index(_docs(spark), root)
+    before = _index_state(spark, root)
+    before_searches = _searches(spark, root)
 
-    # reader fallback: exact stats despite the stale stored row
-    assert _index_state(spark, root) == _index_state(spark, without)
-    assert _searches(spark, root) == _searches(spark, without)
+    # the crash state: a complete, unlisted batch dir for doc 3
+    spark.createDataFrame(
+        [(3, 4, 0)], "doc_id long, dl long, up_to_gen long"
+    ).write.parquet(f"{root}/{_TOMB_DIR}/b-torn")
+
+    assert _index_state(spark, root) == before
+    assert _searches(spark, root) == before_searches
 
     text_index_recover(spark, root)
-    assert not os.path.exists(stage)
-    assert _index_state(spark, root) == _index_state(spark, without)
-    assert _searches(spark, root) == _searches(spark, without)
+    assert not os.path.exists(f"{root}/{_TOMB_DIR}/b-torn")
+    assert _index_state(spark, root) == before
+    # the retried delete then commits normally
+    assert text_index_delete(spark, root, [3]) == 1
+
+
+def test_writer_lease_blocks_second_writer(spark, tmp_path):
+    """VERDICT r8 #3: the single-writer contract is enforced, not
+    conventional. A held lease raises ConcurrentWriterError before any
+    stage is touched; a stale lease (holder died) is broken and the
+    write proceeds; the lease is released on success AND on failure."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        ConcurrentWriterError,
+    )
+
+    root = str(tmp_path / "idx")
+    save_full_text_index(_docs(spark), root)
+    lock = f"{root}/{_LOCK}"
+    assert not os.path.exists(lock)  # released after the build
+
+    open(lock, "w").close()  # a live writer's lease
+    with pytest.raises(ConcurrentWriterError, match="lease"):
+        text_index_insert(spark, root, _docs(spark, [(6, "eta theta")]))
+    with pytest.raises(ConcurrentWriterError):
+        text_index_delete(spark, root, [1])
+    with pytest.raises(ConcurrentWriterError):
+        text_index_compact(spark, root)
+    assert os.path.exists(lock)  # a failed acquire never releases it
+
+    # stale lease: holder died long ago -> broken, write proceeds,
+    # lease released afterwards
+    old = 10_000.0
+    os.utime(lock, (os.stat(lock).st_atime - old, os.stat(lock).st_mtime - old))
+    st = text_index_insert(spark, root, _docs(spark, [(6, "eta theta")]))
+    assert st["n_new_docs"] == 1
+    assert not os.path.exists(lock)
+
+
+def test_manifest_commit_is_cas(spark, tmp_path):
+    """Defense in depth under a broken lease: a manifest version can
+    never be silently overwritten — a writer losing the CAS race
+    surfaces as ConcurrentWriterError and the committed record stays
+    intact."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        ConcurrentWriterError,
+        _commit_manifest,
+        _read_manifest,
+    )
+
+    root = str(tmp_path / "idx")
+    save_full_text_index(_docs(spark), root)
+    m = _read_manifest(spark, root)
+    # both split-brain writers read snapshot v; the first commit wins
+    # v+1, the second MUST fail instead of overwriting it
+    won = _commit_manifest(spark, root, dict(m))
+    with pytest.raises(ConcurrentWriterError, match="already committed"):
+        _commit_manifest(spark, root, dict(m))
+    assert _read_manifest(spark, root) == won
 
 
 def test_update_is_delete_plus_insert_no_compaction(spark, tmp_path):
@@ -329,13 +427,17 @@ def test_lifecycle_index_equals_one_pass_build_on_corpus(spark):
     assert {tuple(r) for r in lc_l.select("doc_id", "dl").collect()} == {
         tuple(r) for r in plain_l.select("doc_id", "dl").collect()
     }
-    # compaction really ran: no tombstones dir left on the cached path
+    # compaction really ran: the manifest lists no tombstone batches
+    # and points at compacted generation dirs
     from peerdb_cdc_psql_clickhouse_spark.catalog import corpus_cache_key
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _read_manifest,
+    )
 
     key = corpus_cache_key(SF_SMOKE, "documents.parquet")
-    assert not os.path.exists(
-        f"{_TEXT_IDX_LIFECYCLE_CACHE[key]}/tombstones"
-    )
+    m = _read_manifest(spark, _TEXT_IDX_LIFECYCLE_CACHE[key])
+    assert m["tombstones"] == []
+    assert m["postings"].startswith("postings_g")
     assert _TEXT_IDX_LIFECYCLE_CACHE[key] != _TEXT_IDX_CACHE[key]
     # the declared query itself returns rows from the lifecycle index
     assert x9b_search_ops(spark, SF_SMOKE).count() > 0
