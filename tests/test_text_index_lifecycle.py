@@ -510,3 +510,126 @@ def test_change_feed_maintains_index(spark, tmp_path):
     save_full_text_index(_docs(spark, final), rebuilt)
     assert _index_state(spark, root) == _index_state(spark, rebuilt)
     assert _searches(spark, root) == _searches(spark, rebuilt)
+
+
+def test_lease_release_is_token_checked(spark, tmp_path):
+    """ADVICE r9 (medium): a writer whose lease was broken and taken
+    by an intruder must NOT delete the intruder's lease on release —
+    and the split brain must surface loudly on an otherwise-successful
+    exit (the manifest CAS protected committed state; the error is the
+    operator's signal to find the second orchestrator)."""
+    import json
+
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        ConcurrentWriterError,
+        _writer_lease,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    with pytest.raises(ConcurrentWriterError, match="broken"):
+        with _writer_lease(spark, root):
+            assert json.load(open(lock))["token"]  # stamped with ours
+            # an intruder breaks our lease and stamps its own
+            os.remove(lock)
+            with open(lock, "w") as f:
+                json.dump({"token": "intruder", "pid": 0}, f)
+    # release must have left the intruder's lease alone
+    assert json.load(open(lock))["token"] == "intruder"
+
+
+def test_lease_release_does_not_mask_body_error(spark, tmp_path):
+    """A body exception propagates unchanged even when the lease was
+    broken mid-op (the broken-lease error must never swallow the real
+    failure)."""
+    import json
+
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _writer_lease,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    with pytest.raises(ValueError, match="the real failure"):
+        with _writer_lease(spark, root):
+            with open(lock, "w") as f:
+                json.dump({"token": "intruder", "pid": 0}, f)
+            raise ValueError("the real failure")
+    assert json.load(open(lock))["token"] == "intruder"
+
+
+def test_lease_heartbeat_keeps_long_writer_alive(spark, tmp_path, monkeypatch):
+    """ADVICE r9 (medium): a LIVE writer running past the lease
+    timeout must not be judged stale — the heartbeat refreshes the
+    lease mtime, so a second writer still sees a held lease after
+    several timeout periods have elapsed."""
+    import time
+
+    import pytest
+
+    import peerdb_cdc_psql_clickhouse_spark.operators.search as search_mod
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        ConcurrentWriterError,
+        _writer_lease,
+    )
+
+    monkeypatch.setattr(search_mod, "WRITER_LEASE_TIMEOUT_SEC", 0.4)
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    with _writer_lease(spark, root):
+        time.sleep(1.2)  # 3 timeout periods; heartbeat beats ~every 0.13s
+        with pytest.raises(ConcurrentWriterError, match="held"):
+            with _writer_lease(spark, root):
+                pass  # pragma: no cover - must not acquire
+    # released cleanly afterwards: a fresh writer acquires immediately
+    with _writer_lease(spark, root):
+        pass
+
+
+def test_break_stale_lease_single_winner(spark, tmp_path):
+    """ADVICE r9: breaking a stale lease is an atomic rename-claim —
+    exactly ONE of two racers observes success, so the loser can never
+    delete the winner's fresh lease out from under it."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _break_stale_lease,
+        _hfs,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    open(lock, "w").close()
+    fs, _p, jvm = _hfs(spark, lock)
+    assert _break_stale_lease(fs, jvm, lock, "racer-a") is True
+    assert _break_stale_lease(fs, jvm, lock, "racer-b") is False
+    assert not os.path.exists(lock)
+
+
+def test_cache_root_is_private_and_rejects_foreign_owner(monkeypatch):
+    """ADVICE r9: the cross-process index cache root is per-user and
+    owner-only; a root squatted by another uid fails loudly instead of
+    silently serving foreign cache slots to the hash surface."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import _cache_root
+
+    root = _cache_root()
+    st = os.stat(root)
+    assert st.st_mode & 0o077 == 0  # owner-only
+    assert str(os.getuid()) in os.path.basename(root)
+
+    # simulate a squatted root: our view of "me" changes, the on-disk
+    # owner does not — _cache_root must refuse it
+    real_uid = os.getuid()
+    monkeypatch.setattr(os, "getuid", lambda: real_uid + 1)
+    with pytest.raises(PermissionError, match="owned by uid"):
+        _cache_root()
