@@ -879,6 +879,14 @@ def main() -> None:
         "iterations": iters,
         "query_rel_spread": spreads,
         "query_runs": runs,
+        # ADVICE r9: adaptive re-sampling means medians come from
+        # DIFFERENT n per query (and adaptive passes run a different
+        # execution mix) — surface n explicitly so a round-over-round
+        # reader compares medians over the first min(n_a, n_b) common
+        # samples (query_runs holds them in order) or flags queries
+        # whose n differs, instead of reading the regime change as a
+        # regression.
+        "query_samples": {q: len(ts) for q, ts in sorted(runs.items())},
         "ivf_index_build_sec": ivf_build,
         "text_index_build_sec": text_build,
         "cdc_stress": stress,

@@ -60,6 +60,12 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
+
+try:  # POSIX advisory file locks; absent on Windows (msvcrt instead)
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX fallback
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,17 +111,47 @@ class _SpoolWriter:
         except FileNotFoundError:
             return {"batch_seq": 0}
 
-    def _persist_merge(self, **updates) -> None:
-        """Merge updates into the state file, PRESERVING other keys —
-        state_path may be shared between a poller and sweepers (shared
-        batch counter), whose other fields must survive."""
+    @contextmanager
+    def _state_locked(self):
+        """Serialize a read-modify-write cycle on the shared state
+        file across processes ON ONE HOST (ADVICE r9: two sweepers
+        running concurrently both read the same sweep_stamp floor and
+        issued EQUAL stamps, and a concurrent poller's merge could
+        lose the sweep_stamp key entirely — last-writer-wins on the
+        whole JSON). POSIX flock on a sibling .lock file; writers on
+        different hosts still need the documented single-orchestrator
+        deployment (the state file is host-local by design — the
+        confirmed-LSN analog lives next to whoever drives the tail).
+        NOT reentrant: callers compose _persist_merge_unlocked inside,
+        never _persist_merge."""
         os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
+        if fcntl is None:  # pragma: no cover - non-POSIX: best effort
+            yield
+            return
+        with open(f"{self.state_path}.lock", "a") as f:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f.fileno(), fcntl.LOCK_UN)
+
+    def _persist_merge_unlocked(self, **updates) -> None:
+        """The merge body — caller holds _state_locked()."""
         st = self._state()
         st.update(updates)
         tmp = f"{self.state_path}.tmp"
         with open(tmp, "w") as f:
             json.dump(st, f)
         os.replace(tmp, self.state_path)
+
+    def _persist_merge(self, **updates) -> None:
+        """Merge updates into the state file, PRESERVING other keys —
+        state_path may be shared between a poller and sweepers (shared
+        batch counter), whose other fields must survive. The whole
+        read-modify-write holds the state lock, so a concurrent
+        writer's keys can no longer be lost to last-writer-wins."""
+        with self._state_locked():
+            self._persist_merge_unlocked(**updates)
 
     def _fs(self, spark: SparkSession, path: str):
         jvm = spark._jvm
@@ -124,14 +160,19 @@ class _SpoolWriter:
 
     def _commit_staged(self, spark: SparkSession, stage: str) -> int:
         """Claim the first free `_batch` slot at/above the persisted
-        seq, THEN rename the staged dir into it. Returns the slot."""
+        seq, THEN rename the staged dir into it. Returns the slot.
+        The claim (read seq -> probe -> persist seq+1) runs under the
+        state lock so two writers sharing the spool can never claim
+        the same slot; the rename itself needs no lock — a claimed
+        slot number is exclusively this writer's."""
         fs, stage_p, jvm = self._fs(spark, stage)
-        k = self._state().get("batch_seq", 0)
-        while fs.exists(
-            jvm.org.apache.hadoop.fs.Path(f"{self.spool_dir}/_batch={k}")
-        ):
-            k += 1
-        self._persist_merge(batch_seq=k + 1)
+        with self._state_locked():
+            k = self._state().get("batch_seq", 0)
+            while fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{self.spool_dir}/_batch={k}")
+            ):
+                k += 1
+            self._persist_merge_unlocked(batch_seq=k + 1)
         dest = jvm.org.apache.hadoop.fs.Path(f"{self.spool_dir}/_batch={k}")
         if not fs.rename(stage_p, dest):
             raise IOError(f"spool batch rename failed: {stage} -> {dest}")
@@ -320,14 +361,20 @@ class _BucketedSweeper(_SpoolWriter):
         by BOTH, e.g. updated before the update sweep's snapshot then
         deleted before the delete sweep's, would carry EQUAL versions
         into max-version-wins, leaving the tie to break on batch
-        order). The floor rides _persist_merge, so composed sweepers
-        sharing a state file (the documented shared-spool pattern)
-        are strictly ordered no matter the drain schedule — the
-        LATER source snapshot deterministically wins, which is the
-        fresher truth."""
-        floor = int(self._state().get("sweep_stamp", 0))
-        v = max(int(mirror.max_version()), floor) + 1
-        self._persist_merge(sweep_stamp=v)
+        order). The floor read, the stamp computation, and the floor
+        persist all hold the state lock (ADVICE r9: without it, two
+        sweepers running CONCURRENTLY both read the same floor and
+        issued equal stamps — the lock extends the guarantee from
+        sequentially-composed sweeps to concurrent sweeps on one
+        host; cross-host writers remain out of contract, same as the
+        spool's single-orchestrator deployment shape), so composed
+        sweepers sharing a state file are strictly ordered no matter
+        the drain schedule — the LATER source snapshot
+        deterministically wins, which is the fresher truth."""
+        with self._state_locked():
+            floor = int(self._state().get("sweep_stamp", 0))
+            v = max(int(mirror.max_version()), floor) + 1
+            self._persist_merge_unlocked(sweep_stamp=v)
         return v
 
     def _read_remote(self, spark: SparkSession, dbtable: str) -> DataFrame:

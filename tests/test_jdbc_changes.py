@@ -1293,3 +1293,89 @@ def test_interleaved_sweeps_order_stamps_deterministically(
     _drain(mirror, spool)
     want = {i: f"v{i}" for i in range(1, 7) if i != 3}
     assert _state(mirror) == want  # the delete won, deterministically
+
+
+def test_next_stamp_concurrent_sweepers_unique_and_increasing(tmp_path):
+    """ADVICE r9: _next_stamp's strict-ordering guarantee must hold
+    for sweepers running CONCURRENTLY (same host), not just composed
+    sequentially — the floor read + stamp persist now hold a flock on
+    the shared state file, so racing sweepers can never issue equal
+    versions. 8 threads x 5 stamps across two sweeper instances
+    sharing one state file: all 40 stamps unique."""
+    import threading
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    class _StubMirror:
+        def max_version(self):
+            return 7  # constant: every uniqueness guarantee must come
+            # from the persisted floor, not from mirror movement
+
+    common = dict(
+        url="jdbc:stub",
+        table="t",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "spool"),
+        state_path=str(tmp_path / "state.json"),
+    )
+    sweepers = [SnapshotDiffDeleteSweeper(**common) for _ in range(2)]
+    mirror = _StubMirror()
+    stamps: list[int] = []
+    lock = threading.Lock()
+
+    def worker(sw):
+        got = [sw._next_stamp(mirror) for _ in range(5)]
+        with lock:
+            stamps.extend(got)
+
+    threads = [
+        threading.Thread(target=worker, args=(sweepers[i % 2],))
+        for i in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert len(stamps) == 40
+    assert len(set(stamps)) == 40, "equal stamps issued under concurrency"
+    assert min(stamps) > 7  # every stamp above the applied floor
+
+
+def test_persist_merge_concurrent_writers_lose_no_keys(tmp_path):
+    """ADVICE r9: a concurrent poller's merge could lose another
+    writer's key entirely (last-writer-wins on the whole JSON). Under
+    the state lock, 16 threads each merging a distinct key all
+    survive."""
+    import threading
+
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        SnapshotDiffDeleteSweeper,
+    )
+
+    common = dict(
+        url="jdbc:stub",
+        table="t",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=str(tmp_path / "spool"),
+        state_path=str(tmp_path / "state.json"),
+    )
+    writers = [SnapshotDiffDeleteSweeper(**common) for _ in range(4)]
+
+    threads = [
+        threading.Thread(
+            target=writers[i % 4]._persist_merge, kwargs={f"k{i}": i}
+        )
+        for i in range(16)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    st = writers[0]._state()
+    assert {f"k{i}": i for i in range(16)}.items() <= st.items()
