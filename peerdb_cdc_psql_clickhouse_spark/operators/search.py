@@ -75,8 +75,15 @@ def build_text_index(
 
 def save_text_index(index: DataFrame, path: str) -> None:
     """Persist partitioned by bucket — a query's terms map to literal
-    bucket ids, so the read prunes to those directories."""
-    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    bucket ids, so the read prunes to those directories. Each bucket
+    is routed to one task before the write so a bucket directory is
+    one file, not one shard per upstream task (a search opens
+    len(terms) files instead of len(terms) x tasks); INDEX_BUCKETS is
+    the corpus-scaling knob — more buckets = more, smaller files and
+    wider build/compact parallelism."""
+    index.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
 
 
 def load_text_index(spark: SparkSession, path: str) -> DataFrame:

@@ -1643,37 +1643,37 @@ def search_ivf_index_prerank(
 
 
 # Build-once cache behind the declared x2b/x2d queries and bench: one
-# persisted index per corpus directory per process (VERDICT r4 #1 —
-# the declared search must not re-derive inverted lists per run; at
-# 100 TB the index is a standing artifact and searches read nprobe
-# partition directories of it). Keyed by the corpus's absolute path;
-# the handle is re-materialized from disk per call so it stays valid
-# across SparkSession restarts within the process. Index dirs live in
-# a tempdir and are removed at process exit.
+# persisted index per corpus directory (VERDICT r4 #1 — the declared
+# search must not re-derive inverted lists per run; at 100 TB the
+# index is a standing artifact and searches read nprobe partition
+# directories of it). r10: the artifact persists ACROSS processes in
+# the same per-user, ownership-checked cache the text indexes use
+# (operators/search._persistent_slot) — keyed by corpus
+# path+mtime_ns, so regenerated testdata invalidates automatically
+# and a round's correctness + bench processes share one build.
 _IVF_CACHE: dict[str, str] = {}
 
 
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
-    """The per-corpus persisted IVF index (built on first use). Cache
-    key includes the source file's mtime so regenerated testdata
-    can't serve a stale index within one process."""
-    import atexit
-    import os
-    import shutil
+    """The per-corpus persisted IVF index (built on first use; reused
+    across processes via the published cache slot)."""
     import tempfile
 
     from ..catalog import corpus_cache_key
+    from .search import _persistent_slot, _publish_slot
 
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     path = _IVF_CACHE.get(key)
     if path is None:
-        emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
-        path = tempfile.mkdtemp(prefix="spark_graft_ivf_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        build_ivf_index(emb, path, proj_dim=_IVF_PROJ_DIM)
-        _IVF_CACHE[key] = path
+        slot, ready = _persistent_slot("ivf", key)
+        if not ready:
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            build = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+            build_ivf_index(emb, build, proj_dim=_IVF_PROJ_DIM)
+            slot = _publish_slot(build, slot)
+        path = _IVF_CACHE[key] = slot
     return load_ivf_index(spark, path)
 
 
