@@ -29,6 +29,87 @@ from .text import tokens_col
 
 INDEX_BUCKETS = 64
 
+# Tokenizer identity persisted with every index (manifest + term
+# column metadata): ws_lower_v1 = text.tokens_col's semantics —
+# lowercase, whitespace split, empties dropped. An index searched
+# with a DIFFERENT analyzer than it was built with silently misses
+# terms, so open_text_index validates this against the engine's
+# constant and raises on mismatch (VERDICT r10 #2's "tokenizer
+# identity" clause). Bump alongside any tokens_col change.
+INDEX_ANALYZER = "ws_lower_v1"
+
+# Auto-sizing target for the build-time bucket pick (VERDICT r10 #8):
+# when save_full_text_index is not given an explicit n_buckets it
+# picks ceil(n_docs / this) clamped to [INDEX_BUCKETS, 4096] — the
+# testdata corpora stay at the 64-bucket default while a 100 TB
+# corpus gets bucket counts (and thus file sizes and build/compact
+# write parallelism) that grow with the corpus, with no manual knob.
+TARGET_DOCS_PER_BUCKET = 250_000
+
+
+def _term_meta(n_buckets: int) -> dict:
+    """Self-describing metadata stamped on the `term` DATA column
+    (the `bucket` partition column is reconstructed from directory
+    names on read, so metadata there would not survive the parquet
+    round-trip). Makes every postings frame carry its own bucket
+    geometry + analyzer — the n_buckets a search MUST hash with."""
+    return {
+        "index_n_buckets": int(n_buckets),
+        "index_analyzer": INDEX_ANALYZER,
+    }
+
+
+def _index_n_buckets(index: DataFrame) -> int | None:
+    """The bucket count a postings frame was built with, or None for
+    a pre-r11 frame (no metadata)."""
+    try:
+        v = index.schema["term"].metadata.get("index_n_buckets")
+        return None if v is None else int(v)
+    except Exception:  # noqa: BLE001 - no term column / no metadata
+        return None
+
+
+def _resolve_n_buckets(index: DataFrame, n_buckets: int | None) -> int:
+    """The n_buckets a search must prune with (VERDICT r10 #2: a
+    caller hashing with a different bucket count than the index was
+    built with maps terms to directories that don't exist and gets
+    silently EMPTY postings, not an error). Default (None) reads the
+    frame's own persisted geometry; an explicit value that
+    contradicts it raises loudly. Pre-r11 frames carry no metadata —
+    they were all built with the module default, which is the
+    fallback."""
+    persisted = _index_n_buckets(index)
+    if n_buckets is None:
+        return persisted if persisted is not None else INDEX_BUCKETS
+    if persisted is not None and int(n_buckets) != persisted:
+        raise ValueError(
+            f"n_buckets mismatch: this index was built with "
+            f"{persisted} buckets but the caller passed "
+            f"{int(n_buckets)} — searching with the wrong bucket "
+            "count would silently return empty postings. Omit "
+            "n_buckets to use the index's own geometry."
+        )
+    return int(n_buckets)
+
+
+def _manifest_n_buckets(m: dict, n_buckets: int | None, path: str) -> int:
+    """Writer-side twin of _resolve_n_buckets: the bucket count a
+    maintenance op must route with comes from the MANIFEST; an
+    explicit contradicting value raises instead of writing postings
+    into buckets no search will ever prune to."""
+    persisted = m.get("n_buckets")
+    if n_buckets is None:
+        return int(persisted) if persisted is not None else INDEX_BUCKETS
+    if persisted is not None and int(n_buckets) != int(persisted):
+        raise ValueError(
+            f"n_buckets mismatch: index at {path} was built with "
+            f"{int(persisted)} buckets but the caller passed "
+            f"{int(n_buckets)} — inserting with the wrong bucket "
+            "count would write postings no search prunes to. Omit "
+            "n_buckets to use the index's own geometry."
+        )
+    return int(n_buckets)
+
 
 def build_text_index(
     docs: DataFrame,
@@ -61,7 +142,14 @@ def build_text_index(
         F.count("*").cast("long").alias("tf"),
     )
     return per_doc.select(
-        "*",
+        # term carries the index's own geometry + analyzer as column
+        # metadata (r11): it survives the parquet round-trip on this
+        # DATA column, so every later search resolves the n_buckets
+        # the index was actually built with (see _resolve_n_buckets)
+        F.col("term").alias("term", metadata=_term_meta(n_buckets)),
+        F.col(id_col),
+        "positions",
+        "tf",
         F.sum("tf").over(Window.partitionBy(id_col)).alias("dl"),
         F.pmod(hash64(F.col("term")), F.lit(n_buckets)).alias("bucket"),
         # insertion generation (r8 delete lifecycle): build rows are
@@ -117,16 +205,18 @@ def term_search(
     terms,
     mode: str = "and",
     id_col: str = "doc_id",
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Boolean retrieval: docs containing ALL (and) or ANY (or) of the
     terms, with match_terms + total tf. Work = the terms' postings
-    only: pruned scan -> one doc-keyed agg."""
+    only: pruned scan -> one doc-keyed agg. n_buckets defaults to the
+    index's own persisted geometry (column metadata); an explicit
+    contradicting value raises (r11 — never silently-empty)."""
     terms = _norm_terms(terms)
     if mode not in ("and", "or"):
         raise ValueError("mode must be 'and' or 'or'")
     hits = (
-        _pruned(index, terms, n_buckets)
+        _pruned(index, terms, _resolve_n_buckets(index, n_buckets))
         .groupBy(id_col)
         .agg(
             F.countDistinct("term").cast("long").alias("match_terms"),
@@ -142,7 +232,7 @@ def phrase_search(
     index: DataFrame,
     phrase: str,
     id_col: str = "doc_id",
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact consecutive-phrase retrieval: (doc_id, n_occurrences).
     Term i's postings shift by -i; a base position carried by all
@@ -153,7 +243,7 @@ def phrase_search(
     terms = _norm_terms(phrase.split())
     n = len(terms)
     slots = None
-    pruned = _pruned(index, terms, n_buckets)
+    pruned = _pruned(index, terms, _resolve_n_buckets(index, n_buckets))
     for i, t in enumerate(terms):
         s = (
             pruned.filter(F.col("term") == t)
@@ -203,7 +293,7 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     id_col: str = "doc_id",
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
     stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25-ranked top-k (doc_id, score, rank) for a bag of terms
@@ -241,7 +331,7 @@ def bm25_search(
     avgdl = sum_dl / n_docs  # exact ints -> one IEEE div
 
     has_dl = "dl" in index.columns
-    post = _pruned(index, terms, n_buckets).select(
+    post = _pruned(index, terms, _resolve_n_buckets(index, n_buckets)).select(
         id_col, "term", "tf", *(["dl"] if has_dl else [])
     )
     df_tbl = post.groupBy("term").agg(
@@ -278,7 +368,7 @@ def save_full_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> None:
     """Build and persist the full index layout at `path`: postings/
     (PARTITIONED BY bucket), lengths/, and the manifest commit record
@@ -286,18 +376,37 @@ def save_full_text_index(
     the index lifecycle. This is the initial BUILD, not a maintenance
     op — build into a fresh root (rebuild-in-place over an existing
     root is not atomic against concurrent readers; the maintenance ops
-    below are the crash-safe path)."""
+    below are the crash-safe path).
+
+    n_buckets defaults to a corpus-sized auto-pick (VERDICT r10 #8):
+    ceil(n_docs / TARGET_DOCS_PER_BUCKET) clamped to
+    [INDEX_BUCKETS, 4096] — small corpora keep the 64-bucket default,
+    a 100 TB corpus gets proportionally more (smaller) bucket files
+    and wider build/compact parallelism with no manual knob. The
+    chosen count + the analyzer identity are committed in the
+    manifest and stamped on the term column, so every later
+    search/maintenance op resolves the RIGHT geometry (r10 finding
+    #6: a mismatched n_buckets used to return silently empty
+    postings)."""
     spark = docs.sparkSession
     with _writer_lease(spark, path):
+        lengths = doc_lengths(docs, id_col, text_col)
+        lengths.write.mode("overwrite").parquet(f"{path}/lengths")
+        st = (
+            spark.read.parquet(f"{path}/lengths")
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        n_docs = int(st["n"])
+        if n_buckets is None:
+            n_buckets = min(
+                max(-(-n_docs // TARGET_DOCS_PER_BUCKET), INDEX_BUCKETS),
+                4096,
+            )
         save_text_index(
             build_text_index(docs, id_col, text_col, n_buckets),
             f"{path}/postings",
         )
-        lengths = doc_lengths(docs, id_col, text_col)
-        lengths.write.mode("overwrite").parquet(f"{path}/lengths")
-        st = lengths.agg(
-            F.count("*").alias("n"), F.sum("dl").alias("s")
-        ).collect()[0]
         base = _read_manifest(spark, path) or {"v": 0}
         _commit_manifest(
             spark,
@@ -305,11 +414,13 @@ def save_full_text_index(
             {
                 "v": int(base["v"]),
                 "gen": 0,
-                "n_docs": int(st["n"]),
+                "n_docs": n_docs,
                 "sum_dl": int(st["s"] or 0),
                 "postings": "postings",
                 "lengths": "lengths",
                 "tombstones": [],
+                "n_buckets": int(n_buckets),
+                "analyzer": INDEX_ANALYZER,
             },
         )
 
@@ -382,7 +493,9 @@ _TOMB_DIR = "tomb"
 _LOCK = ".writer_lock"
 # bump when the persisted layout changes — keys the cross-process
 # artifact cache so a new engine version never reads an old layout
-_FORMAT = 2
+# (3: r11 geometry contract — manifest n_buckets/analyzer fields +
+# term-column metadata)
+_FORMAT = 3
 
 WRITER_LEASE_TIMEOUT_SEC = 900.0
 
@@ -411,24 +524,77 @@ def _lease_token(fs, jvm, lock_path: str) -> str | None:
         return None
 
 
-def _break_stale_lease(fs, jvm, lock_path: str, token: str) -> bool:
+def _break_stale_lease(
+    fs, jvm, lock_path: str, token: str, obs_token: str | None, obs_mtime: int
+) -> bool:
     """Remove a stale lease via atomic RENAME to a claim name (ADVICE
     r9: a plain delete let two waiters both 'break' the same stale
     file — the second delete removed the first waiter's FRESH lease,
     and both believed they held it). Rename of one source path can
     succeed for exactly one racer; the loser's rename returns false
     (source gone) and it falls back to the normal acquire loop, where
-    the winner's fresh lease now blocks it. Returns True iff this
-    caller removed the stale file."""
+    the winner's fresh lease now blocks it.
+
+    (obs_token, obs_mtime) is the stale lease's identity as READ
+    BEFORE the break (ADVICE r10 TOCTOU: between the caller's age
+    check and this rename, the stale holder's lease can be released
+    and a NEW writer can stamp a fresh one — an unverified rename
+    then silently stole that fresh lease, and its owner only noticed
+    at its next heartbeat). After the rename wins, the claimed file
+    is re-read: only a token+mtime match with the observed identity
+    proves we claimed the SAME stale file (a dead holder cannot
+    change either; rename preserves mtime). On mismatch the claim is
+    renamed back so the fresh owner keeps running, and this caller
+    reports the lock held. Returns True iff the observed stale file
+    was removed."""
     P = jvm.org.apache.hadoop.fs.Path
-    claim = P(f"{lock_path}.claim-{token}")
+    claim_path = f"{lock_path}.claim-{token}"
+    claim = P(claim_path)
     try:
-        if fs.rename(P(lock_path), claim):
-            fs.delete(claim, False)
-            return True
+        if not fs.rename(P(lock_path), claim):
+            return False
     except Exception:  # noqa: BLE001 - source vanished under the racer
-        pass
+        return False
+    try:
+        got_token = _lease_token(fs, jvm, claim_path)
+        got_mtime = int(fs.getFileStatus(claim).getModificationTime())
+    except Exception:  # noqa: BLE001 - claim unreadable: treat as fresh
+        got_token, got_mtime = object(), -1  # provably-not-matching
+    if got_token == obs_token and got_mtime == int(obs_mtime):
+        try:
+            fs.delete(claim, False)
+        except Exception:  # noqa: BLE001 - already gone
+            pass
+        return True
+    # we grabbed a FRESH lease — give it back; if its owner (or a
+    # third waiter) re-created the lock meanwhile, the rename-back
+    # fails and the claim file is dropped as garbage (that owner's
+    # heartbeat token check surfaces the loss; the manifest CAS
+    # protects committed state either way)
+    try:
+        if not fs.rename(claim, P(lock_path)):
+            fs.delete(claim, False)
+    except Exception:  # noqa: BLE001 - best-effort restore
+        try:
+            fs.delete(claim, False)
+        except Exception:  # noqa: BLE001
+            pass
     return False
+
+
+def _stamp_lease(fs, p, token: str) -> None:
+    """Overwrite the just-created lease file with the holder's
+    identity. Module-level (not inlined in the acquire loop) so tests
+    can inject a stamp failure and verify the orphan-cleanup path."""
+    out = fs.create(p, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps({"token": token, "pid": os.getpid()}).encode()
+            )
+        )
+    finally:
+        out.close()
 
 
 @contextmanager
@@ -471,37 +637,42 @@ def _writer_lease(spark: SparkSession, path: str):
             # if anything else owns the file now, we lost a race we
             # could not see and must not proceed
             try:
-                out = fs.create(p, True)
-                try:
-                    out.write(
-                        bytearray(
-                            json.dumps(
-                                {"token": token, "pid": os.getpid()}
-                            ).encode()
-                        )
-                    )
-                finally:
-                    out.close()
+                _stamp_lease(fs, p, token)
             except Exception:  # noqa: BLE001 - stamp lost its window
+                # ADVICE r10: the createNewFile above succeeded, so an
+                # empty/partial lease file of OURS may be on disk — if
+                # it stays, the retry loop sees a fresh held lease and
+                # raises against our own orphan, blocking every writer
+                # for the full timeout with no live heartbeat. Until
+                # the file carries a FOREIGN token it cannot belong to
+                # anyone else, so deleting it here is safe.
+                try:
+                    if _lease_token(fs, jvm, lock_path) in (None, token):
+                        fs.delete(p, False)
+                except Exception:  # noqa: BLE001 - best-effort cleanup
+                    pass
                 continue
             if _lease_token(fs, jvm, lock_path) == token:
                 acquired = True
                 break
             continue
+        # observe the held lease's identity ONCE — the age decision and
+        # any stale break below must act on the same observation (the
+        # r10 TOCTOU fix: _break_stale_lease verifies it claimed this
+        # exact identity, never whatever replaced it meanwhile)
         try:
-            age = (
-                time.time()
-                - fs.getFileStatus(p).getModificationTime() / 1000.0
-            )
+            obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+            obs_token = _lease_token(fs, jvm, lock_path)
         except Exception:  # noqa: BLE001 - lease vanished; retry create
             continue
+        age = time.time() - obs_mtime / 1000.0
         if age <= WRITER_LEASE_TIMEOUT_SEC:
             raise ConcurrentWriterError(
                 f"writer lease {lock_path} is held (age {age:.1f}s); "
                 "text-index writers are single-writer — wait for the "
                 "other writer, or delete a known-dead lease file"
             )
-        _break_stale_lease(fs, jvm, lock_path, token)
+        _break_stale_lease(fs, jvm, lock_path, token, obs_token, obs_mtime)
     if not acquired:
         raise ConcurrentWriterError(
             f"could not acquire writer lease {lock_path}"
@@ -535,13 +706,37 @@ def _writer_lease(spark: SparkSession, path: str):
     finally:
         stop.set()
         beat.join(timeout=30)
-        still_ours = _lease_token(fs, jvm, lock_path) == token
+        # ADVICE r10: one transient FS error here used to read as
+        # "token gone" — the lease was left undeleted (blocking
+        # writers for the full timeout with the heartbeat already
+        # stopped) AND a spurious ConcurrentWriterError fired after a
+        # fully successful body. The release read now RETRIES and
+        # distinguishes 'provably foreign/absent' (file readable with
+        # another token, or provably not there) from 'could not read'
+        # (every attempt erred). Unprovable resolves to no-error /
+        # no-delete: a foreign token can only appear via a stale
+        # break, which needs the FULL timeout of missed heartbeats —
+        # a transient read error at release is no evidence of that,
+        # and deleting blind could remove a real successor's lease
+        # (the r9 cascade). The undeleted own-token lease is
+        # reclaimed by the next writer's stale break.
+        still_ours, provable = False, False
+        for _ in range(5):
+            try:
+                if not fs.exists(p):
+                    provable = True  # provably absent
+                    break
+                raw = json.loads(_fs_read_text(fs, jvm, lock_path))
+                still_ours, provable = raw.get("token") == token, True
+                break
+            except Exception:  # noqa: BLE001 - transient read failure
+                time.sleep(0.05)
         if still_ours:
             try:
                 fs.delete(p, False)
             except Exception:  # noqa: BLE001 - released by FS cleanup
                 pass
-        if body_ok and (lost.is_set() or not still_ours):
+        if body_ok and (lost.is_set() or (provable and not still_ours)):
             raise ConcurrentWriterError(
                 f"writer lease {lock_path} was broken while this "
                 "writer ran (its token is gone); the manifest CAS "
@@ -779,6 +974,36 @@ def _tomb_totals(spark: SparkSession, path: str, m: dict) -> tuple[int, int]:
     return int(r["n"]), int(r["s"] or 0)
 
 
+def _stamp_term_meta(post: DataFrame, n_buckets: int) -> DataFrame:
+    """Re-stamp the term column's geometry metadata from the MANIFEST
+    (the authoritative record): covers index files persisted before
+    the metadata existed (r11) and mixed-generation dirs where the
+    footer Spark happens to read schema from is an old file."""
+    return post.select(
+        *[
+            F.col(c).alias(c, metadata=_term_meta(n_buckets))
+            if c == "term"
+            else F.col(c)
+            for c in post.columns
+        ]
+    )
+
+
+def _check_analyzer(m: dict, path: str) -> None:
+    """An index built with a different tokenizer than this engine's
+    tokens_col would silently miss terms on every search — surface
+    the incompatibility loudly at open/maintain time instead."""
+    a = m.get("analyzer")
+    if a is not None and a != INDEX_ANALYZER:
+        raise ValueError(
+            f"text index at {path} was built with analyzer '{a}' but "
+            f"this engine tokenizes with '{INDEX_ANALYZER}' — "
+            "searches would silently miss terms; rebuild the index "
+            "with this engine (or run the engine version that built "
+            "it)"
+        )
+
+
 def _frames_from_manifest(
     spark: SparkSession, path: str, m: dict
 ) -> tuple[DataFrame, DataFrame]:
@@ -790,6 +1015,8 @@ def _frames_from_manifest(
     post = _with_gen(
         spark.read.parquet(f"{path}/{m['postings']}")
     ).filter(gate)
+    if m.get("n_buckets") is not None:
+        post = _stamp_term_meta(post, int(m["n_buckets"]))
     lengths = _with_gen(
         spark.read.parquet(f"{path}/{m['lengths']}")
     ).filter(gate)
@@ -827,14 +1054,51 @@ def _open_legacy(
     return post, lengths, (n_docs, sum_dl)
 
 
+def _infer_n_buckets(fs, jvm, postings_path: str) -> int:
+    """Bucket count for an index persisted before the manifest
+    recorded it: every pre-r11 build used the module default, so the
+    default is exact unless the on-disk bucket ids prove a LARGER
+    build (max id + 1 is a lower bound; ids are pmod results, so a
+    sparse corpus can leave high buckets empty — the default floor
+    covers that for the only population that exists)."""
+    max_id = -1
+    try:
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(postings_path)):
+            name = st.getPath().getName()
+            if name.startswith("bucket="):
+                try:
+                    max_id = max(max_id, int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+    except Exception:  # noqa: BLE001 - missing dir: default stands
+        pass
+    return max(INDEX_BUCKETS, max_id + 1)
+
+
 def _ensure_manifest(spark: SparkSession, path: str) -> dict:
     """Current manifest, upgrading a legacy (stats-row) index in place
     on first writer contact: the legacy stats + tombstones dir become
     one committed snapshot record (the dir itself is listed as a
     batch), after which every reader takes the manifest path. Caller
-    holds the writer lease."""
+    holds the writer lease. An r9/r10 manifest without the r11
+    geometry fields gets them backfilled on first writer contact
+    (inference — see _infer_n_buckets)."""
     m = _read_manifest(spark, path)
     if m is not None:
+        _check_analyzer(m, path)
+        if m.get("n_buckets") is None:
+            fs, _p, jvm = _hfs(spark, path)
+            m = _commit_manifest(
+                spark,
+                path,
+                dict(
+                    m,
+                    n_buckets=_infer_n_buckets(
+                        fs, jvm, f"{path}/{m['postings']}"
+                    ),
+                    analyzer=INDEX_ANALYZER,
+                ),
+            )
         return m
     n_docs, sum_dl, gen = _read_stats(spark, path)
     tombs: list[str] = []
@@ -847,6 +1111,7 @@ def _ensure_manifest(spark: SparkSession, path: str) -> dict:
             tombs = ["tombstones"]
             n_docs -= int(r["n"])
             sum_dl -= int(r["s"] or 0)
+    fs, _p, jvm = _hfs(spark, path)
     return _commit_manifest(
         spark,
         path,
@@ -858,6 +1123,8 @@ def _ensure_manifest(spark: SparkSession, path: str) -> dict:
             "postings": "postings",
             "lengths": "lengths",
             "tombstones": tombs,
+            "n_buckets": _infer_n_buckets(fs, jvm, f"{path}/postings"),
+            "analyzer": INDEX_ANALYZER,
         },
     )
 
@@ -948,6 +1215,7 @@ def open_text_index(
     m = _read_manifest(spark, path)
     if m is None:
         return _open_legacy(spark, path)
+    _check_analyzer(m, path)
     post, lengths = _frames_from_manifest(spark, path, m)
     return post, lengths, (int(m["n_docs"]), int(m["sum_dl"]))
 
@@ -958,7 +1226,7 @@ def text_index_insert(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> dict:
     """O(batch) incremental maintenance for a persisted text index
     (VERDICT r5 #3 — the lifecycle parity with ivf_index_insert /
@@ -1006,10 +1274,11 @@ def _insert_locked(
     new_docs: DataFrame,
     id_col: str,
     text_col: str,
-    n_buckets: int,
+    n_buckets: int | None,
 ) -> dict:
     _recover_insert(spark, path)
     m = _ensure_manifest(spark, path)
+    n_buckets = _manifest_n_buckets(m, n_buckets, path)
     gen = int(m["gen"]) + 1
     stage = f"{path}/{_STAGE}"
     stamp = F.lit(gen).cast("long").alias("_gen")
@@ -1211,7 +1480,7 @@ def text_index_apply_changes(
     changes: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> dict:
     """Maintain a persisted text index from a CDC change batch (r6
     brief #6's last clause — the mirror's change feed drives the

@@ -1498,6 +1498,13 @@ def search_ivf_index(
 # 24 in the fallback would silently drift if the default changed).
 _IVF_PROJ_DIM = 24
 
+# IVF on-disk layout version — keys the cross-process artifact cache
+# (ADVICE r10: the slot key carried only the TEXT-index layout
+# version, so a change to IVF params or layout would silently serve a
+# stale persisted artifact across processes). Bump whenever the IVF
+# dirs' schema/layout or the build's semantics change.
+_IVF_FORMAT = 1
+
 
 def _index_geometry(
     index: IvfIndex, proj_dim: int | None, dim: int | None
@@ -1665,7 +1672,13 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     path = _IVF_CACHE.get(key)
     if path is None:
-        slot, ready = _persistent_slot("ivf", key)
+        # the slot key carries the IVF layout version AND the build
+        # params that shape the artifact (proj_dim drives the prerank
+        # columns) — _persistent_slot itself only keys the TEXT-index
+        # format, which says nothing about IVF layout (ADVICE r10)
+        slot, ready = _persistent_slot(
+            "ivf", f"ifmt{_IVF_FORMAT}|pd{_IVF_PROJ_DIM}|{key}"
+        )
         if not ready:
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"

@@ -335,3 +335,230 @@ def test_text_index_insert_only_touches_its_buckets(spark, tmp_path):
         if before.get(d) != after.get(d)
     }
     assert len(changed) == 1, changed
+
+
+def test_n_buckets_mismatch_raises_not_empty(spark, tmp_path):
+    """VERDICT r10 #2 (the one index-contract hole): building with one
+    n_buckets and searching/maintaining with another used to silently
+    prune to directories that don't exist — EMPTY results, no error.
+    Now: the geometry is persisted (manifest + term column metadata),
+    the default resolves to it, and an explicit contradicting value
+    raises loudly on every entry point."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        bm25_search,
+        open_text_index,
+        save_full_text_index,
+        text_index_insert,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "idx32")
+    save_full_text_index(docs, root, n_buckets=32)
+    post, lens, stats = open_text_index(spark, root)
+
+    # default (no param): resolves the index's own 32 and matches an
+    # in-memory build with the same geometry
+    want = {
+        tuple(r)
+        for r in term_search(
+            build_text_index(docs, n_buckets=32), ["data", "model"], "or"
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in term_search(post, ["data", "model"], "or").collect()
+    }
+    assert got == want and got  # non-empty, correct
+
+    # explicit WRONG n_buckets: loud error on search ...
+    for call in (
+        lambda: term_search(post, ["data"], n_buckets=64),
+        lambda: phrase_search(post, "the data", n_buckets=128),
+        lambda: bm25_search(post, lens, ["data"], stats=stats, n_buckets=64),
+    ):
+        with pytest.raises(ValueError, match="n_buckets mismatch"):
+            call()
+    # ... and on maintenance
+    one = spark.createDataFrame(
+        [(10_000_001, "qqfresh doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n_buckets mismatch"):
+        text_index_insert(spark, root, one, n_buckets=64)
+    # matching explicit value still accepted
+    assert text_index_insert(spark, root, one, n_buckets=32)[
+        "n_new_docs"
+    ] == 1
+
+
+def test_term_metadata_survives_roundtrip_and_compact(spark, tmp_path):
+    """The geometry rides the term DATA column's metadata through the
+    parquet round-trip (the bucket PARTITION column is reconstructed
+    from dir names, so metadata there would be lost), and the manifest
+    re-stamps it on open — so it also survives compaction rewrites."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _index_n_buckets,
+        open_text_index,
+        save_full_text_index,
+        text_index_compact,
+        text_index_delete,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    assert _index_n_buckets(build_text_index(docs, n_buckets=16)) == 16
+    root = str(tmp_path / "idx16")
+    save_full_text_index(docs, root, n_buckets=16)
+    post, _l, _s = open_text_index(spark, root)
+    assert _index_n_buckets(post) == 16
+    text_index_delete(spark, root, [0, 1, 2])
+    text_index_compact(spark, root)
+    post2, _l2, _s2 = open_text_index(spark, root)
+    assert _index_n_buckets(post2) == 16
+
+
+def test_build_autopicks_buckets_from_corpus_size(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #8: with no explicit n_buckets the build sizes the
+    bucket count from the corpus (ceil(n_docs / target) clamped to
+    [default, 4096]) — the testdata default stays 64, a big corpus
+    gets more buckets, and searches stay correct because the chosen
+    geometry is persisted and resolved automatically."""
+    import json as _json
+
+    import peerdb_cdc_psql_clickhouse_spark.operators.search as search_mod
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        open_text_index,
+        save_full_text_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+
+    # default target: small corpus -> module default
+    small_root = str(tmp_path / "small")
+    save_full_text_index(docs, small_root)
+    m = _json.loads(
+        open(
+            sorted(
+                (tmp_path / "small" / "manifest").glob("m-*.json")
+            )[-1]
+        ).read()
+    )
+    assert m["n_buckets"] == search_mod.INDEX_BUCKETS
+    assert m["analyzer"] == search_mod.INDEX_ANALYZER
+
+    # shrunken target: the pick grows with the corpus
+    monkeypatch.setattr(search_mod, "TARGET_DOCS_PER_BUCKET", 5)
+    big_root = str(tmp_path / "big")
+    save_full_text_index(docs, big_root)
+    m2 = _json.loads(
+        open(
+            sorted((tmp_path / "big" / "manifest").glob("m-*.json"))[-1]
+        ).read()
+    )
+    want = min(max(-(-n_docs // 5), search_mod.INDEX_BUCKETS), 4096)
+    assert m2["n_buckets"] == want > search_mod.INDEX_BUCKETS
+
+    # and search still resolves the bigger geometry hash-correctly
+    post, _l, _s = open_text_index(spark, big_root)
+    got = {
+        tuple(r)
+        for r in term_search(post, ["data", "model"], "or").collect()
+    }
+    want_rows = {
+        tuple(r)
+        for r in term_search(
+            build_text_index(docs, n_buckets=m2["n_buckets"]),
+            ["data", "model"],
+            "or",
+        ).collect()
+    }
+    assert got == want_rows and got
+
+
+def test_pre_r11_manifest_backfills_geometry(spark, tmp_path):
+    """An r9/r10 manifest (no n_buckets/analyzer fields) is backfilled
+    on first writer contact — inference from the on-disk bucket dirs
+    (every pre-r11 build used the module default) — and keeps
+    searching correctly meanwhile."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        open_text_index,
+        save_full_text_index,
+        text_index_insert,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "idx")
+    save_full_text_index(docs, root)
+    # strip the r11 fields from the committed manifest in place
+    # (simulating an index the r10 engine wrote)
+    mfile = sorted(glob.glob(f"{root}/manifest/m-*.json"))[-1]
+    rec = _json.loads(open(mfile).read())
+    rec.pop("n_buckets"), rec.pop("analyzer")
+    crc = f"{root}/manifest/.{_os.path.basename(mfile)}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(mfile, "w") as f:
+        _json.dump(rec, f)
+
+    # reader path works without the fields (pre-r11 compat)
+    post, _l, _s = open_text_index(spark, root)
+    assert term_search(post, ["data"]).count() > 0
+    # first writer op backfills them
+    one = spark.createDataFrame(
+        [(10_000_002, "zzbackfill doc")], "doc_id long, text string"
+    )
+    text_index_insert(spark, root, one)
+    mfile2 = sorted(glob.glob(f"{root}/manifest/m-*.json"))[-1]
+    rec2 = _json.loads(open(mfile2).read())
+    assert rec2["n_buckets"] == 64
+    assert rec2["analyzer"] == "ws_lower_v1"
+
+
+def test_foreign_analyzer_raises_at_open(spark, tmp_path):
+    """An index built with a different tokenizer would silently miss
+    terms on every query — open/maintain must fail loudly instead."""
+    import glob
+    import json as _json
+    import os as _os
+
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        open_text_index,
+        save_full_text_index,
+        text_index_insert,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "idx")
+    save_full_text_index(docs, root)
+    mfile = sorted(glob.glob(f"{root}/manifest/m-*.json"))[-1]
+    rec = _json.loads(open(mfile).read())
+    rec["analyzer"] = "bpe_subword_v9"
+    crc = f"{root}/manifest/.{_os.path.basename(mfile)}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(mfile, "w") as f:
+        _json.dump(rec, f)
+    with pytest.raises(ValueError, match="analyzer"):
+        open_text_index(spark, root)
+    one = spark.createDataFrame(
+        [(10_000_003, "zz doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="analyzer"):
+        text_index_insert(spark, root, one)

@@ -534,8 +534,14 @@ def test_lease_release_is_token_checked(spark, tmp_path):
     with pytest.raises(ConcurrentWriterError, match="broken"):
         with _writer_lease(spark, root):
             assert json.load(open(lock))["token"]  # stamped with ours
-            # an intruder breaks our lease and stamps its own
+            # an intruder breaks our lease and stamps its own (a real
+            # intruder writes through the Hadoop FS, which keeps the
+            # local-FS checksum consistent — drop the stale .crc so
+            # this out-of-band write reads the same way)
             os.remove(lock)
+            crc = f"{root}/.{os.path.basename(lock)}.crc"
+            if os.path.exists(crc):
+                os.remove(crc)
             with open(lock, "w") as f:
                 json.dump({"token": "intruder", "pid": 0}, f)
     # release must have left the intruder's lease alone
@@ -560,6 +566,9 @@ def test_lease_release_does_not_mask_body_error(spark, tmp_path):
     lock = f"{root}/{_LOCK}"
     with pytest.raises(ValueError, match="the real failure"):
         with _writer_lease(spark, root):
+            crc = f"{root}/.{os.path.basename(lock)}.crc"
+            if os.path.exists(crc):
+                os.remove(crc)
             with open(lock, "w") as f:
                 json.dump({"token": "intruder", "pid": 0}, f)
             raise ValueError("the real failure")
@@ -602,6 +611,7 @@ def test_break_stale_lease_single_winner(spark, tmp_path):
         _LOCK,
         _break_stale_lease,
         _hfs,
+        _lease_token,
     )
 
     root = str(tmp_path / "idx")
@@ -609,9 +619,129 @@ def test_break_stale_lease_single_winner(spark, tmp_path):
     lock = f"{root}/{_LOCK}"
     open(lock, "w").close()
     fs, _p, jvm = _hfs(spark, lock)
-    assert _break_stale_lease(fs, jvm, lock, "racer-a") is True
-    assert _break_stale_lease(fs, jvm, lock, "racer-b") is False
+    p = jvm.org.apache.hadoop.fs.Path(lock)
+    obs_token = _lease_token(fs, jvm, lock)
+    obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+    assert (
+        _break_stale_lease(fs, jvm, lock, "racer-a", obs_token, obs_mtime)
+        is True
+    )
+    assert (
+        _break_stale_lease(fs, jvm, lock, "racer-b", obs_token, obs_mtime)
+        is False
+    )
     assert not os.path.exists(lock)
+
+
+def test_break_stale_lease_spares_replaced_fresh_lease(spark, tmp_path):
+    """ADVICE r10 (medium, TOCTOU): between the age check and the
+    rename-claim, the stale holder's lease can be released and a NEW
+    writer can stamp a fresh one. The break must notice it claimed a
+    DIFFERENT identity than it observed, restore the fresh lease in
+    place, and report failure — never silently steal a live writer's
+    lease."""
+    import json
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _break_stale_lease,
+        _hfs,
+        _lease_token,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    fs, _p, jvm = _hfs(spark, lock)
+    p = jvm.org.apache.hadoop.fs.Path(lock)
+
+    # the waiter observes a STALE lease ...
+    with open(lock, "w") as f:
+        json.dump({"token": "dead-holder", "pid": 0}, f)
+    obs_token = _lease_token(fs, jvm, lock)
+    obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+
+    # ... but before its break lands, the stale lease is released and
+    # a FRESH writer acquires (new token; newer mtime)
+    os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"token": "fresh-writer", "pid": 1}, f)
+
+    assert (
+        _break_stale_lease(fs, jvm, lock, "waiter", obs_token, obs_mtime)
+        is False
+    )
+    # the fresh lease survived the attempted break, content intact
+    assert json.load(open(lock))["token"] == "fresh-writer"
+    # and no claim-file garbage was left behind
+    assert os.listdir(root) == [os.path.basename(lock)]
+
+
+def test_lease_stamp_failure_leaves_no_orphan(spark, tmp_path, monkeypatch):
+    """ADVICE r10: if the identity stamp throws after createNewFile
+    succeeded, the empty lease file WE created must not survive to
+    block the retry loop (it would read as a fresh held lease with no
+    live heartbeat — a self-inflicted ConcurrentWriterError for the
+    full timeout)."""
+    import peerdb_cdc_psql_clickhouse_spark.operators.search as search_mod
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _writer_lease,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+
+    real_stamp = search_mod._stamp_lease
+    fails = {"n": 1}
+
+    def flaky_stamp(fs, p, token):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise IOError("injected stamp failure")
+        real_stamp(fs, p, token)
+
+    monkeypatch.setattr(search_mod, "_stamp_lease", flaky_stamp)
+    # first attempt's stamp fails -> its orphan is cleaned up -> the
+    # retry acquires normally instead of raising against the orphan
+    with _writer_lease(spark, root):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+    assert fails["n"] == 0
+
+
+def test_lease_release_retries_transient_read_errors(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: a transient FS read error at release must not read
+    as 'lease lost' — the release retries; with the lease still ours
+    it is deleted and NO spurious ConcurrentWriterError fires after a
+    successful body."""
+    import peerdb_cdc_psql_clickhouse_spark.operators.search as search_mod
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _writer_lease,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+
+    real_read = search_mod._fs_read_text
+    state = {"arm": False, "fails": 0}
+
+    def flaky_read(fs, jvm, path_str):
+        if state["arm"] and state["fails"] < 2:
+            state["fails"] += 1
+            raise IOError("injected transient read failure")
+        return real_read(fs, jvm, path_str)
+
+    monkeypatch.setattr(search_mod, "_fs_read_text", flaky_read)
+    with _writer_lease(spark, root):
+        state["arm"] = True  # fail the first two release-time reads
+    assert state["fails"] == 2  # the injected errors were hit ...
+    assert not os.path.exists(lock)  # ... retried past, lease released
 
 
 def test_cache_root_is_private_and_rejects_foreign_owner(monkeypatch):
