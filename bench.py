@@ -115,6 +115,41 @@ def cdc_stress(spark, sf_dir: str, n_rows: int = 5000, batch: int = 500) -> dict
         shutil.rmtree(work, ignore_errors=True)
 
 
+def cdc_stress_repeated(
+    spark, sf_dir: str, n: int = 3, **kw
+) -> dict:
+    """cdc_stress run n times, reported as the MEDIAN sample by
+    drain throughput with per-metric dispersion (VERDICT r10 #5: the
+    single-sample numbers 'fell' 19-34% round-over-round with no
+    code change on the path — same box noise the inventory medians
+    already absorb). The returned dict is one REAL sample (the
+    median-ops_per_sec run, so its fields stay mutually consistent),
+    plus samples + rel_spread fields for the reader."""
+    import statistics
+
+    samples = [cdc_stress(spark, sf_dir, **kw) for _ in range(max(1, n))]
+    ops = sorted(s["ops_per_sec"] for s in samples)
+    med_ops = ops[len(ops) // 2]  # upper median: a real sample's value
+    rep = dict(
+        next(s for s in samples if s["ops_per_sec"] == med_ops)
+    )
+
+    def _spread(vals: list[float]) -> float:
+        return round(
+            (max(vals) - min(vals)) / max(statistics.median(vals), 1e-6), 2
+        )
+
+    rep["samples"] = len(samples)
+    rep["ops_per_sec_runs"] = [s["ops_per_sec"] for s in samples]
+    rep["ops_per_sec_rel_spread"] = _spread(
+        [s["ops_per_sec"] for s in samples]
+    )
+    rep["bulk_rows_per_sec_rel_spread"] = _spread(
+        [s["bulk_rows_per_sec"] for s in samples]
+    )
+    return rep
+
+
 # key columns offset per replica so a scaled copy preserves join
 # fan-outs (FKs stay within a copy); region/nation stay fixed like
 # TPC-H dimension tables at higher SF
@@ -268,7 +303,7 @@ ADAPTIVE_MAX_ITERS = 7
 
 
 def inventory_repeated(
-    spark, sf_dir: str, iters: int = 3
+    spark, sf_dir: str, iters: int = 3, max_iters: int | None = None
 ) -> tuple[dict, dict, dict, dict]:
     """The 1× inventory run `iters` times, reported as per-query
     MEDIANS (VERDICT r7 #9: two consecutive rounds of ±25% shared-box
@@ -289,9 +324,15 @@ def inventory_repeated(
     - errors[q]: first error message for queries that failed EVERY
       iteration (a query that succeeded at least once reports its
       median and no error).
+
+    max_iters caps the adaptive re-sampling depth (default
+    ADAPTIVE_MAX_ITERS) — the scaled leg uses a lower cap because
+    each of its passes costs mult× a 1× pass.
     """
     import statistics
 
+    if max_iters is None:
+        max_iters = ADAPTIVE_MAX_ITERS
     runs: dict[str, list[float]] = {}
     first_err: dict[str, str] = {}
 
@@ -305,11 +346,11 @@ def inventory_repeated(
         for q, e in errors.items():
             first_err.setdefault(q, e)
     # adaptive passes: re-sample only the still-noisy queries
-    for _ in range(ADAPTIVE_MAX_ITERS - max(1, iters)):
+    for _ in range(max_iters - max(1, iters)):
         noisy = sorted(
             q
             for q, ts in runs.items()
-            if len(ts) < ADAPTIVE_MAX_ITERS
+            if len(ts) < max_iters
             and _spread(ts) > ADAPTIVE_SPREAD_CAP
         )
         if not noisy:
@@ -327,13 +368,25 @@ def inventory_repeated(
     return medians, spreads, runs, errors
 
 
+SCALED_ITERS = 3
+SCALED_MAX_ITERS = 5
+
+
 def scaled_inventory(
     spark, sf_dir: str, timings_1x: dict, mult: int = 10
 ) -> dict:
     """The declared inventory at a mult× replica (VERDICT r2 #6): the
     empirical check that no query's per-row cost degrades with data
     size. Reports per-query seconds plus the worst time ratio; a
-    query is scale-clean when t_Nx <= 2·N·t_1x (≤2× per-row cost)."""
+    query is scale-clean when t_Nx <= 2·N·t_1x (≤2× per-row cost).
+
+    r11 (VERDICT r10 #4): the scaled leg gets the SAME adaptive-median
+    treatment as the 1× leg — it used to be single-shot, so one noisy
+    box window inflated every ratio by +2-3 at once and made
+    scaled_worst_ratio incomparable round-over-round. Median-of-3 with
+    adaptive re-sampling capped at SCALED_MAX_ITERS (lower than the 1×
+    cap because each pass here costs mult× a 1× pass); per-query
+    sample counts ride out in query_samples."""
     import shutil
     import tempfile
 
@@ -355,7 +408,14 @@ def scaled_inventory(
         # text-index build)
         ivf_build = ivf_index_build_seconds(spark, work)
         text_build = text_index_build_seconds(spark, work)
-        timings, errors = inventory(spark, work)
+        timings, spreads, runs, errors = inventory_repeated(
+            spark,
+            work,
+            iters=int(
+                os.environ.get("SPARK_GRAFT_SCALED_ITERS", SCALED_ITERS)
+            ),
+            max_iters=SCALED_MAX_ITERS,
+        )
         ratios = {
             q: round(t / max(timings_1x.get(q, t), 1e-6), 2)
             for q, t in timings.items()
@@ -388,6 +448,10 @@ def scaled_inventory(
             "ivf_index_build_sec": ivf_build,
             "text_index_build_sec": text_build,
             "queries": timings,
+            "query_rel_spread": spreads,
+            "query_samples": {
+                q: len(ts) for q, ts in sorted(runs.items())
+            },
             "time_ratio_vs_1x": ratios,
             "worst_ratio": ratios.get(worst_q),
             "worst_query": worst_q,
@@ -850,17 +914,21 @@ def main() -> None:
     ivf_build = ivf_index_build_seconds(spark, sf_dir)
     text_build = text_index_build_seconds(spark, sf_dir)
 
-    # per-query MEDIANS over >=3 iterations (VERDICT r7 #9) — the
-    # scaled pass below stays single-shot (its cost is mult× this one)
-    # but its ratios divide by these medians, halving the noise paths
+    # per-query MEDIANS over >=3 iterations (VERDICT r7 #9); the
+    # scaled pass below medians too since r11 (VERDICT r10 #4), with
+    # a lower adaptive cap — see scaled_inventory
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings, spreads, runs, errors = inventory_repeated(spark, sf_dir, iters)
 
-    stress = cdc_stress(spark, sf_dir)
+    # median-of-3 with dispersion (VERDICT r10 #5 — single-sample CDC
+    # numbers moved ±19-34% on unchanged code)
+    stress = cdc_stress_repeated(spark, sf_dir)
     # the reference's DECLARED load profile (peerdb_config.yaml:34-35:
     # 100k records / 5k per batch) streamed through the same mirror —
     # events at sf0.1 is exactly 100k rows
-    stress_large = cdc_stress(spark, sf_dir, n_rows=100_000, batch=5_000)
+    stress_large = cdc_stress_repeated(
+        spark, sf_dir, n_rows=100_000, batch=5_000
+    )
     recall = ann_recall(spark, sf_dir)
     search_q = search_quality(spark, sf_dir)
     extended = extended_ops(spark, sf_dir)
