@@ -402,12 +402,19 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             # corpus — deriving it from `docs` would hide a full
             # corpus scan inside the timed insert and fake linear
             # growth onto an O(batch) operation
+            # offset must clear EVERY replica copy's id range: copies
+            # stride by 10_000_000 (copy 90 at 100x owns
+            # [900M, 900M+n_docs)), so the old +900M offset collided
+            # at 100x and the "insert" silently violated its own
+            # not-live contract (surfaced as delete_250_n == 500 —
+            # both the copy-90 doc and the batch doc tombstoned).
+            # 10^10 is beyond copy 999's base.
             ins_docs = (
                 load_table(spark, SF_DIR, "documents")
                 .select("doc_id", "text")
                 .filter(F.col("doc_id") < 500)
                 .select(
-                    (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                    (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
                     "text",
                 )
             )
@@ -434,7 +441,7 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
 
         try:
             # half of the 500 just-inserted ids — a constant-size set
-            del_ids = [900_000_000 + i for i in range(0, 500, 2)]
+            del_ids = [10_000_000_000 + i for i in range(0, 500, 2)]
             t0 = time.perf_counter()
             n_del = text_index_delete(spark, f"{tmp}/tidx", del_ids)
             res["text_index_delete_250"] = round(
@@ -459,7 +466,7 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
                     .alias("_op"),
                     (F.col("doc_id") + 1).cast("long").alias("_version"),
                     F.current_timestamp().alias("_ts"),
-                    (F.col("doc_id") + 900_000_000).alias("doc_id"),
+                    (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
                     "text",
                 )
             )
