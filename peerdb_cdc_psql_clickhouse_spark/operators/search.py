@@ -1227,6 +1227,7 @@ def text_index_insert(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int | None = None,
+    validate_not_live: bool = False,
 ) -> dict:
     """O(batch) incremental maintenance for a persisted text index
     (VERDICT r5 #3 — the lifecycle parity with ivf_index_insert /
@@ -1260,11 +1261,25 @@ def text_index_insert(
     append contract as the ANN index inserts). Re-inserting a
     DELETED id is fine: the batch's generation is above the
     tombstone's up_to_gen, so the new rows are visible immediately.
+    The violation is SILENT (duplicate postings, inflated stats) —
+    pass validate_not_live=True to turn it into a loud error at the
+    cost of one scan of the narrow lengths table per insert (r11:
+    our own scale probe violated the contract through an id-offset
+    collision and only a downstream delete count exposed it; callers
+    whose batch ids aren't provably fresh should pay the check, or
+    use text_index_apply_changes, which is upsert-safe by
+    construction — it tombstones every touched id first).
 
     Returns {"n_new_docs", "new_tokens", "touched_buckets"}."""
     with _writer_lease(spark, path):
         return _insert_locked(
-            spark, path, new_docs, id_col, text_col, n_buckets
+            spark,
+            path,
+            new_docs,
+            id_col,
+            text_col,
+            n_buckets,
+            validate_not_live,
         )
 
 
@@ -1275,10 +1290,35 @@ def _insert_locked(
     id_col: str,
     text_col: str,
     n_buckets: int | None,
+    validate_not_live: bool = False,
 ) -> dict:
     _recover_insert(spark, path)
     m = _ensure_manifest(spark, path)
     n_buckets = _manifest_n_buckets(m, n_buckets, path)
+    if validate_not_live:
+        # one broadcast semi-join of the (small) batch ids against the
+        # LIVE lengths view — O(index) narrow scan, opt-in
+        _live, lengths_live = _frames_from_manifest(spark, path, m)
+        clash = (
+            lengths_live.join(
+                F.broadcast(
+                    new_docs.select(F.col(id_col)).distinct()
+                ),
+                id_col,
+                "left_semi",
+            )
+            .limit(5)
+            .collect()
+        )
+        if clash:
+            ids = sorted(r[id_col] for r in clash)
+            raise ValueError(
+                f"text_index_insert contract violation: batch ids are "
+                f"already LIVE in the index at {path} (first "
+                f"{len(ids)}: {ids}) — inserting them would silently "
+                "double-count postings. Delete them first, or use "
+                "text_index_apply_changes for upsert semantics."
+            )
     gen = int(m["gen"]) + 1
     stage = f"{path}/{_STAGE}"
     stamp = F.lit(gen).cast("long").alias("_gen")

@@ -562,3 +562,52 @@ def test_foreign_analyzer_raises_at_open(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="analyzer"):
         text_index_insert(spark, root, one)
+
+
+def test_insert_validate_not_live_guard(spark, tmp_path):
+    """r11: the ids-not-live insert contract is silently violable
+    (duplicate postings, inflated stats) — our own scale probe hit it
+    through an id-offset collision. validate_not_live=True turns the
+    violation into a loud error; deleted ids are NOT live, so
+    re-inserting them passes the check (the documented update path)."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        open_text_index,
+        save_full_text_index,
+        text_index_delete,
+        text_index_insert,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "idx")
+    save_full_text_index(docs, root)
+
+    live_batch = docs.filter(F.col("doc_id") < 3)
+    with pytest.raises(ValueError, match="already LIVE"):
+        text_index_insert(spark, root, live_batch, validate_not_live=True)
+    # the rejected insert left no trace: stats and a search unchanged
+    _p, _l, stats = open_text_index(spark, root)
+    assert stats[0] == docs.count()
+
+    # fresh ids pass with validation on
+    fresh = spark.createDataFrame(
+        [(20_000_000, "zzvalidated doc")], "doc_id long, text string"
+    )
+    assert (
+        text_index_insert(spark, root, fresh, validate_not_live=True)[
+            "n_new_docs"
+        ]
+        == 1
+    )
+    # deleted ids are not live: delete-then-reinsert passes the check
+    text_index_delete(spark, root, [0, 1])
+    again = docs.filter(F.col("doc_id") < 2)
+    assert (
+        text_index_insert(spark, root, again, validate_not_live=True)[
+            "n_new_docs"
+        ]
+        == 2
+    )
