@@ -390,6 +390,29 @@ N_CENTROIDS = 64
 NPROBE = 8
 N_ASSIGN = 2
 
+# Auto-sizing target for the standing per-corpus index built by
+# ivf_index_for (r11 — the IVF twin of the text index's
+# TARGET_DOCS_PER_BUCKET): cells = ceil(n_vecs / this) clamped to
+# [N_CENTROIDS, 65536], i.e. CONSTANT cell size once past the floor,
+# so a probe's scanned rows stay ~constant as the corpus grows (the
+# regime the scale probes measure with cells ∝ corpus). Testdata
+# corpora (≤2k vectors) stay at the 64-cell floor, so declared
+# hashes/recall are unchanged; changing this constant requires an
+# _IVF_FORMAT bump (the cache slot does not key on it separately).
+IVF_TARGET_VECS_PER_CELL = 256
+
+
+def ivf_auto_centroids(n_vecs: int) -> int:
+    """Corpus-sized cell count for a standing IVF index (see
+    IVF_TARGET_VECS_PER_CELL). The 65536 cap bounds the quantizer's
+    per-query centroid scan and the build's n·k assignment term (past
+    ~16M vectors use ivf_assign_two_level's k→2√k mitigation and
+    accept larger cells)."""
+    return min(
+        max(-(-int(n_vecs) // IVF_TARGET_VECS_PER_CELL), N_CENTROIDS),
+        65536,
+    )
+
 
 def _l2(a: F.Column, b: F.Column) -> F.Column:
     d = F.zip_with(
@@ -1684,7 +1707,16 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
                 "vec_id", "embedding"
             )
             build = tempfile.mkdtemp(prefix="spark_graft_ivf_")
-            build_ivf_index(emb, build, proj_dim=_IVF_PROJ_DIM)
+            # cells sized from the corpus (constant cell size past the
+            # floor — see ivf_auto_centroids); the chosen count rides
+            # the persisted meta, so searches resolve it from the
+            # index itself
+            build_ivf_index(
+                emb,
+                build,
+                n_centroids=ivf_auto_centroids(emb.count()),
+                proj_dim=_IVF_PROJ_DIM,
+            )
             slot = _publish_slot(build, slot)
         path = _IVF_CACHE[key] = slot
     return load_ivf_index(spark, path)

@@ -241,3 +241,47 @@ def test_index_cache_invalidates_on_source_mtime(spark, tmp_path):
     )
     idx2 = ivf_index_for(spark, sfd)
     assert idx2.path != p1  # rebuilt for the new corpus identity
+
+
+def test_auto_centroids_sizes_with_corpus(spark, tmp_path):
+    """r11 (the IVF twin of the text index's bucket auto-pick): the
+    standing per-corpus index sizes its cell count from the corpus —
+    testdata stays at the 64-cell floor (declared hashes unchanged),
+    a bigger corpus gets ceil(n/256) cells capped at 65536, and an
+    auto-sized index still searches exactly (full probe == brute
+    force)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        N_CENTROIDS,
+        ivf_auto_centroids,
+    )
+
+    assert ivf_auto_centroids(500) == N_CENTROIDS  # sf0.01 floor
+    assert ivf_auto_centroids(2000) == N_CENTROIDS  # sf0.1 floor
+    assert ivf_auto_centroids(1_000_000) == 3907  # ceil(1e6/256)
+    assert ivf_auto_centroids(10**9) == 65536  # cap
+
+    # an above-floor cell count (what a big corpus gets) stays exact
+    # at full probe: same guarantee x2e pins for the default geometry
+    emb = _emb(spark)
+    n = emb.count()
+    path = str(tmp_path / "ivf_auto")
+    cells = 96  # > the 64 floor, forced small target for test scale
+    idx = build_ivf_index(emb, path, n_centroids=cells, n_assign=1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in search_ivf_index(idx, queries, k=3, nprobe=cells).collect()
+    }
+    qframe = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    want = {
+        (r["q_id"], r["vec_id"], r["rank"])
+        for r in cosine_topk(qframe, emb, k=3).collect()
+    }
+    assert got == want
