@@ -582,6 +582,20 @@ def _break_stale_lease(
     return False
 
 
+def _lease_token_provable(fs, jvm, p, lock_path: str) -> str | None:
+    """The lease's current token, read STRICTLY: raises on any read
+    failure (the caller treats that as transient and retries), and
+    returns None only when the file is provably absent. The lenient
+    twin (_lease_token) folds transient errors into None — fine for
+    the acquire path's best-effort probes, but 'None' must never be
+    mistaken for 'provably lost' where a spurious loss verdict
+    strands the lease or raises after a successful body (ADVICE r10
+    at release; same hazard in the heartbeat)."""
+    if not fs.exists(p):
+        return None
+    return json.loads(_fs_read_text(fs, jvm, lock_path)).get("token")
+
+
 def _stamp_lease(fs, p, token: str) -> None:
     """Overwrite the just-created lease file with the holder's
     identity. Module-level (not inlined in the acquire loop) so tests
@@ -686,14 +700,21 @@ def _writer_lease(spark: SparkSession, path: str):
     interval = max(WRITER_LEASE_TIMEOUT_SEC / _LEASE_BEAT_FRACTION, 0.05)
 
     def _beat() -> None:
+        # the token check must be PROVABLE before the beat concludes
+        # loss (r11: the lenient _lease_token returned None on a
+        # transient read error, so one flaky read killed the beat
+        # thread — the lease then aged out mid-op and a successful
+        # body ended in a spurious ConcurrentWriterError); a read
+        # failure is transient and the next beat retries — staleness
+        # needs 3 consecutive whole-beat misses
         while not stop.wait(interval):
             try:
-                if _lease_token(fs, jvm, lock_path) != token:
+                if _lease_token_provable(fs, jvm, p, lock_path) != token:
                     lost.set()
                     return
                 fs.setTimes(p, int(time.time() * 1000), -1)
             except Exception:  # noqa: BLE001 - transient FS error
-                continue  # next beat retries; staleness needs 3 misses
+                continue
 
     beat = threading.Thread(
         target=_beat, name="text-index-lease-heartbeat", daemon=True
@@ -723,11 +744,8 @@ def _writer_lease(spark: SparkSession, path: str):
         still_ours, provable = False, False
         for _ in range(5):
             try:
-                if not fs.exists(p):
-                    provable = True  # provably absent
-                    break
-                raw = json.loads(_fs_read_text(fs, jvm, lock_path))
-                still_ours, provable = raw.get("token") == token, True
+                tok = _lease_token_provable(fs, jvm, p, lock_path)
+                still_ours, provable = tok == token, True
                 break
             except Exception:  # noqa: BLE001 - transient read failure
                 time.sleep(0.05)

@@ -763,3 +763,55 @@ def test_cache_root_is_private_and_rejects_foreign_owner(monkeypatch):
     monkeypatch.setattr(os, "getuid", lambda: real_uid + 1)
     with pytest.raises(PermissionError, match="owned by uid"):
         _cache_root()
+
+
+def test_lease_heartbeat_survives_transient_read_errors(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (found in self-review, same family as the ADVICE r10
+    release finding): the heartbeat's token check must not conclude
+    'lease lost' from a TRANSIENT read error — with the lenient
+    reader, one flaky read killed the beat thread, the lease aged out
+    mid-op, and a successful body ended in a spurious
+    ConcurrentWriterError. With the provable reader the beat retries:
+    the writer survives several failing beats, keeps the lease fresh,
+    and releases cleanly."""
+    import time
+
+    import pytest
+
+    import peerdb_cdc_psql_clickhouse_spark.operators.search as search_mod
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        ConcurrentWriterError,
+        _writer_lease,
+    )
+
+    monkeypatch.setattr(search_mod, "WRITER_LEASE_TIMEOUT_SEC", 0.6)
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+
+    real_read = search_mod._fs_read_text
+    state = {"fail": False, "fails": 0}
+
+    def flaky_read(fs, jvm, path_str):
+        if state["fail"] and path_str == lock:
+            state["fails"] += 1
+            raise IOError("injected transient read failure")
+        return real_read(fs, jvm, path_str)
+
+    monkeypatch.setattr(search_mod, "_fs_read_text", flaky_read)
+    with _writer_lease(spark, root):
+        state["fail"] = True  # every heartbeat read now errs
+        time.sleep(1.4)  # > 2 timeout periods; beats ~every 0.2s
+        state["fail"] = False  # recovery: next beat reads fine
+        time.sleep(0.45)
+        # a second writer must still see a held (fresh) lease: the
+        # beats kept refreshing mtime through the failing reads
+        with pytest.raises(ConcurrentWriterError, match="held"):
+            with _writer_lease(spark, root):
+                pass  # pragma: no cover - must not acquire
+    # several beats actually hit the injected failure, none fatal
+    assert state["fails"] >= 2
+    assert not os.path.exists(lock)  # released cleanly, no error
