@@ -666,9 +666,29 @@ def _writer_lease(spark: SparkSession, path: str):
                 except Exception:  # noqa: BLE001 - best-effort cleanup
                     pass
                 continue
-            if _lease_token(fs, jvm, lock_path) == token:
+            # verify the stamp with the PROVABLE reader, retried (r11:
+            # a transient error here read as 'not ours' and left our
+            # freshly stamped lease stranded — the retry iteration then
+            # raised 'held' against our own file for the full timeout)
+            verified = None
+            for _ in range(3):
+                try:
+                    verified = _lease_token_provable(fs, jvm, p, lock_path)
+                    break
+                except Exception:  # noqa: BLE001 - transient; re-read
+                    time.sleep(0.05)
+            if verified == token:
                 acquired = True
                 break
+            # provably foreign (cannot normally happen on a file we
+            # just created) or unreadable after retries: clean up our
+            # own stamp before retrying, same safety argument as the
+            # stamp-failure path above
+            try:
+                if _lease_token(fs, jvm, lock_path) in (None, token):
+                    fs.delete(p, False)
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
             continue
         # observe the held lease's identity ONCE — the age decision and
         # any stale break below must act on the same observation (the

@@ -815,3 +815,45 @@ def test_lease_heartbeat_survives_transient_read_errors(
     # several beats actually hit the injected failure, none fatal
     assert state["fails"] >= 2
     assert not os.path.exists(lock)  # released cleanly, no error
+
+
+def test_lease_acquire_verify_survives_transient_read_errors(
+    spark, tmp_path, monkeypatch
+):
+    """r11 self-review companion to the heartbeat fix: the post-stamp
+    verify read must not conclude 'not ours' from a transient error —
+    it used to leave the freshly stamped lease stranded and raise
+    'held' against our own file. With retried provable reads the
+    acquire succeeds through two failing verify reads."""
+    import peerdb_cdc_psql_clickhouse_spark.operators.search as search_mod
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _writer_lease,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+
+    real_read = search_mod._fs_read_text
+    state = {"fails": 0, "arm": False}
+
+    def flaky_read(fs, jvm, path_str):
+        if state["arm"] and state["fails"] < 2 and path_str == lock:
+            state["fails"] += 1
+            raise IOError("injected transient read failure")
+        return real_read(fs, jvm, path_str)
+
+    real_stamp = search_mod._stamp_lease
+
+    def arming_stamp(fs, p, token):
+        real_stamp(fs, p, token)
+        state["arm"] = True  # fail the verify reads that follow
+
+    monkeypatch.setattr(search_mod, "_fs_read_text", flaky_read)
+    monkeypatch.setattr(search_mod, "_stamp_lease", arming_stamp)
+    with _writer_lease(spark, root):
+        state["arm"] = False  # stop injecting for heartbeat/release
+        assert os.path.exists(lock)
+    assert state["fails"] == 2  # the injected errors were exercised
+    assert not os.path.exists(lock)  # clean release, no stranded lease
