@@ -157,13 +157,36 @@ FROM agg CROSS JOIN peak
     "four separate loops",
 )
 def d5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import global_rank
+
     ev = load_table(spark, sf_dir, "events")
-    tiled = ev.select(
+    # NTILE(3) OVER (ORDER BY event_id) semantics, distributed
+    # (VERDICT r11 #3): the previous unpartitioned ntile window was a
+    # single-partition sort of the full events log at 100 TB. ntile
+    # over a UNIQUE order key is a pure function of (global rank, n):
+    # the first n%3 tiles get floor(n/3)+1 rows, the rest floor(n/3).
+    # global_rank computes the rank via range-bucket + local rank +
+    # offset join (the shuffle_corpus pattern) and rides n along as a
+    # literal, so tile assignment is map-side.
+    ranked = global_rank(
+        ev.select("event_id", "event_type", "value", "ts"),
+        "event_id",
+        rank_col="_grk",
+        total_col="_n",
+    )
+    base = F.floor(F.col("_n") / 3)
+    rem = F.col("_n") % 3
+    size1 = base + F.when(rem >= 1, F.lit(1)).otherwise(F.lit(0))
+    size2 = base + F.when(rem >= 2, F.lit(1)).otherwise(F.lit(0))
+    tiled = ranked.select(
         "event_id",
         "event_type",
         "value",
         "ts",
-        F.ntile(3).over(Window.orderBy("event_id")).alias("tile"),
+        F.when(F.col("_grk") <= size1, F.lit(1))
+        .when(F.col("_grk") <= size1 + size2, F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("tile"),
     )
     secs = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
     ok = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))
@@ -512,16 +535,19 @@ def d16_rank_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("tag"),
         )
     )
-    rn_head = F.row_number().over(Window.orderBy(F.asc("event_id")))
-    rn_tail = F.row_number().over(Window.orderBy(F.desc("event_id")))
+    # Head/tail via distributed top-k (VERDICT r11 #1): orderBy+limit
+    # compiles to TakeOrderedAndProject — each partition keeps a local
+    # 5, only 5 rows per partition move — where the previous pair of
+    # UNPARTITIONED row_number windows was two single-partition sorts
+    # of the full events log at 100 TB. A row can be in both head and
+    # tail when the table has <=10 rows (the original OR-filter emits
+    # it once), so the union is de-duplicated — over <=10 rows.
+    ht_cols = ev.select("event_id", "event_type")
+    head = ht_cols.orderBy(F.asc("event_id")).limit(5)
+    tail = ht_cols.orderBy(F.desc("event_id")).limit(5)
     ht = (
-        ev.select(
-            "event_id",
-            "event_type",
-            rn_head.alias("rn_head"),
-            rn_tail.alias("rn_tail"),
-        )
-        .filter((F.col("rn_head") <= 5) | (F.col("rn_tail") <= 5))
+        head.unionByName(tail)
+        .distinct()
         .select(
             F.lit("head_tail").alias("op"),
             F.col("event_id").alias("id1"),

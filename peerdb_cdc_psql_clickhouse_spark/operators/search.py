@@ -355,11 +355,16 @@ def bm25_search(
         .groupBy(id_col)
         .agg(F.sum("c").cast("double").alias("score"))
     )
+    # Distributed top-k (VERDICT r11 #2): orderBy+limit compiles to
+    # TakeOrderedAndProject — every partition keeps its local k, only
+    # k rows per partition move — instead of a row_number over an
+    # UNPARTITIONED window, which would funnel every doc matching a
+    # hot term through one task at 100 TB. The rank window then runs
+    # over the <=k-row result only (bounded, not corpus-sized).
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", F.col("rank").cast("int").alias("rank")
     )
 
 

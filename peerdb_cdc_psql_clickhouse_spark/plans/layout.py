@@ -100,3 +100,97 @@ def reuse(
     target = os.path.join(path, "data")
     df.write.mode("overwrite").parquet(target)
     return df.sparkSession.read.parquet(target)
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    rank_col: str = "global_rank",
+    partitions: int | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """df plus `rank_col` — the 1-based global rank under ORDER BY
+    `order_col` ASC — WITHOUT an unpartitioned window (VERDICT r11:
+    `Window.orderBy` with no partitionBy moves the whole input through
+    ONE task; Spark itself warns "No Partition Defined for Window
+    operation"). This is the `shuffle_corpus` range-rank pattern
+    (operators/pipeline.py) generalized to an arbitrary numeric,
+    UNIQUE order column: duplicate order values would make ranks
+    between the duplicates bucket-boundary-dependent.
+
+    Shape (all distributed, nothing corpus-sized through one task):
+      1. one min/max agg over `order_col` (2 scalars to the driver),
+      2. VALUE-range bucketing — fixed stride over [min, max], so
+         bucket id is a map-side expression and bucket order IS the
+         global order (no sampled range partitioner whose bounds vary
+         per job — the shuffle_corpus determinism rule),
+      3. row_number within each bucket (partitioned window),
+      4. per-bucket counts -> cumulative offsets (#buckets rows, the
+         same legitimate driver-side materialization shuffle_corpus
+         does), broadcast-joined back; rank = offset + local rank.
+
+    The two scalar jobs re-execute the upstream plan (a scan + partial
+    agg each — embarrassingly parallel, unlike the single-partition
+    sort this replaces); persist heavy derived upstreams first via
+    reuse(). Value-ranged buckets skew if order_col values cluster
+    heavily; for sequential ids (the intended use) they are uniform.
+
+    total_col, when set, adds the total row count as a literal column
+    (computed from the same offsets pass — no extra job); callers that
+    need n for quantile/tile boundaries read it off the row instead of
+    running their own count().
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    reserved = {"_gr_bkt", "_gr_lrk", "_gr_off", rank_col}
+    if total_col:
+        reserved.add(total_col)
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column(s) {sorted(clash)} are reserved")
+
+    spark = df.sparkSession
+    n_parts = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:  # empty input: rank column only
+        out = df.withColumn(rank_col, F.lit(None).cast("long"))
+        if total_col:
+            out = out.withColumn(total_col, F.lit(0).cast("long"))
+        return out
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    stride = max(-(-(hi - lo + 1) // n_parts), 1)
+    bkt = F.least(
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(stride)),
+        F.lit(n_parts - 1),
+    ).cast("int")
+    keyed = df.withColumn("_gr_bkt", bkt)
+    w = Window.partitionBy("_gr_bkt").orderBy(F.col(order_col).asc())
+    ranked = keyed.withColumn("_gr_lrk", F.row_number().over(w))
+    counts = sorted(
+        (r["_gr_bkt"], r["n"])
+        for r in keyed.groupBy("_gr_bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    off = spark.createDataFrame(
+        offsets or [(0, 0)], "_gr_bkt int, _gr_off long"
+    )
+    out = (
+        ranked.join(F.broadcast(off), "_gr_bkt")
+        .withColumn(
+            rank_col, (F.col("_gr_off") + F.col("_gr_lrk")).cast("long")
+        )
+        .drop("_gr_bkt", "_gr_lrk", "_gr_off")
+    )
+    if total_col:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

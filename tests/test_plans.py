@@ -260,6 +260,45 @@ def test_declared_phrase_boolean_prunes_postings_buckets(plans):
     assert "term" in p
 
 
+def test_d16_head_tail_is_distributed_topk(plans):
+    """VERDICT r11 #1: the head/tail branch must be two distributed
+    top-k limits (TakeOrderedAndProject: each partition keeps a local
+    5, only 5 rows/partition move), NOT two unpartitioned row_number
+    windows = two single-partition sorts of the full events table."""
+    p = plans("d16_rank_ops")
+    # latest-file (limit 1) + head (limit 5) + tail (limit 5)
+    assert p.count("TakeOrderedAndProject") >= 3
+    # nothing in this plan may funnel the events table through one
+    # task; the only Window left is first_seen's, keyed on user_id
+    assert "SinglePartition" not in p
+    assert "hashpartitioning(user_id" in p
+
+
+def test_x9_final_topk_not_global_window(plans):
+    """VERDICT r11 #2: the BM25 final ranking must be orderBy+limit
+    (TakeOrderedAndProject — distributed partial top-k) with the rank
+    window running over the <=k-row result, NOT a row_number over an
+    unpartitioned window across every doc matching any query term
+    (one hot term at 100 TB = millions of rows through one task)."""
+    p = plans("x9_bm25_search")
+    assert "TakeOrderedAndProject" in p
+    assert "SinglePartition" not in p
+
+
+def test_d5_ntile_is_bucketed_global_rank(plans):
+    """VERDICT r11 #3: the thirds-trend tile assignment must ride the
+    distributed global_rank (range bucket + local rank + offset join
+    — the shuffle_corpus pattern), not a corpus-wide unpartitioned
+    ntile window."""
+    p = plans("d5_run_summary")
+    assert "ntile" not in p
+    # the rank window is keyed on the value-range bucket
+    assert "windowspecdefinition(_gr_bkt" in p
+    assert "hashpartitioning(_gr_bkt" in p
+    # (the final 1-row global aggregate still exchanges its partial
+    # buffers SinglePartition — one buffer row per partition, bounded)
+
+
 def test_declared_bm25_prunes_postings_buckets(plans):
     # r5: x9 searches the persisted positional index — the query
     # terms' bucket ids must reach the scan as partition filters and

@@ -114,3 +114,80 @@ def test_get_spark_applies_explicit_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+# ---------------------------------------------------------------------------
+# plans.layout.global_rank — the shuffle_corpus range-rank pattern
+# generalized to an arbitrary unique numeric order column (r12: the
+# distributed replacement for unpartitioned rank/ntile windows,
+# VERDICT r11 "What's wrong" #1/#3)
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_window_oracle(spark):
+    from pyspark.sql import Window
+
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    got = {
+        r.event_id: (r.grk, r.n)
+        for r in global_rank(
+            ev, "event_id", rank_col="grk", total_col="n"
+        ).collect()
+    }
+    n = ev.count()
+    want = {
+        r.event_id: (r.grk, n)
+        for r in ev.withColumn(
+            "grk",
+            F.row_number().over(Window.orderBy("event_id")).cast("long"),
+        ).collect()
+    }
+    assert len(got) == n > 0
+    assert got == want
+
+
+def test_global_rank_partitioning_and_bucket_count_independent(spark):
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id")
+    base = {
+        r.event_id: r.grk
+        for r in global_rank(ev, "event_id", rank_col="grk").collect()
+    }
+    for variant in (
+        global_rank(ev.repartition(13), "event_id", rank_col="grk"),
+        global_rank(ev, "event_id", rank_col="grk", partitions=3),
+        global_rank(ev, "event_id", rank_col="grk", partitions=200),
+    ):
+        assert {r.event_id: r.grk for r in variant.collect()} == base
+
+
+def test_global_rank_negative_and_sparse_values(spark):
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    vals = [-(10**9), -7, 0, 3, 10**12]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = sorted(
+        (r.v, r.rk)
+        for r in global_rank(df, "v", rank_col="rk").collect()
+    )
+    assert got == [(v, i + 1) for i, v in enumerate(sorted(vals))]
+
+
+def test_global_rank_empty_and_reserved_clash(spark):
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    empty = spark.createDataFrame([], "v long")
+    out = global_rank(empty, "v", rank_col="rk", total_col="n")
+    assert out.count() == 0
+    assert set(out.columns) == {"v", "rk", "n"}
+
+    clash = spark.createDataFrame([(1, 2)], "v long, rk long")
+    with pytest.raises(ValueError, match="reserved"):
+        global_rank(clash, "v", rank_col="rk")
