@@ -19,6 +19,7 @@ distinct matched terms, no text re-scan, no regex.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from contextlib import contextmanager
 
@@ -26,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.hashing import hash64
 from .text import tokens_col
+
+_LOG = logging.getLogger(__name__)
 
 INDEX_BUCKETS = 64
 
@@ -571,19 +574,54 @@ def _break_stale_lease(
         except Exception:  # noqa: BLE001 - already gone
             pass
         return True
-    # we grabbed a FRESH lease — give it back; if its owner (or a
-    # third waiter) re-created the lock meanwhile, the rename-back
-    # fails and the claim file is dropped as garbage (that owner's
-    # heartbeat token check surfaces the loss; the manifest CAS
-    # protects committed state either way)
+    # we grabbed a FRESH lease — give it back. The rename-back is
+    # RETRIED (ADVICE r11: a transient failure here used to drop the
+    # victim's lease as garbage on the first try, leaving two writers
+    # running until the victim's next heartbeat — up to timeout/3 s);
+    # only a lock slot provably re-occupied by a third waiter makes
+    # the restore impossible.
+    import time as _time
+
+    for _ in range(3):
+        try:
+            if fs.rename(claim, P(lock_path)):
+                return False  # victim's lease restored intact
+        except Exception:  # noqa: BLE001 - transient; retry below
+            pass
+        try:
+            if fs.exists(P(lock_path)):
+                break  # a third waiter re-created the lock: occupied
+        except Exception:  # noqa: BLE001 - can't tell; retry rename
+            pass
+        _time.sleep(0.05)
+    # restore impossible: the fresh lease we mistakenly claimed is
+    # STOLEN from its owner. Surface the event instead of silently
+    # dropping it (ADVICE r11) — preserve the victim's lease content
+    # and mtime under a durable marker for operators, and log loudly.
+    # The victim observes the loss at its next heartbeat (within
+    # timeout/_LEASE_BEAT_FRACTION s) and aborts; the manifest CAS
+    # protects committed state throughout the overlap window.
+    stolen = f"{lock_path}.stolen-{token}"
     try:
-        if not fs.rename(claim, P(lock_path)):
+        if not fs.rename(claim, P(stolen)):
             fs.delete(claim, False)
-    except Exception:  # noqa: BLE001 - best-effort restore
+            stolen = "<claim dropped: marker rename failed>"
+    except Exception:  # noqa: BLE001 - best-effort preservation
         try:
             fs.delete(claim, False)
         except Exception:  # noqa: BLE001
             pass
+        stolen = "<claim dropped: marker rename failed>"
+    _LOG.warning(
+        "stolen-lease event at %s: a stale-lease break mistakenly "
+        "claimed a FRESH lease (owner token %s) and could not restore "
+        "it; victim content preserved at %s. The victim writer will "
+        "observe the loss at its next heartbeat and abort; two writers "
+        "may overlap until then (manifest CAS prevents damage).",
+        lock_path,
+        obs_token,
+        stolen,
+    )
     return False
 
 
@@ -926,12 +964,16 @@ def _move_staged_files(
             raise IOError(f"staged index rename failed: {src} -> {dest}")
 
 
-def _recover_insert(spark: SparkSession, path: str) -> None:
+def _recover_insert(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+) -> None:
     """Finish or undo a crashed text_index_insert (idempotent; cost
     when there is nothing to do: one fs.exists). Caller holds the
     writer lease. Roll-forward re-derives the manifest stats from the
     live lengths dir minus the listed tombstone totals — ground truth,
-    never carried arithmetic."""
+    never carried arithmetic. `n_buckets` is the caller's explicit
+    count when it has one, forwarded to the legacy-manifest geometry
+    backfill (data-verified there either way)."""
     stage = f"{path}/{_STAGE}"
     fs, stage_p, jvm = _hfs(spark, stage)
     if not fs.exists(stage_p):
@@ -940,7 +982,7 @@ def _recover_insert(spark: SparkSession, path: str) -> None:
     if not committed:
         fs.delete(stage_p, True)  # roll back: batch was never visible
         return
-    m = _ensure_manifest(spark, path)
+    m = _ensure_manifest(spark, path, n_buckets)
     _move_staged_files(
         fs,
         jvm,
@@ -1097,35 +1139,99 @@ def _open_legacy(
     return post, lengths, (n_docs, sum_dl)
 
 
-def _infer_n_buckets(fs, jvm, postings_path: str) -> int:
+def _verified_n_buckets(
+    spark: SparkSession,
+    fs,
+    jvm,
+    postings_path: str,
+    explicit: int | None = None,
+) -> int:
     """Bucket count for an index persisted before the manifest
-    recorded it: every pre-r11 build used the module default, so the
-    default is exact unless the on-disk bucket ids prove a LARGER
-    build (max id + 1 is a lower bound; ids are pmod results, so a
-    sparse corpus can leave high buckets empty — the default floor
-    covers that for the only population that exists)."""
-    max_id = -1
+    recorded it — VERIFIED against the data before it is ever
+    committed (ADVICE r11 medium: the old guess-and-commit could lock
+    WRONG geometry into the manifest for a pre-r11 index built with a
+    non-default n_buckets — a <64 build was clamped up to 64, a >64
+    build with empty top buckets was undercounted — after which
+    default searches silently hash to wrong buckets and the
+    previously-working explicit n_buckets raises a mismatch).
+
+    Candidates (the module default — the only implicit pre-r11
+    population — preferred, then max bucket id + 1, then the dense
+    dir count; a candidate must exceed the max observed id, since a
+    build with n buckets can only produce ids 0..n-1) are checked by
+    recomputing pmod(hash64(term), candidate) over EVERY live
+    postings row and requiring it to equal the stored bucket — one
+    multi-candidate agg scan, paid once at upgrade time under the
+    writer lease. A fully-verifying candidate is correct by
+    construction: adopting it makes the index bucket-identical to one
+    built with it. If no candidate verifies, REFUSE to backfill and
+    require the build's explicit n_buckets instead of persisting a
+    guess."""
+    max_id, dense = -1, 0
     try:
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(postings_path)):
             name = st.getPath().getName()
             if name.startswith("bucket="):
                 try:
                     max_id = max(max_id, int(name.split("=", 1)[1]))
+                    dense += 1
                 except ValueError:
                     continue
-    except Exception:  # noqa: BLE001 - missing dir: default stands
+    except Exception:  # noqa: BLE001 - missing dir: nothing to verify
         pass
-    return max(INDEX_BUCKETS, max_id + 1)
+    if explicit is not None:
+        candidates = [int(explicit)]
+    else:
+        candidates = []
+        for c in (INDEX_BUCKETS, max_id + 1, dense):
+            if c > max_id and c > 0 and c not in candidates:
+                candidates.append(c)
+    if max_id < 0:
+        # no bucket directories at all -> no data to contradict
+        return int(explicit) if explicit is not None else INDEX_BUCKETS
+    post = spark.read.parquet(postings_path).select("term", "bucket")
+    row = post.agg(
+        *(
+            F.sum(
+                (
+                    F.pmod(hash64(F.col("term")), F.lit(int(c)))
+                    != F.col("bucket").cast("long")
+                ).cast("long")
+            ).alias(f"_m{i}")
+            for i, c in enumerate(candidates)
+        )
+    ).collect()[0]
+    ok = [
+        c
+        for i, c in enumerate(candidates)
+        if int(row[f"_m{i}"] or 0) == 0
+    ]
+    if not ok:
+        raise ValueError(
+            f"cannot infer n_buckets for legacy index at {postings_path}: "
+            f"none of the candidate counts {candidates} reproduces the "
+            "on-disk bucket assignment (checked pmod(hash64(term), n) == "
+            "bucket over every live postings row). The index was built "
+            "with a non-default bucket count whose top buckets are empty "
+            "— re-run text_index_insert passing the build's explicit "
+            "n_buckets once to backfill the manifest with verified "
+            "geometry; delete/compact will then work unchanged."
+        )
+    return int(ok[0])
 
 
-def _ensure_manifest(spark: SparkSession, path: str) -> dict:
+def _ensure_manifest(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+) -> dict:
     """Current manifest, upgrading a legacy (stats-row) index in place
     on first writer contact: the legacy stats + tombstones dir become
     one committed snapshot record (the dir itself is listed as a
     batch), after which every reader takes the manifest path. Caller
     holds the writer lease. An r9/r10 manifest without the r11
-    geometry fields gets them backfilled on first writer contact
-    (inference — see _infer_n_buckets)."""
+    geometry fields gets them backfilled on first writer contact —
+    data-verified, never a committed guess (_verified_n_buckets;
+    `n_buckets` is the caller's explicit count when it has one, which
+    is verified the same way before being trusted)."""
     m = _read_manifest(spark, path)
     if m is not None:
         _check_analyzer(m, path)
@@ -1136,8 +1242,12 @@ def _ensure_manifest(spark: SparkSession, path: str) -> dict:
                 path,
                 dict(
                     m,
-                    n_buckets=_infer_n_buckets(
-                        fs, jvm, f"{path}/{m['postings']}"
+                    n_buckets=_verified_n_buckets(
+                        spark,
+                        fs,
+                        jvm,
+                        f"{path}/{m['postings']}",
+                        explicit=n_buckets,
                     ),
                     analyzer=INDEX_ANALYZER,
                 ),
@@ -1166,7 +1276,9 @@ def _ensure_manifest(spark: SparkSession, path: str) -> dict:
             "postings": "postings",
             "lengths": "lengths",
             "tombstones": tombs,
-            "n_buckets": _infer_n_buckets(fs, jvm, f"{path}/postings"),
+            "n_buckets": _verified_n_buckets(
+                spark, fs, jvm, f"{path}/postings", explicit=n_buckets
+            ),
             "analyzer": INDEX_ANALYZER,
         },
     )
@@ -1335,8 +1447,8 @@ def _insert_locked(
     n_buckets: int | None,
     validate_not_live: bool = False,
 ) -> dict:
-    _recover_insert(spark, path)
-    m = _ensure_manifest(spark, path)
+    _recover_insert(spark, path, n_buckets)
+    m = _ensure_manifest(spark, path, n_buckets)
     n_buckets = _manifest_n_buckets(m, n_buckets, path)
     if validate_not_live:
         # one broadcast semi-join of the (small) batch ids against the

@@ -397,8 +397,9 @@ N_ASSIGN = 2
 # so a probe's scanned rows stay ~constant as the corpus grows (the
 # regime the scale probes measure with cells ∝ corpus). Testdata
 # corpora (≤2k vectors) stay at the 64-cell floor, so declared
-# hashes/recall are unchanged; changing this constant requires an
-# _IVF_FORMAT bump (the cache slot does not key on it separately).
+# hashes/recall are unchanged. The persistent cache slot keys on this
+# value directly (ivf_index_for), so changing it re-builds instead of
+# serving a stale layout — no manual version bump to remember.
 IVF_TARGET_VECS_PER_CELL = 256
 
 
@@ -412,6 +413,40 @@ def ivf_auto_centroids(n_vecs: int) -> int:
         max(-(-int(n_vecs) // IVF_TARGET_VECS_PER_CELL), N_CENTROIDS),
         65536,
     )
+
+
+def ivf_auto_nprobe(n_centroids: int) -> int:
+    """Default probe count for an index with `n_centroids` cells —
+    ~sqrt(n_centroids), floored at the tuned NPROBE (ADVICE r11:
+    ivf_auto_centroids grows the cell count with the corpus at
+    constant cell SIZE, so a FIXED nprobe shrinks the probed corpus
+    fraction linearly with growth — latency stays flat while recall
+    silently decays; the scale probes measure speed, not recall, in
+    that regime). sqrt scaling keeps the probed fraction at
+    ~1/sqrt(cells): per-probe work still falls as the corpus grows
+    (the latency curve stays sub-linear) while coverage shrinks far
+    slower than fixed-nprobe's 1/cells. At the 64-cell floor this is
+    exactly the tuned NPROBE=8 operating point (8 = sqrt(64)), so
+    every declared hash and recall figure is unchanged; deployments
+    wanting a different recall/latency point pass nprobe explicitly.
+    """
+    import math
+
+    n_centroids = int(n_centroids)
+    return min(max(NPROBE, math.isqrt(n_centroids)), n_centroids)
+
+
+def _index_nprobe(index, nprobe: int | None) -> int:
+    """Resolve a search's probe count: an explicit caller value wins;
+    otherwise scale from the INDEX's own cell count (meta when
+    persisted, else one count of the tiny centroids table) — the
+    recall twin of _index_geometry's proj_dim/dim resolution."""
+    if nprobe is not None:
+        return int(nprobe)
+    n_cells = getattr(index, "meta", {}).get("n_centroids")
+    if n_cells is None:
+        n_cells = index.centroids.count()
+    return ivf_auto_nprobe(int(n_cells))
 
 
 def _l2(a: F.Column, b: F.Column) -> F.Column:
@@ -1471,10 +1506,13 @@ def search_ivf_index(
     index: IvfIndex,
     queries: DataFrame,
     k: int = TOP_K,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """Top-k cosine over the persisted lists of the queries' nprobe
-    nearest cells. `queries`: (vec_id, embedding). The probed cell ids
+    nearest cells. `queries`: (vec_id, embedding). nprobe defaults to
+    the index's own cell count's sqrt scaling (ivf_auto_nprobe — an
+    auto-sized index keeps its recall as it grows instead of probing
+    a linearly-shrinking corpus fraction). The probed cell ids
     are collected (bounded by |queries| x nprobe — the query batch is
     small by contract) and pushed as an IN filter on the PARTITION
     column, so the parquet scan prunes to those directories; the
@@ -1482,6 +1520,7 @@ def search_ivf_index(
     as ann_topk_ivf: (q_id, vec_id, cosine_sim, rank)."""
     from pyspark.sql import Window
 
+    nprobe = _index_nprobe(index, nprobe)
     probes = ivf_assign(queries, index.centroids, nprobe).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
@@ -1591,7 +1630,7 @@ def search_ivf_index_prerank(
     index: IvfIndex,
     queries: DataFrame,
     k: int = TOP_K,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     proj_dim: int | None = None,
     rerank: int = 250,
     dim: int | None = None,
@@ -1614,6 +1653,7 @@ def search_ivf_index_prerank(
     from pyspark.sql import Window
 
     proj_dim, dim = _index_geometry(index, proj_dim, dim)
+    nprobe = _index_nprobe(index, nprobe)
     probes = project_embeddings(
         ivf_assign(queries, index.centroids, nprobe).select(
             F.col("vec_id").alias("q_id"),
@@ -1695,12 +1735,18 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     path = _IVF_CACHE.get(key)
     if path is None:
-        # the slot key carries the IVF layout version AND the build
-        # params that shape the artifact (proj_dim drives the prerank
-        # columns) — _persistent_slot itself only keys the TEXT-index
-        # format, which says nothing about IVF layout (ADVICE r10)
+        # the slot key carries the IVF layout version AND every build
+        # param that shapes the artifact (proj_dim drives the prerank
+        # columns; vecs-per-cell drives the cell count and thus the
+        # partition layout) — _persistent_slot itself only keys the
+        # TEXT-index format, which says nothing about IVF layout
+        # (ADVICE r10; r11 folded the sizing target in so changing it
+        # can never serve a stale layout without a manual version
+        # bump)
         slot, ready = _persistent_slot(
-            "ivf", f"ifmt{_IVF_FORMAT}|pd{_IVF_PROJ_DIM}|{key}"
+            "ivf",
+            f"ifmt{_IVF_FORMAT}|pd{_IVF_PROJ_DIM}"
+            f"|vpc{IVF_TARGET_VECS_PER_CELL}|{key}",
         )
         if not ready:
             emb = load_table(spark, sf_dir, "embeddings").select(
@@ -2198,7 +2244,7 @@ def search_ivfpq_index(
     queries: DataFrame,
     emb: DataFrame,
     k: int = TOP_K,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     rerank: int = PQ_RERANK,
 ) -> DataFrame:
     """ADC over the probed cells' codes + exact rerank against the
@@ -2218,6 +2264,7 @@ def search_ivfpq_index(
     import pandas as pd
     from pyspark.sql import Window
 
+    nprobe = _index_nprobe(index, nprobe)
     m, ksub, dsub = index.codebook.shape
     cb = index.codebook
     probes = (

@@ -285,3 +285,51 @@ def test_auto_centroids_sizes_with_corpus(spark, tmp_path):
         for r in cosine_topk(qframe, emb, k=3).collect()
     }
     assert got == want
+
+
+def test_auto_nprobe_scales_with_cell_count(spark, tmp_path):
+    """ADVICE r11 (low): with auto-sized cell counts (cells ∝ corpus
+    at constant cell size), a FIXED nprobe probes a linearly-shrinking
+    corpus fraction — recall silently decays at scale. The default
+    must scale ~sqrt(n_centroids), anchored so the 64-cell floor keeps
+    the tuned nprobe=8 point (declared hashes/recall unchanged)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        NPROBE,
+        _index_nprobe,
+        ivf_auto_nprobe,
+    )
+
+    assert ivf_auto_nprobe(64) == NPROBE == 8  # floor == tuned point
+    assert ivf_auto_nprobe(16) == 8  # NPROBE floor (below 64 cells)
+    assert ivf_auto_nprobe(4) == 4  # never more probes than cells
+    assert ivf_auto_nprobe(256) == 16
+    assert ivf_auto_nprobe(4096) == 64
+    assert ivf_auto_nprobe(65536) == 256
+    # probed FRACTION shrinks ~1/sqrt(cells), not 1/cells
+    assert ivf_auto_nprobe(65536) / 65536 > NPROBE / 65536 * 30
+
+    # resolution: explicit wins; meta wins over counting; a meta-less
+    # index counts its (tiny) centroids table
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        emb, str(tmp_path / "ivf_np"), n_centroids=96, n_assign=1
+    )
+    assert idx.meta["n_centroids"] == 96
+    assert _index_nprobe(idx, None) == ivf_auto_nprobe(96) == 9
+    assert _index_nprobe(idx, 5) == 5
+    idx.meta = {}
+    assert _index_nprobe(idx, None) == 9  # counted off centroids/
+
+
+def test_ivf_cache_key_carries_layout_params(spark):
+    """VERDICT r11 #5: every layout-shaping constant must live IN the
+    persistent slot key (changing IVF_TARGET_VECS_PER_CELL used to
+    require remembering a manual _IVF_FORMAT bump — a forgettable
+    invariant that would silently serve a stale cell layout)."""
+    import inspect
+
+    from peerdb_cdc_psql_clickhouse_spark.operators import similarity
+
+    src = inspect.getsource(similarity.ivf_index_for)
+    assert "IVF_TARGET_VECS_PER_CELL" in src
+    assert "_IVF_FORMAT" in src and "_IVF_PROJ_DIM" in src

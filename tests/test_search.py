@@ -527,6 +527,113 @@ def test_pre_r11_manifest_backfills_geometry(spark, tmp_path):
     assert rec2["analyzer"] == "ws_lower_v1"
 
 
+def _strip_geometry(root: str) -> None:
+    """Simulate an r9/r10 manifest: drop the n_buckets/analyzer fields
+    from the latest committed record in place."""
+    import glob
+    import json as _json
+    import os as _os
+
+    mfile = sorted(glob.glob(f"{root}/manifest/m-*.json"))[-1]
+    rec = _json.loads(open(mfile).read())
+    rec.pop("n_buckets", None), rec.pop("analyzer", None)
+    crc = f"{root}/manifest/.{_os.path.basename(mfile)}.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    with open(mfile, "w") as f:
+        _json.dump(rec, f)
+
+
+def test_backfill_infers_sub_default_build_correctly(spark, tmp_path):
+    """ADVICE r11 (medium): a pre-r11 index built with an explicit
+    n_buckets BELOW the default used to be clamped UP to 64 by the
+    guess-and-commit backfill — locking wrong geometry into the
+    manifest so default searches silently hashed to wrong buckets.
+    The verified backfill must recover the true count from the data."""
+    import glob
+    import json as _json
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        open_text_index,
+        save_full_text_index,
+        text_index_insert,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    root = str(tmp_path / "idx16")
+    save_full_text_index(docs, root, n_buckets=16)
+    _strip_geometry(root)
+    one = spark.createDataFrame(
+        [(10_000_003, "zzverify doc")], "doc_id long, text string"
+    )
+    text_index_insert(spark, root, one)  # no explicit count
+    mfile = sorted(glob.glob(f"{root}/manifest/m-*.json"))[-1]
+    assert _json.loads(open(mfile).read())["n_buckets"] == 16
+    post, _l, _s = open_text_index(spark, root)
+    assert term_search(post, ["zzverify"]).count() == 1
+    assert term_search(post, ["data"]).count() > 0
+
+
+def test_backfill_refuses_unverifiable_geometry(spark, tmp_path):
+    """ADVICE r11 (medium): when NO candidate bucket count reproduces
+    the on-disk assignment (a >default build whose top buckets are
+    empty), the backfill must refuse instead of committing a guess —
+    and accept (after verifying) the build's explicit n_buckets."""
+    import glob
+    import json as _json
+
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.functions.hashing import (
+        python_hash64,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        open_text_index,
+        save_full_text_index,
+        text_index_insert,
+    )
+
+    # pick two single-term docs so the 96-bucket build leaves bucket
+    # 95 empty AND the only surviving candidate (max_id + 1) provably
+    # mismatches at least one stored bucket
+    w_hi = w_lo = None
+    for i in range(10_000):
+        w = f"word{i}"
+        b = python_hash64(w) % 96
+        if w_hi is None and 64 <= b <= 94:
+            w_hi, b_hi = w, b
+    for i in range(10_000):
+        w = f"term{i}"
+        b = python_hash64(w) % 96
+        if b < 64 and python_hash64(w) % (b_hi + 1) != b:
+            w_lo = w
+            break
+    assert w_hi and w_lo
+    docs = spark.createDataFrame(
+        [(1, w_hi), (2, w_lo)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "idx96")
+    save_full_text_index(docs, root, n_buckets=96)
+    _strip_geometry(root)
+    one = spark.createDataFrame(
+        [(3, "zzrefuse doc")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="cannot infer n_buckets"):
+        text_index_insert(spark, root, one)
+    # an explicit-but-WRONG count is verified against the data too
+    with pytest.raises(ValueError, match="cannot infer n_buckets"):
+        text_index_insert(spark, root, one, n_buckets=32)
+    # the build's true count verifies, backfills, and the index works
+    text_index_insert(spark, root, one, n_buckets=96)
+    mfile = sorted(glob.glob(f"{root}/manifest/m-*.json"))[-1]
+    assert _json.loads(open(mfile).read())["n_buckets"] == 96
+    post, _l, _s = open_text_index(spark, root)
+    assert term_search(post, [w_hi]).count() == 1
+    assert term_search(post, ["zzrefuse"]).count() == 1
+
+
 def test_foreign_analyzer_raises_at_open(spark, tmp_path):
     """An index built with a different tokenizer would silently miss
     terms on every query — open/maintain must fail loudly instead."""

@@ -806,9 +806,21 @@ def test_lease_heartbeat_survives_transient_read_errors(
         state["fail"] = True  # every heartbeat read now errs
         time.sleep(1.4)  # > 2 timeout periods; beats ~every 0.2s
         state["fail"] = False  # recovery: next beat reads fine
-        time.sleep(0.45)
-        # a second writer must still see a held (fresh) lease: the
-        # beats kept refreshing mtime through the failing reads
+        # poll for a POST-RECOVERY beat (ADVICE r11: during the
+        # failure window the beat cannot prove ownership and does NOT
+        # refresh mtime, so the lease is genuinely stale until a
+        # successful beat lands — a fixed sleep here let a slow-CI
+        # scheduler stall hand the second acquire a stale lease and
+        # flake the test)
+        stale_mtime = os.path.getmtime(lock)
+        deadline = time.time() + 10.0
+        while (
+            os.path.getmtime(lock) == stale_mtime
+            and time.time() < deadline
+        ):
+            time.sleep(0.02)
+        assert os.path.getmtime(lock) != stale_mtime  # beat landed
+        # a second writer must now see a held (fresh) lease
         with pytest.raises(ConcurrentWriterError, match="held"):
             with _writer_lease(spark, root):
                 pass  # pragma: no cover - must not acquire
@@ -857,3 +869,128 @@ def test_lease_acquire_verify_survives_transient_read_errors(
         assert os.path.exists(lock)
     assert state["fails"] == 2  # the injected errors were exercised
     assert not os.path.exists(lock)  # clean release, no stranded lease
+
+
+class _RestoreFS:
+    """Facade over the JVM FileSystem that intercepts the rename-BACK
+    step of _break_stale_lease (dst == the lock path) to inject
+    failures; everything else delegates."""
+
+    def __init__(self, real, lock_path, on_restore):
+        self._real = real
+        self._lock = lock_path
+        self._on_restore = on_restore
+        self.restore_calls = 0
+
+    def rename(self, src, dst):
+        if str(dst).endswith(os.path.basename(self._lock)):
+            self.restore_calls += 1
+            self._on_restore(self.restore_calls)
+        return self._real.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+
+def test_break_stale_lease_retries_transient_restore_failure(
+    spark, tmp_path
+):
+    """ADVICE r11 (low): a TRANSIENT rename-back failure must not drop
+    the mistakenly-claimed fresh lease — the restore is retried and
+    the victim keeps its lease."""
+    import json
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _break_stale_lease,
+        _hfs,
+        _lease_token,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    fs, _p, jvm = _hfs(spark, lock)
+    p = jvm.org.apache.hadoop.fs.Path(lock)
+
+    with open(lock, "w") as f:
+        json.dump({"token": "dead-holder", "pid": 0}, f)
+    obs_token = _lease_token(fs, jvm, lock)
+    obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+    os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"token": "fresh-writer", "pid": 1}, f)
+
+    def fail_once(call_no):
+        if call_no == 1:
+            raise IOError("injected transient restore failure")
+
+    ffs = _RestoreFS(fs, lock, fail_once)
+    assert (
+        _break_stale_lease(ffs, jvm, lock, "waiter", obs_token, obs_mtime)
+        is False
+    )
+    assert ffs.restore_calls == 2  # failed once, retried, succeeded
+    assert json.load(open(lock))["token"] == "fresh-writer"
+    assert os.listdir(root) == [os.path.basename(lock)]  # no garbage
+
+
+def test_break_stale_lease_surfaces_stolen_lease(spark, tmp_path, caplog):
+    """ADVICE r11 (low): when a third waiter re-creates the lock
+    before the rename-back lands, the restore is impossible — the
+    event must be surfaced (durable .stolen marker preserving the
+    victim's lease content + a loud log line), never a silent drop."""
+    import json
+    import logging
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _break_stale_lease,
+        _hfs,
+        _lease_token,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    fs, _p, jvm = _hfs(spark, lock)
+    p = jvm.org.apache.hadoop.fs.Path(lock)
+
+    with open(lock, "w") as f:
+        json.dump({"token": "dead-holder", "pid": 0}, f)
+    obs_token = _lease_token(fs, jvm, lock)
+    obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+    os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"token": "fresh-writer", "pid": 1}, f)
+
+    def third_waiter(call_no):
+        # the lock slot was emptied by the claim rename; a third
+        # waiter exclusive-creates a fresh lease in the gap, so every
+        # rename-back attempt finds the destination occupied
+        if not os.path.exists(lock):
+            with open(lock, "w") as f:
+                json.dump({"token": "third-waiter", "pid": 2}, f)
+
+    ffs = _RestoreFS(fs, lock, third_waiter)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="peerdb_cdc_psql_clickhouse_spark.operators.search",
+    ):
+        assert (
+            _break_stale_lease(
+                ffs, jvm, lock, "waiter", obs_token, obs_mtime
+            )
+            is False
+        )
+    # occupied slot: one restore attempt, then give up (no spin)
+    assert ffs.restore_calls == 1
+    # the third waiter's lease is untouched
+    assert json.load(open(lock))["token"] == "third-waiter"
+    # the victim's lease content is preserved under the stolen marker
+    stolen = [n for n in os.listdir(root) if ".stolen-" in n]
+    assert len(stolen) == 1
+    assert (
+        json.load(open(f"{root}/{stolen[0]}"))["token"] == "fresh-writer"
+    )
+    assert any("stolen-lease" in r.message for r in caplog.records)
