@@ -35,6 +35,75 @@ from peerdb_cdc_psql_clickhouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Median-of-N sampling (VERDICT r11 #4: single-shot probes proved too
+# box-noisy to publish — the r11 10x leg measured simhash at 10.78 vs
+# 1.19 s across two byte-identical runs; the same medianing bench.py
+# got in r11 makes probe rows comparable round-over-round). Raw
+# per-sample lists ride the JSON under "samples".
+PROBE_SAMPLES = int(os.environ.get("PROBE_SAMPLES", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return round(
+        s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0, 2
+    )
+
+
+def _timed(
+    res: dict, samples: dict, name: str, fn, n: int | None = None
+) -> None:
+    """Record median-of-n wall for a REPEATABLE action (stateless job
+    or idempotent search). On error: record the error string, keep any
+    completed samples."""
+    runs: list[float] = []
+    try:
+        for _ in range(n or PROBE_SAMPLES):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 2))
+        res[name] = _median(runs)
+        samples[name] = runs
+    except Exception as e:  # noqa: BLE001 - record per-job, keep probing
+        res[name] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+        if runs:
+            samples[name] = runs
+
+
+def _timed_seq(res: dict, samples: dict, name: str, fns) -> None:
+    """Median over a SEQUENCE of one-shot actions (stateful lifecycle
+    ops: each sample is an independent batch against the same standing
+    index — the production contract — so the samples are comparable
+    without resetting state)."""
+    runs: list[float] = []
+    try:
+        for fn in fns:
+            t0 = time.perf_counter()
+            fn()
+            runs.append(round(time.perf_counter() - t0, 2))
+        res[name] = _median(runs)
+        samples[name] = runs
+    except Exception as e:  # noqa: BLE001
+        res[name] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+        if runs:
+            samples[name] = runs
+
+
+def _timed_once(res: dict, name: str, fn):
+    """Single-shot timing for the honest O(corpus) ops (index builds,
+    compaction) where repeating would triple the dominant cost and the
+    claim is 'linear', not 'flat' — noise cannot flip it. Returns the
+    action's result (or None on error)."""
+    t0 = time.perf_counter()
+    try:
+        out = fn()
+    except Exception as e:  # noqa: BLE001
+        res[name] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+        return None
+    res[name] = round(time.perf_counter() - t0, 2)
+    return out
+
 
 def _materialize(df: DataFrame, tag: str, mult: int) -> DataFrame:
     """Write a lazy replica to parquet with split count >= cores and
@@ -305,14 +374,19 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             25,
         ),
     }
-    res = {}
+    res: dict = {}
+    samples: dict = {}
+    res["samples"] = samples
     for name, build in jobs.items():
-        t0 = time.perf_counter()
-        try:
-            build().write.format("noop").mode("overwrite").save()
-            res[name] = round(time.perf_counter() - t0, 2)
-        except Exception as e:  # record per-job, keep probing
-            res[name] = f"ERR {type(e).__name__}: {str(e)[:160]}"
+        _timed(
+            res,
+            samples,
+            name,
+            lambda b=build: b()
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     # -- retrieval family (r5, VERDICT r4 #8): index LIFECYCLE costs,
     # build and search timed separately. Builds are the one linear
@@ -341,33 +415,35 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
         # cells scale with the corpus (constant cell size -> constant
         # scanned rows per probe); seed quantizer + two-level corpus
         # assignment keep the build's n·k term at n·2√k
-        t0 = time.perf_counter()
-        try:
-            ivfpq = build_ivfpq_index(
+        # build is the honest O(corpus) pass: single-shot (_timed_once)
+        ivfpq = _timed_once(
+            res,
+            "ivfpq_index_build",
+            lambda: build_ivfpq_index(
                 emb_plain,
                 f"{tmp}/ivfpq",
                 n_centroids=16 * mult,
                 n_assign=1,
                 refine_iters=0,
                 two_level=mult > 1,
-            )
-            res["ivfpq_index_build"] = round(time.perf_counter() - t0, 2)
-        except Exception as e:
-            res["ivfpq_index_build"] = (
-                f"ERR {type(e).__name__}: {str(e)[:160]}"
-            )
-            ivfpq = None
+            ),
+        )
         if ivfpq is not None:
-            t0 = time.perf_counter()
-            try:
-                search_ivfpq_index(
-                    ivfpq, queries, emb_plain, k=10, nprobe=8, rerank=50
-                ).write.format("noop").mode("overwrite").save()
-                res["ivfpq_search"] = round(time.perf_counter() - t0, 2)
-            except Exception as e:
-                res["ivfpq_search"] = (
-                    f"ERR {type(e).__name__}: {str(e)[:160]}"
+            # DEFAULT nprobe (r12: auto ~sqrt(cells), the deployment
+            # behavior — fixed nprobe=8 measured a recall point that
+            # silently decayed with growth; search wall now grows
+            # ~sqrt(corpus) at preserved recall instead)
+            _timed(
+                res,
+                samples,
+                "ivfpq_search",
+                lambda: search_ivfpq_index(
+                    ivfpq, queries, emb_plain, k=10, rerank=50
                 )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
 
         # text index: a fixed-df needle (500 copy-0 docs carry it at
         # every mult — the realistic "query term's postings, not the
@@ -383,76 +459,83 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
         )
         # each step records under ITS OWN key (code review r5: one
         # shared except blamed a phrase_search failure on bm25 and
-        # destroyed bm25's already-recorded timing)
-        t0 = time.perf_counter()
-        try:
-            save_full_text_index(docs_needle, f"{tmp}/tidx")
-            res["text_index_build"] = round(time.perf_counter() - t0, 2)
-        except Exception as e:
-            res["text_index_build"] = (
-                f"ERR {type(e).__name__}: {str(e)[:160]}"
-            )
+        # destroyed bm25's already-recorded timing). Build is the one
+        # honest O(corpus) pass: single-shot.
+        _timed_once(
+            res,
+            "text_index_build",
+            lambda: save_full_text_index(docs_needle, f"{tmp}/tidx"),
+        )
         # O(batch) incremental maintenance (r6, VERDICT r5 #3): fold a
         # FIXED 500-doc batch into the standing index — wall should be
         # ~flat across both decades because only the batch is
         # tokenized and only its touched bucket partitions take new
-        # files, never the standing postings
-        try:
-            # batch comes from the CONSTANT 1x source, not the scaled
-            # corpus — deriving it from `docs` would hide a full
-            # corpus scan inside the timed insert and fake linear
-            # growth onto an O(batch) operation
-            # offset must clear EVERY replica copy's id range: copies
-            # stride by 10_000_000 (copy 90 at 100x owns
-            # [900M, 900M+n_docs)), so the old +900M offset collided
-            # at 100x and the "insert" silently violated its own
-            # not-live contract (surfaced as delete_250_n == 500 —
-            # both the copy-90 doc and the batch doc tombstoned).
-            # 10^10 is beyond copy 999's base.
-            ins_docs = (
-                load_table(spark, SF_DIR, "documents")
-                .select("doc_id", "text")
-                .filter(F.col("doc_id") < 500)
-                .select(
-                    (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
-                    "text",
-                )
-            )
-            t0 = time.perf_counter()
-            text_index_insert(spark, f"{tmp}/tidx", ins_docs)
-            res["text_index_insert_500"] = round(
-                time.perf_counter() - t0, 2
-            )
-        except Exception as e:
-            res["text_index_insert_500"] = (
-                f"ERR {type(e).__name__}: {str(e)[:160]}"
-            )
-        # r9 (VERDICT r8 #4) — the REST of the maintenance lifecycle.
-        # delete is O(requested ids) and apply_changes is O(batch):
-        # both walls should stay ~flat across the decades like the
-        # insert's. compact is the one honest O(corpus) rewrite —
-        # published as such; its scheduling policy is tombstone
-        # FRACTION (~0.2), see text_index_compact's docstring.
+        # files, never the standing postings. r12: medianed — each
+        # SAMPLE is an independent batch at its own id offset against
+        # the same standing index (the production contract), so
+        # insert/delete/apply samples are comparable without resets.
+        # Batches come from the CONSTANT 1x source, not the scaled
+        # corpus — deriving them from `docs` would hide a full corpus
+        # scan inside the timed op. Offsets must clear EVERY replica
+        # copy's id range: copies stride by 10_000_000 (copy 90 at
+        # 100x owns [900M, 900M+n_docs)); 10^10 + s*10^6 is beyond
+        # copy 999's base for every sample (the r11 probe-integrity
+        # fix, kept).
         from peerdb_cdc_psql_clickhouse_spark.operators.search import (
             text_index_apply_changes,
             text_index_compact,
             text_index_delete,
         )
 
-        try:
-            # half of the 500 just-inserted ids — a constant-size set
-            del_ids = [10_000_000_000 + i for i in range(0, 500, 2)]
-            t0 = time.perf_counter()
-            n_del = text_index_delete(spark, f"{tmp}/tidx", del_ids)
-            res["text_index_delete_250"] = round(
-                time.perf_counter() - t0, 2
+        def _batch_off(s: int) -> int:
+            return 10_000_000_000 + s * 1_000_000
+
+        def _ins_docs(off: int):
+            return (
+                load_table(spark, SF_DIR, "documents")
+                .select("doc_id", "text")
+                .filter(F.col("doc_id") < 500)
+                .select(
+                    (F.col("doc_id") + off).alias("doc_id"), "text"
+                )
             )
-            res["text_index_delete_250_n"] = n_del
-        except Exception as e:
-            res["text_index_delete_250"] = (
-                f"ERR {type(e).__name__}: {str(e)[:160]}"
+
+        _timed_seq(
+            res,
+            samples,
+            "text_index_insert_500",
+            [
+                lambda off=_batch_off(s): text_index_insert(
+                    spark, f"{tmp}/tidx", _ins_docs(off)
+                )
+                for s in range(PROBE_SAMPLES)
+            ],
+        )
+        # delete is O(requested ids), apply_changes is O(batch):
+        # walls should stay ~flat across the decades like the
+        # insert's. compact is the one honest O(corpus) rewrite —
+        # single-shot, published as such; scheduling policy is
+        # tombstone FRACTION (~0.2), see text_index_compact.
+        del_ns: list[int] = []
+
+        def _del(off: int) -> None:
+            ids = [off + i for i in range(0, 500, 2)]
+            del_ns.append(
+                text_index_delete(spark, f"{tmp}/tidx", ids)
             )
-        try:
+
+        _timed_seq(
+            res,
+            samples,
+            "text_index_delete_250",
+            [
+                lambda off=_batch_off(s): _del(off)
+                for s in range(PROBE_SAMPLES)
+            ],
+        )
+        res["text_index_delete_250_n"] = del_ns
+
+        def _apply(off: int) -> None:
             # a constant 500-event CDC batch from the 1x source:
             # 250 upserts re-writing the tombstoned ids (the
             # generation-ranked update path) + 250 deletes
@@ -466,28 +549,28 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
                     .alias("_op"),
                     (F.col("doc_id") + 1).cast("long").alias("_version"),
                     F.current_timestamp().alias("_ts"),
-                    (F.col("doc_id") + 10_000_000_000).alias("doc_id"),
+                    (F.col("doc_id") + off).alias("doc_id"),
                     "text",
                 )
             )
-            t0 = time.perf_counter()
             text_index_apply_changes(spark, f"{tmp}/tidx", env)
-            res["text_index_apply_changes_500"] = round(
-                time.perf_counter() - t0, 2
-            )
-        except Exception as e:
-            res["text_index_apply_changes_500"] = (
-                f"ERR {type(e).__name__}: {str(e)[:160]}"
-            )
-        try:
-            t0 = time.perf_counter()
-            cst = text_index_compact(spark, f"{tmp}/tidx")
-            res["text_index_compact"] = round(time.perf_counter() - t0, 2)
+
+        _timed_seq(
+            res,
+            samples,
+            "text_index_apply_changes_500",
+            [
+                lambda off=_batch_off(s): _apply(off)
+                for s in range(PROBE_SAMPLES)
+            ],
+        )
+        cst = _timed_once(
+            res,
+            "text_index_compact",
+            lambda: text_index_compact(spark, f"{tmp}/tidx"),
+        )
+        if cst is not None:
             res["text_index_compact_dropped"] = cst["dropped_docs"]
-        except Exception as e:
-            res["text_index_compact"] = (
-                f"ERR {type(e).__name__}: {str(e)[:160]}"
-            )
         # reopen in its own try: a LOAD failure must not overwrite the
         # recorded build timing (review r5 pass 2)
         try:
@@ -500,28 +583,26 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             )
             idx = None
         if idx is not None:
-            t0 = time.perf_counter()
-            try:
-                bm25_search(
+            _timed(
+                res,
+                samples,
+                "bm25_search",
+                lambda: bm25_search(
                     idx, lengths_saved, ["needlea", "needleb"], k=10
-                ).write.format("noop").mode("overwrite").save()
-                res["bm25_search"] = round(time.perf_counter() - t0, 2)
-            except Exception as e:
-                res["bm25_search"] = (
-                    f"ERR {type(e).__name__}: {str(e)[:160]}"
                 )
-            t0 = time.perf_counter()
-            try:
-                phrase_search(idx, "needlea needleb").write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                res["phrase_search"] = round(
-                    time.perf_counter() - t0, 2
-                )
-            except Exception as e:
-                res["phrase_search"] = (
-                    f"ERR {type(e).__name__}: {str(e)[:160]}"
-                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            _timed(
+                res,
+                samples,
+                "phrase_search",
+                lambda: phrase_search(idx, "needlea needleb")
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return res
@@ -793,11 +874,19 @@ def probe(spark, mult: int) -> dict[str, float]:
             .select("centroid_id", "vec_id", "embedding"),
         ),
     }
-    res = {}
+    res: dict = {}
+    samples: dict = {}
+    res["samples"] = samples
     for name, build in jobs.items():
-        t0 = time.perf_counter()
-        build().write.format("noop").mode("overwrite").save()
-        res[name] = round(time.perf_counter() - t0, 2)
+        _timed(
+            res,
+            samples,
+            name,
+            lambda b=build: b()
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
     return res
 
 
