@@ -119,6 +119,27 @@ def d1_parity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def ntile_by_rank(
+    rank: F.Column, total: F.Column, n_tiles: int
+) -> F.Column:
+    """NTILE(n_tiles) over a UNIQUE order key as a map-side expression
+    of (1-based global rank, total row count) — the distributed twin
+    of `Window.orderBy(...)` + `F.ntile` (which funnels the whole
+    input through ONE task). ANSI NTILE semantics: the first
+    total % n_tiles tiles get floor(total/n_tiles)+1 rows, the rest
+    floor(total/n_tiles); with fewer rows than tiles, row r is alone
+    in tile r. Closed form: ranks up to rem*(base+1) fall in the
+    big tiles (tile = ceil(rank/(base+1))), the rest continue in
+    base-sized tiles. The base == 0 case never reaches the else
+    branch (rem == total there, so every rank is a big-tile rank)."""
+    base = F.floor(total / n_tiles)
+    rem = total % n_tiles
+    big_span = rem * (base + 1)
+    return F.when(
+        rank <= big_span, F.ceil(rank / (base + 1))
+    ).otherwise(rem + F.ceil((rank - big_span) / base)).cast("int")
+
+
 @declare(
     "d5_run_summary",
     f"""
@@ -162,31 +183,22 @@ def d5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # NTILE(3) OVER (ORDER BY event_id) semantics, distributed
     # (VERDICT r11 #3): the previous unpartitioned ntile window was a
-    # single-partition sort of the full events log at 100 TB. ntile
-    # over a UNIQUE order key is a pure function of (global rank, n):
-    # the first n%3 tiles get floor(n/3)+1 rows, the rest floor(n/3).
+    # single-partition sort of the full events log at 100 TB.
     # global_rank computes the rank via range-bucket + local rank +
     # offset join (the shuffle_corpus pattern) and rides n along as a
-    # literal, so tile assignment is map-side.
+    # literal, so the ntile_by_rank tile assignment is map-side.
     ranked = global_rank(
         ev.select("event_id", "event_type", "value", "ts"),
         "event_id",
         rank_col="_grk",
         total_col="_n",
     )
-    base = F.floor(F.col("_n") / 3)
-    rem = F.col("_n") % 3
-    size1 = base + F.when(rem >= 1, F.lit(1)).otherwise(F.lit(0))
-    size2 = base + F.when(rem >= 2, F.lit(1)).otherwise(F.lit(0))
     tiled = ranked.select(
         "event_id",
         "event_type",
         "value",
         "ts",
-        F.when(F.col("_grk") <= size1, F.lit(1))
-        .when(F.col("_grk") <= size1 + size2, F.lit(2))
-        .otherwise(F.lit(3))
-        .alias("tile"),
+        ntile_by_rank(F.col("_grk"), F.col("_n"), 3).alias("tile"),
     )
     secs = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
     ok = F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0))

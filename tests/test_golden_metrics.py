@@ -78,3 +78,36 @@ def test_published_success_rate_and_throughput(spark):
             break
     else:
         raise AssertionError("published 41.82 ops/s not reproducible")
+
+
+def test_ntile_by_rank_matches_spark_ntile_all_remainders(spark):
+    """r12: every driver testdata events table happens to have
+    n % 3 == 1, so the oracle hash never exercises the other remainder
+    branches of d5's distributed tile math. Pin ntile_by_rank to
+    Spark's own NTILE across sizes covering every remainder (including
+    fewer rows than tiles) and several tile counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.metrics import (
+        ntile_by_rank,
+    )
+
+    for n_tiles in (2, 3, 4, 5, 7):
+        for n in (1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 100, 101):
+            # non-contiguous, shuffled ids: rank != id
+            df = spark.createDataFrame(
+                [(int(i * 37 % 500 + i),) for i in range(n)], "id long"
+            )
+            w = Window.orderBy("id")
+            both = df.select(
+                "id",
+                F.ntile(n_tiles).over(w).alias("want"),
+                ntile_by_rank(
+                    F.row_number().over(w).cast("long"),
+                    F.lit(n).cast("long"),
+                    n_tiles,
+                ).alias("got"),
+            )
+            bad = both.filter(F.col("want") != F.col("got")).count()
+            assert bad == 0, (n_tiles, n)
