@@ -206,3 +206,21 @@ def test_bench_compact_line_fits_tail_capture():
         bench.COMPACT_BUDGET = orig
     assert contract <= set(squeezed)
     assert len(squeezed["queries"]) == len(names)
+
+
+def test_registered_build_bears_its_declared_name():
+    """r12 regression guard: @declare registers whatever `def` follows
+    it — an accidental insertion between the decorator call and the
+    intended function silently swaps the registered build (caught live
+    this round: a helper landed between d5's @declare(...) and its
+    def, so the registry served the helper and every d5 call broke
+    with a TypeError). The build's __name__ must equal the declared
+    query name."""
+    from peerdb_cdc_psql_clickhouse_spark.registry import all_queries
+
+    for name, q in all_queries().items():
+        assert q.build.__name__ == name, (
+            f"declared query {name!r} is bound to "
+            f"{q.build.__name__!r} — something was inserted between "
+            "its @declare(...) decorator and the intended def"
+        )
