@@ -924,7 +924,18 @@ def substring_spans(
     doc, so span_tokens may overstate by up to k-1 there."""
     from pyspark.sql import Window
 
-    sh = shingle_positions(docs, id_col, text_col, k)
+    from ..plans import layout
+
+    # reuse(): the shingle derivation (tokenize + k-gram concat + md5)
+    # is referenced by FOUR plan branches below (count, cool join,
+    # hot-canonical agg, hot join) and none of their exchanges are
+    # shape-identical, so without sharing Catalyst re-tokenizes the
+    # corpus four times — measured r12 as the floored-worst scaled
+    # query and the widest-dispersion 100x probe row (memory pressure
+    # from four concurrent corpus scans). The shared frame is compact
+    # — (id, pos, hash64) ≈ 24 bytes/row — so persisting it is far
+    # cheaper than one recompute, let alone three.
+    sh = layout.reuse(shingle_positions(docs, id_col, text_col, k))
     # occurrence COUNTS first (map-combined partial agg): the
     # collect_list below must never materialize a hot shingle's full
     # occurrence list (pre-r4 it built the list and then filtered it

@@ -52,14 +52,26 @@ def _median(xs: list[float]) -> float:
 
 
 def _timed(
-    res: dict, samples: dict, name: str, fn, n: int | None = None
+    res: dict,
+    samples: dict,
+    name: str,
+    fn,
+    n: int | None = None,
+    spark=None,
 ) -> None:
     """Record median-of-n wall for a REPEATABLE action (stateless job
-    or idempotent search). On error: record the error string, keep any
+    or idempotent search). Clears the persist cache before EVERY
+    sample when `spark` is given: operators that reuse()/persist an
+    internal frame (substring_spans' shared shingles, SemDeDup's
+    keyed assignment) would otherwise serve samples 2..n from cache
+    and the median would publish a mostly-cached wall as the
+    operator's cost. On error: record the error string, keep any
     completed samples."""
     runs: list[float] = []
     try:
         for _ in range(n or PROBE_SAMPLES):
+            if spark is not None:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn()
             runs.append(round(time.perf_counter() - t0, 2))
@@ -386,6 +398,7 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
             .write.format("noop")
             .mode("overwrite")
             .save(),
+            spark=spark,
         )
 
     # -- retrieval family (r5, VERDICT r4 #8): index LIFECYCLE costs,
@@ -443,6 +456,7 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
+                spark=spark,
             )
 
         # text index: a fixed-df needle (500 copy-0 docs carry it at
@@ -593,6 +607,7 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
+                spark=spark,
             )
             _timed(
                 res,
@@ -602,6 +617,7 @@ def probe_composed(spark, mult: int) -> dict[str, float]:
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
+                spark=spark,
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -886,6 +902,7 @@ def probe(spark, mult: int) -> dict[str, float]:
             .write.format("noop")
             .mode("overwrite")
             .save(),
+            spark=spark,
         )
     return res
 
