@@ -623,7 +623,17 @@ def kmeans_centroids(
         )
         sums = np.zeros_like(cent_mat)
         cnts = np.zeros(len(c_ids), dtype="int64")
-        for r in combined:
+        # canonical accumulation order (r12): collect() returns the
+        # per-partition partials in TASK-COMPLETION order, and float
+        # addition is order-sensitive — unsorted accumulation made the
+        # refined centroids differ in their last bits run-to-run,
+        # which flipped borderline cell assignments and wiggled the
+        # published recall metrics (observed ±0.002 on byte-identical
+        # code). Sorting by full row content makes the sum, and
+        # therefore the whole build, deterministic by construction.
+        for r in sorted(
+            combined, key=lambda r: (r["c"], r["cnt"], r["psum"])
+        ):
             sums[r["c"]] += np.asarray(r["psum"], dtype="float64")
             cnts[r["c"]] += r["cnt"]
         nonempty = cnts > 0
@@ -1887,7 +1897,18 @@ def pq_train(
                 "s", "code", "cnt", F.posexplode("psum").alias("pos", "v")
             )
             .groupBy("s", "code", "pos")
-            .agg(F.sum("v").alias("sv"), F.sum("cnt").alias("n"))
+            # decimal sum (r12): a double F.sum's partial-combine order
+            # varies with task completion, so the trained codebook
+            # differed in its last bits run-to-run (same class as the
+            # kmeans combine fix above). Exact decimal addition is
+            # order-insensitive; 38,15 holds component partial sums
+            # with 23 integer digits of headroom.
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,15)"))
+                .cast("double")
+                .alias("sv"),
+                F.sum("cnt").alias("n"),
+            )
             .collect()
         )
         # exact combine lands driver-side: m*ksub*dsub tiny rows
