@@ -162,7 +162,13 @@ def global_rank(
         if total_col:
             out = out.withColumn(total_col, F.lit(0).cast("long"))
         return out
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    import math
+
+    # floor/ceil, NOT int(): int() truncates toward zero, so a
+    # fractional negative minimum (double order column, e.g. -3.7)
+    # would yield lo > min and bucket -1 for the smallest rows — which
+    # silently drop in the offset join
+    lo, hi = math.floor(bounds["lo"]), math.ceil(bounds["hi"])
     stride = max(-(-(hi - lo + 1) // n_parts), 1)
     bkt = F.least(
         F.floor((F.col(order_col) - F.lit(lo)) / F.lit(stride)),

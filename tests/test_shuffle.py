@@ -191,3 +191,19 @@ def test_global_rank_empty_and_reserved_clash(spark):
     clash = spark.createDataFrame([(1, 2)], "v long, rk long")
     with pytest.raises(ValueError, match="reserved"):
         global_rank(clash, "v", rank_col="rk")
+
+
+def test_global_rank_double_order_column(spark):
+    """r12 self-review: int() truncates toward zero, so a fractional
+    NEGATIVE minimum (double order column) yielded lo > min and bucket
+    -1 for the smallest rows — silently dropped by the offset join.
+    floor/ceil widening keeps every row bucketed."""
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    vals = [-3.7, -1.2, 0.5, 2.25, 1000.9]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = sorted(
+        (r.v, r.rk)
+        for r in global_rank(df, "v", rank_col="rk", partitions=4).collect()
+    )
+    assert got == [(v, i + 1) for i, v in enumerate(sorted(vals))]
