@@ -1207,6 +1207,15 @@ def _verified_n_buckets(
         if int(row[f"_m{i}"] or 0) == 0
     ]
     if not ok:
+        if explicit is not None:
+            raise ValueError(
+                f"cannot infer n_buckets for legacy index at "
+                f"{postings_path}: the explicit n_buckets={int(explicit)} "
+                "does not reproduce the on-disk bucket assignment "
+                "(checked pmod(hash64(term), n) == bucket over every "
+                "live postings row) — it is not the count this index "
+                "was built with. Pass the build's actual n_buckets."
+            )
         raise ValueError(
             f"cannot infer n_buckets for legacy index at {postings_path}: "
             f"none of the candidate counts {candidates} reproduces the "

@@ -306,3 +306,12 @@ def test_declared_bm25_prunes_postings_buckets(plans):
     p = plans("x9_bm25_search")
     assert "PartitionFilters" in p and "bucket" in p
     assert "term" in p
+
+
+def test_substring_spans_shares_shingle_frame(plans):
+    """r12: the shingle derivation (tokenize + k-gram + md5) feeds four
+    non-identical subtrees — without reuse() Catalyst re-tokenizes the
+    corpus four times (measured as the worst scaled ratio). The plan
+    must read the shared persisted frame."""
+    p = plans("x1g_substring_spans")
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p
