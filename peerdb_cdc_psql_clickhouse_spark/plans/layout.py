@@ -108,6 +108,7 @@ def global_rank(
     rank_col: str = "global_rank",
     partitions: int | None = None,
     total_col: str | None = None,
+    assert_unique: bool = False,
 ) -> DataFrame:
     """df plus `rank_col` — the 1-based global rank under ORDER BY
     `order_col` ASC — WITHOUT an unpartitioned window (VERDICT r11:
@@ -116,7 +117,14 @@ def global_rank(
     operation"). This is the `shuffle_corpus` range-rank pattern
     (operators/pipeline.py) generalized to an arbitrary numeric,
     UNIQUE order column: duplicate order values would make ranks
-    between the duplicates bucket-boundary-dependent.
+    between the duplicates bucket-boundary-dependent — a
+    nondeterminism that surfaces as a distant flaky hash, not an
+    error. assert_unique=True verifies that precondition inside the
+    bounds aggregate already being run (count vs count_distinct —
+    one extra expression, no extra job) and raises on duplicates or
+    NULLs; it is opt-in because count_distinct is not free on a
+    100 TB column, and callers ranking a known-unique key (d5's
+    event_id) shouldn't pay it on every run.
 
     Shape (all distributed, nothing corpus-sized through one task):
       1. one min/max agg over `order_col` (2 scalars to the driver),
@@ -143,7 +151,7 @@ def global_rank(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    reserved = {"_gr_bkt", "_gr_lrk", "_gr_off", rank_col}
+    reserved = {"_gr_bkt", "_gr_lrk", "_gr_off", "_gr_delta", rank_col}
     if total_col:
         reserved.add(total_col)
     clash = reserved & set(df.columns)
@@ -154,9 +162,32 @@ def global_rank(
     n_parts = partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).collect()[0]
+    aggs = [F.min(order_col).alias("lo"), F.max(order_col).alias("hi")]
+    if assert_unique:
+        # rides the bounds job: count/count_distinct are two more
+        # expressions in the same partial aggregate, not a new scan.
+        # count(lit(1)) vs count(col) also exposes NULL order values,
+        # which would silently drop rows at the bucket/offset join.
+        aggs += [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(order_col).alias("n_nonnull"),
+            F.countDistinct(order_col).alias("n_distinct"),
+        ]
+    bounds = df.agg(*aggs).collect()[0]
+    if assert_unique:
+        if bounds["n_nonnull"] != bounds["n_rows"]:
+            raise ValueError(
+                f"global_rank order column {order_col!r} has "
+                f"{bounds['n_rows'] - bounds['n_nonnull']} NULL value(s);"
+                " NULL-keyed rows would be silently dropped"
+            )
+        if bounds["n_distinct"] != bounds["n_nonnull"]:
+            raise ValueError(
+                f"global_rank order column {order_col!r} is not unique "
+                f"({bounds['n_nonnull']} rows, {bounds['n_distinct']} "
+                "distinct values); duplicate order values make ranks "
+                "bucket-boundary-dependent"
+            )
     if bounds["lo"] is None:  # empty input: rank column only
         out = df.withColumn(rank_col, F.lit(None).cast("long"))
         if total_col:
@@ -170,11 +201,41 @@ def global_rank(
     # silently drop in the offset join
     lo, hi = math.floor(bounds["lo"]), math.ceil(bounds["hi"])
     stride = max(-(-(hi - lo + 1) // n_parts), 1)
-    bkt = F.least(
-        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(stride)),
-        F.lit(n_parts - 1),
-    ).cast("int")
-    keyed = df.withColumn("_gr_bkt", bkt)
+    from pyspark.sql import types as T
+
+    if isinstance(
+        df.schema[order_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        # exact 64-bit integer bucketing (ADVICE r12): the double
+        # expression below loses low bits of delta above 2^53, so
+        # bucket boundaries drift off the documented stride. Ranks
+        # stayed order-consistent only because double rounding is
+        # monotone and both legs (counts + ranking) share the one
+        # expression — a fragile accident, not a contract. delta >= 0
+        # (lo is the global min), so `div` IS the floor. Remaining
+        # limit: a key RANGE wider than 2^63-1 (full-range longs)
+        # overflows delta itself.
+        keyed = (
+            df.withColumn(
+                "_gr_delta",
+                F.col(order_col).cast("long") - F.lit(lo).cast("long"),
+            )
+            .withColumn(
+                "_gr_bkt",
+                F.least(
+                    F.expr(f"_gr_delta div {stride}L"),
+                    F.lit(n_parts - 1),
+                ).cast("int"),
+            )
+            .drop("_gr_delta")
+        )
+    else:
+        bkt = F.least(
+            F.floor((F.col(order_col) - F.lit(lo)) / F.lit(stride)),
+            F.lit(n_parts - 1),
+        ).cast("int")
+        keyed = df.withColumn("_gr_bkt", bkt)
     w = Window.partitionBy("_gr_bkt").orderBy(F.col(order_col).asc())
     ranked = keyed.withColumn("_gr_lrk", F.row_number().over(w))
     counts = sorted(

@@ -168,6 +168,7 @@ def test_bench_compact_line_fits_tail_capture():
         "scaled_total_sec": 123.456,
         "scaled_worst_ratio": 12.34,
         "scaled_worst_query": "x1g_substring_spans",
+        "scaled_worst_ratio_unfloored": 12.34,
         "scaled_over_2x_per_row_cost_count": 0,
         "error_count": 0,
         "detail_file": "BENCH_DETAIL.json",

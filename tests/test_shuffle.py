@@ -207,3 +207,58 @@ def test_global_rank_double_order_column(spark):
         for r in global_rank(df, "v", rank_col="rk", partitions=4).collect()
     )
     assert got == [(v, i + 1) for i, v in enumerate(sorted(vals))]
+
+
+def test_global_rank_assert_unique(spark):
+    """r13 (VERDICT r12 #2): duplicate order values make ranks
+    bucket-boundary-dependent — nondeterminism that would surface as
+    a distant flaky oracle hash. assert_unique=True rides the bounds
+    aggregate (no extra job) and raises at the source instead; NULL
+    keys (silently dropped by the offset join otherwise) also raise."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    dup = spark.createDataFrame([(1,), (2,), (2,), (3,)], "v long")
+    with pytest.raises(ValueError, match="not unique"):
+        global_rank(dup, "v", rank_col="rk", assert_unique=True).collect()
+
+    withnull = spark.createDataFrame([(1,), (None,), (3,)], "v long")
+    with pytest.raises(ValueError, match="NULL"):
+        global_rank(
+            withnull, "v", rank_col="rk", assert_unique=True
+        ).collect()
+
+    uniq = spark.createDataFrame([(3,), (1,), (7,)], "v long")
+    got = sorted(
+        (r.v, r.rk)
+        for r in global_rank(
+            uniq, "v", rank_col="rk", assert_unique=True
+        ).collect()
+    )
+    assert got == [(1, 1), (3, 2), (7, 3)]
+
+
+def test_global_rank_int64_keys_above_2_53(spark):
+    """r13 (ADVICE r12): the double bucket expression loses low bits
+    of delta above 2^53, drifting bucket boundaries off the documented
+    stride (ranks survived only via the monotonicity of double
+    rounding — an accident, not a contract). Integral order columns
+    take the exact 64-bit `div` path; this pins rank correctness for
+    keys up to 2^63-1 at several bucket counts."""
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    base = (1 << 62) + 7
+    # adjacent odd keys near 2^62: indistinguishable after a double
+    # round-trip (ulp there is 512), plus far-apart anchors so the
+    # stride is huge and bucket edges land between the dense keys
+    vals = [0, base, base + 1, base + 3, base + 5, (1 << 63) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for parts in (2, 4, 32):
+        got = sorted(
+            (r.v, r.rk)
+            for r in global_rank(
+                df, "v", rank_col="rk", partitions=parts
+            ).collect()
+        )
+        assert got == [(v, i + 1) for i, v in enumerate(sorted(vals))]
