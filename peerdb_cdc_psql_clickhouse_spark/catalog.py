@@ -13,6 +13,9 @@ Two table groups:
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -221,6 +224,26 @@ TABLE_STATS_SCHEMA = T.StructType(
         T.StructField("bytes", T.LongType()),
     ]
 )
+
+
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """Best-effort on-disk size of one testdata table, for reuse()
+    size hints (layout.reuse switches persist -> write-once-parquet
+    past MATERIALIZE_THRESHOLD_BYTES; callers scale this compressed
+    figure by their derivation's expansion factor). Local paths only
+    — returns None for URIs/missing paths, which reuse() treats as
+    'no hint' (persist)."""
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            with contextlib.suppress(OSError):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

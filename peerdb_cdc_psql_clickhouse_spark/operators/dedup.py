@@ -863,6 +863,13 @@ def x1f_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_SHINGLE_K = 5  # tokens per positional shingle
 SPAN_MIN_RUN = 4  # consecutive shingle matches => span >= K + MIN_RUN - 1
 SPAN_OCC_CAP = 200  # max occurrences of one shingle hash corpus-wide
+# reuse() size-hint scaling for the shared shingle frame (ADVICE r12):
+# rows ~= corpus tokens ~= decompressed text bytes / 6 (avg token+sep),
+# parquet text compresses ~2.5x, and a cached (long, int, long) row
+# costs ~32 B with Tungsten overhead -> ~(2.5/6)*32 ~= 13x the on-disk
+# corpus bytes. Past MATERIALIZE_THRESHOLD_BYTES reuse() then takes the
+# write-once-parquet path instead of pinning executor storage memory.
+SHINGLE_FRAME_BYTES_PER_SOURCE_BYTE = 13
 
 
 def shingle_positions(
@@ -901,6 +908,8 @@ def substring_spans(
     min_run: int = SPAN_MIN_RUN,
     occ_cap: int = SPAN_OCC_CAP,
     hot_path: bool = True,
+    shingle_size_hint_bytes: int | None = None,
+    materialize_shingles: bool | None = None,
 ) -> DataFrame:
     """All maximal shared-substring spans of >= k + min_run - 1 tokens
     between any two documents: (doc_a, doc_b, start_a, start_b,
@@ -921,7 +930,15 @@ def substring_spans(
     restores the pre-r4 drop semantics.
 
     For docs shorter than k tokens the single shingle covers the whole
-    doc, so span_tokens may overstate by up to k-1 there."""
+    doc, so span_tokens may overstate by up to k-1 there.
+
+    shingle_size_hint_bytes / materialize_shingles (ADVICE r12): the
+    shared shingle frame is ~one row per corpus TOKEN, so at the
+    100 TB design point it must take reuse()'s write-once-parquet
+    path, not pin executor storage memory. Callers who know their
+    corpus bytes pass a hint (see SHINGLE_FRAME_BYTES_PER_SOURCE_BYTE
+    for the scaling) or force materialize_shingles; with neither the
+    frame persists MEMORY_AND_DISK (right for test-scale corpora)."""
     from pyspark.sql import Window
 
     from ..plans import layout
@@ -935,7 +952,11 @@ def substring_spans(
     # from four concurrent corpus scans). The shared frame is compact
     # — (id, pos, hash64) ≈ 24 bytes/row — so persisting it is far
     # cheaper than one recompute, let alone three.
-    sh = layout.reuse(shingle_positions(docs, id_col, text_col, k))
+    sh = layout.reuse(
+        shingle_positions(docs, id_col, text_col, k),
+        materialize=materialize_shingles,
+        size_hint_bytes=shingle_size_hint_bytes,
+    )
     # occurrence COUNTS first (map-combined partial agg): the
     # collect_list below must never materialize a hot shingle's full
     # occurrence list (pre-r4 it built the list and then filtered it
@@ -1105,7 +1126,20 @@ _X1G_DOC = (
 
 @declare("x1g_substring_spans", substring_spans_oracle(), doc=_X1G_DOC)
 def x1g_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return substring_spans(load_table(spark, sf_dir, "documents"))
+    from ..catalog import table_bytes
+
+    # size the shared shingle frame off the known on-disk corpus bytes
+    # (ADVICE r12): at driver scales this keeps the persist path; a
+    # corpus-scale input crosses reuse()'s materialize threshold.
+    src_bytes = table_bytes(sf_dir, "documents")
+    return substring_spans(
+        load_table(spark, sf_dir, "documents"),
+        shingle_size_hint_bytes=(
+            src_bytes * SHINGLE_FRAME_BYTES_PER_SOURCE_BYTE
+            if src_bytes
+            else None
+        ),
+    )
 
 
 def substring_dedup_apply(

@@ -178,17 +178,28 @@ FROM agg CROSS JOIN peak
     "four separate loops",
 )
 def d5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.layout import global_rank
+    from ..catalog import table_bytes
+    from ..plans.layout import global_rank, reuse
 
     ev = load_table(spark, sf_dir, "events")
     # NTILE(3) OVER (ORDER BY event_id) semantics, distributed
     # (VERDICT r11 #3): the previous unpartitioned ntile window was a
     # single-partition sort of the full events log at 100 TB.
     # global_rank computes the rank via range-bucket + local rank +
-    # offset join (the shuffle_corpus pattern) and rides n along as a
-    # literal, so the ntile_by_rank tile assignment is map-side.
+    # offset join (the shuffle_corpus pattern) and rides n along, so
+    # the ntile_by_rank tile assignment is map-side.
+    # reuse() (r13, VERDICT r12 #3): global_rank's bounds job plus the
+    # main job's two legs (ranking window + counts broadcast subtree)
+    # reference this projection three times — share one scan. Size
+    # hint = on-disk events bytes x3 (4 of 6 columns, decompressed),
+    # so a corpus-scale events log takes the materialize path per
+    # layout policy instead of pinning executor storage memory.
+    ev_bytes = table_bytes(sf_dir, "events")
     ranked = global_rank(
-        ev.select("event_id", "event_type", "value", "ts"),
+        reuse(
+            ev.select("event_id", "event_type", "value", "ts"),
+            size_hint_bytes=ev_bytes * 3 if ev_bytes else None,
+        ),
         "event_id",
         rank_col="_grk",
         total_col="_n",

@@ -133,20 +133,28 @@ def global_rank(
          global order (no sampled range partitioner whose bounds vary
          per job — the shuffle_corpus determinism rule),
       3. row_number within each bucket (partitioned window),
-      4. per-bucket counts -> cumulative offsets (#buckets rows, the
-         same legitimate driver-side materialization shuffle_corpus
-         does), broadcast-joined back; rank = offset + local rank.
+      4. per-bucket counts -> cumulative offsets, computed IN-PLAN
+         (r13, VERDICT r12 #3: the r12 version collected the counts
+         to the driver — a whole extra job + round trip per call) as
+         a cumsum window over the AGGREGATED counts frame, which is
+         one row per bucket, <= n_parts rows by the clamp. That
+         window is unpartitioned but bounded by construction — the
+         same class of bounded single-partition step as the final
+         1-row aggregate exchange every global agg pays, NOT the
+         corpus-sized global window this function exists to avoid.
+         Broadcast-joined back; rank = offset + local rank.
 
-    The two scalar jobs re-execute the upstream plan (a scan + partial
-    agg each — embarrassingly parallel, unlike the single-partition
-    sort this replaces); persist heavy derived upstreams first via
-    reuse(). Value-ranged buckets skew if order_col values cluster
-    heavily; for sequential ids (the intended use) they are uniform.
+    Net actions: ONE scalar job (bounds) before the caller's own; the
+    caller's job evaluates the counts subtree as its broadcast input.
+    Both re-execute the upstream plan — persist heavy derived
+    upstreams first via reuse(). Value-ranged buckets skew if
+    order_col values cluster heavily; for sequential ids (the
+    intended use) they are uniform.
 
-    total_col, when set, adds the total row count as a literal column
-    (computed from the same offsets pass — no extra job); callers that
-    need n for quantile/tile boundaries read it off the row instead of
-    running their own count().
+    total_col, when set, adds the total row count as a column (the
+    full-frame sum riding the same bounded offsets window — no extra
+    job); callers that need n for quantile/tile boundaries read it
+    off the row instead of running their own count().
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -238,26 +246,43 @@ def global_rank(
         keyed = df.withColumn("_gr_bkt", bkt)
     w = Window.partitionBy("_gr_bkt").orderBy(F.col(order_col).asc())
     ranked = keyed.withColumn("_gr_lrk", F.row_number().over(w))
-    counts = sorted(
-        (r["_gr_bkt"], r["n"])
-        for r in keyed.groupBy("_gr_bkt")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # offsets in-plan (docstring step 4): the cumsum window runs over
+    # the POST-aggregation counts frame — one row per non-empty
+    # bucket, <= n_parts rows total — so its single partition holds a
+    # bounded handful of rows at any data size. A ranked row's bucket
+    # always appears in counts (same keyed subtree), so the broadcast
+    # inner join drops nothing.
+    counts = keyed.groupBy("_gr_bkt").agg(
+        F.count(F.lit(1)).alias("_gr_cnt")
     )
-    offsets, acc = [], 0
-    for b, n in counts:
-        offsets.append((b, acc))
-        acc += n
-    off = spark.createDataFrame(
-        offsets or [(0, 0)], "_gr_bkt int, _gr_off long"
-    )
+    w_off = Window.orderBy("_gr_bkt")
+    off_cols = [
+        F.col("_gr_bkt"),
+        F.coalesce(
+            F.sum("_gr_cnt").over(
+                w_off.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_gr_off"),
+    ]
+    if total_col:
+        off_cols.append(
+            F.sum("_gr_cnt")
+            .over(
+                w_off.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("long")
+            .alias(total_col)
+        )
     out = (
-        ranked.join(F.broadcast(off), "_gr_bkt")
+        ranked.join(F.broadcast(counts.select(*off_cols)), "_gr_bkt")
         .withColumn(
             rank_col, (F.col("_gr_off") + F.col("_gr_lrk")).cast("long")
         )
         .drop("_gr_bkt", "_gr_lrk", "_gr_off")
     )
-    if total_col:
-        out = out.withColumn(total_col, F.lit(acc).cast("long"))
     return out

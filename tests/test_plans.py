@@ -295,8 +295,13 @@ def test_d5_ntile_is_bucketed_global_rank(plans):
     # the rank window is keyed on the value-range bucket
     assert "windowspecdefinition(_gr_bkt" in p
     assert "hashpartitioning(_gr_bkt" in p
-    # (the final 1-row global aggregate still exchanges its partial
-    # buffers SinglePartition — one buffer row per partition, bounded)
+    # exactly two bounded SinglePartition steps are allowed: the final
+    # 1-row global aggregate (one partial buffer per partition) and
+    # r13's in-plan offsets cumsum, whose input is the POST-aggregation
+    # per-bucket counts frame (<= shuffle-partitions rows by the bucket
+    # clamp). Anything beyond these means a corpus-sized single-
+    # partition step crept back in.
+    assert p.count("SinglePartition") <= 2
 
 
 def test_declared_bm25_prunes_postings_buckets(plans):

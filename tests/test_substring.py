@@ -447,3 +447,53 @@ def test_incremental_screen_agrees_with_batch_operator(spark):
     }
     assert inc == want
     assert want, "planted overlaps must appear"
+
+
+def test_substring_spans_materialized_shingles_match_persisted(spark):
+    """r13 (ADVICE r12): the shared shingle frame takes reuse()'s
+    write-once-parquet path when the caller signals corpus scale
+    (materialize_shingles / a shingle_size_hint_bytes past the
+    threshold) — results must be identical to the persist path."""
+    shared = WORDS[:20]
+    a = [f"a{i}" for i in range(10)] + shared + [f"A{i}" for i in range(10)]
+    b = [f"b{i}" for i in range(5)] + shared + [f"B{i}" for i in range(15)]
+    docs = _docs(spark, [(1, " ".join(a)), (2, " ".join(b))])
+    want = sorted(map(tuple, substring_spans(docs).collect()))
+    got = sorted(
+        map(
+            tuple,
+            substring_spans(docs, materialize_shingles=True).collect(),
+        )
+    )
+    assert got == want and len(got) == 1
+    # the hint alone must flip the strategy past the threshold too
+    from peerdb_cdc_psql_clickhouse_spark.plans import layout
+
+    got_hint = sorted(
+        map(
+            tuple,
+            substring_spans(
+                docs,
+                shingle_size_hint_bytes=layout.MATERIALIZE_THRESHOLD_BYTES
+                + 1,
+            ).collect(),
+        )
+    )
+    assert got_hint == want
+
+
+def test_table_bytes_local_paths(tmp_path):
+    """catalog.table_bytes: file, directory, and missing-path shapes."""
+    from peerdb_cdc_psql_clickhouse_spark.catalog import table_bytes
+
+    one = tmp_path / "one.parquet"
+    one.write_bytes(b"x" * 10)
+    assert table_bytes(str(tmp_path), "one") == 10
+
+    d = tmp_path / "many.parquet"
+    (d / "sub").mkdir(parents=True)
+    (d / "part-0").write_bytes(b"x" * 7)
+    (d / "sub" / "part-1").write_bytes(b"x" * 5)
+    assert table_bytes(str(tmp_path), "many") == 12
+
+    assert table_bytes(str(tmp_path), "absent") is None
