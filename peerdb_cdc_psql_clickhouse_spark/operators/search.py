@@ -588,11 +588,20 @@ def _break_stale_lease(
                 return False  # victim's lease restored intact
         except Exception:  # noqa: BLE001 - transient; retry below
             pass
-        try:
-            if fs.exists(P(lock_path)):
-                break  # a third waiter re-created the lock: occupied
-        except Exception:  # noqa: BLE001 - can't tell; retry rename
-            pass
+        # the slot is occupied — but by WHOM? A rename-back that threw
+        # AFTER landing leaves the VICTIM's own lease here (ADVICE
+        # r12: the old bare exists() check then fell through to the
+        # stolen path, emitting a false stolen-lease warning and a
+        # garbage marker path for a lease that was restored intact).
+        # A token match with the claimed lease proves the restore
+        # landed: report the lock held, no warning. A DIFFERENT token
+        # is a third waiter truly re-occupying the slot: restore
+        # impossible. None (absent or transiently unreadable) retries.
+        cur_token = _lease_token(fs, jvm, lock_path)
+        if cur_token is not None:
+            if cur_token == got_token:
+                return False  # restore landed despite the error
+            break
         _time.sleep(0.05)
     # restore impossible: the fresh lease we mistakenly claimed is
     # STOLEN from its owner. Surface the event instead of silently
@@ -1189,22 +1198,58 @@ def _verified_n_buckets(
     if max_id < 0:
         # no bucket directories at all -> no data to contradict
         return int(explicit) if explicit is not None else INDEX_BUCKETS
-    post = spark.read.parquet(postings_path).select("term", "bucket")
-    row = post.agg(
-        *(
-            F.sum(
-                (
-                    F.pmod(hash64(F.col("term")), F.lit(int(c)))
-                    != F.col("bucket").cast("long")
-                ).cast("long")
-            ).alias(f"_m{i}")
-            for i, c in enumerate(candidates)
+    if explicit is not None and int(explicit) <= max_id:
+        # dir evidence alone refutes it: a build with n buckets can
+        # only produce ids 0..n-1, and an id >= explicit is on disk
+        raise ValueError(
+            f"cannot infer n_buckets for legacy index at {postings_path}:"
+            f" the explicit n_buckets={int(explicit)} is refuted by"
+            f" directory evidence alone — bucket directory id {max_id}"
+            " exists on disk, so the index was built with a larger"
+            " count. Pass the build's actual n_buckets."
         )
-    ).collect()[0]
+    try:
+        post = spark.read.parquet(postings_path).select("term", "bucket")
+        row = post.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *(
+                F.sum(
+                    (
+                        F.pmod(hash64(F.col("term")), F.lit(int(c)))
+                        != F.col("bucket").cast("long")
+                    ).cast("long")
+                ).alias(f"_m{i}")
+                for i, c in enumerate(candidates)
+            ),
+        ).collect()[0]
+    except Exception as e:  # noqa: BLE001 - unreadable/parquet-less tree
+        raise ValueError(
+            f"cannot infer n_buckets for legacy index at {postings_path}:"
+            " bucket directories exist but the postings data under them"
+            f" is unreadable ({type(e).__name__}). Repair or remove the"
+            " index directory before upgrading it."
+        ) from e
+    # ADVICE r12: sum() over ZERO rows is NULL, and `or 0` used to
+    # convert every mismatch count to a vacuous pass — committing the
+    # first candidate to the manifest with no data behind it. Zero
+    # live rows under existing bucket dirs is genuinely ambiguous
+    # (several candidates exceed max_id and nothing distinguishes
+    # them), so: trust an explicit count (dir-consistent by the check
+    # above, and nothing contradicts it), refuse to guess otherwise.
+    if int(row["_n"]) == 0:
+        if explicit is not None:
+            return int(explicit)
+        raise ValueError(
+            f"cannot infer n_buckets for legacy index at {postings_path}:"
+            f" bucket directories up to id {max_id} exist but hold no"
+            " live postings rows, so no candidate count can be verified"
+            " against data. Re-run text_index_insert passing the build's"
+            " explicit n_buckets once to backfill the manifest."
+        )
     ok = [
         c
         for i, c in enumerate(candidates)
-        if int(row[f"_m{i}"] or 0) == 0
+        if int(row[f"_m{i}"]) == 0
     ]
     if not ok:
         if explicit is not None:

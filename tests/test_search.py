@@ -718,3 +718,49 @@ def test_insert_validate_not_live_guard(spark, tmp_path):
         ]
         == 2
     )
+
+
+def test_backfill_zero_row_postings_not_vacuously_verified(
+    spark, tmp_path
+):
+    """ADVICE r12 (low): sum() over ZERO rows is NULL, and the old
+    `or 0` converted every mismatch count to a vacuous pass — the
+    first candidate (the 64-bucket default) was committed even though
+    bucket dirs prove nothing about it. Zero live rows is ambiguous:
+    refuse without an explicit count, accept a dir-consistent explicit
+    one, and reject an explicit count refuted by directory ids."""
+    import os as _os
+
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _hfs,
+        _verified_n_buckets,
+    )
+
+    root = str(tmp_path / "idx0")
+    postings = f"{root}/postings"
+    # bucket dirs exist (ids 0 and 9) but hold zero live rows
+    for b in (0, 9):
+        spark.createDataFrame(
+            [], "term string, doc_id long, tf int"
+        ).write.parquet(f"{postings}/bucket={b}")
+    fs, _p, jvm = _hfs(spark, postings)
+
+    with pytest.raises(ValueError, match="no\\s+live postings rows"):
+        _verified_n_buckets(spark, fs, jvm, postings)
+    # dir-consistent explicit count: nothing contradicts it -> adopted
+    assert _verified_n_buckets(spark, fs, jvm, postings, explicit=16) == 16
+    # dir-REFUTED explicit count (id 9 on disk >= 8): loud error even
+    # with no rows to check pmod against
+    with pytest.raises(ValueError, match="directory evidence"):
+        _verified_n_buckets(spark, fs, jvm, postings, explicit=8)
+
+    # bucket dirs with NO readable parquet underneath: clear error,
+    # not an uncaught AnalysisException mid-upgrade
+    root2 = str(tmp_path / "idxbad")
+    postings2 = f"{root2}/postings"
+    _os.makedirs(f"{postings2}/bucket=3")
+    fs2, _p2, jvm2 = _hfs(spark, postings2)
+    with pytest.raises(ValueError, match="unreadable"):
+        _verified_n_buckets(spark, fs2, jvm2, postings2)

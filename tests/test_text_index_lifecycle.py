@@ -994,3 +994,74 @@ def test_break_stale_lease_surfaces_stolen_lease(spark, tmp_path, caplog):
         json.load(open(f"{root}/{stolen[0]}"))["token"] == "fresh-writer"
     )
     assert any("stolen-lease" in r.message for r in caplog.records)
+
+
+def test_break_stale_lease_detects_landed_but_thrown_restore(
+    spark, tmp_path, caplog
+):
+    """ADVICE r12 (low): a rename-back that throws AFTER landing (e.g.
+    a timeout with the rename already applied) used to trip the bare
+    exists() check and fall through to the stolen path — emitting a
+    false stolen-lease warning and a garbage marker path for a lease
+    that was restored intact. The occupied slot's token is now read
+    back: a match with the claimed (victim) lease proves the restore
+    landed, so the break reports the lock held and walks away clean."""
+    import json
+    import logging
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _break_stale_lease,
+        _hfs,
+        _lease_token,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    fs, _p, jvm = _hfs(spark, lock)
+    p = jvm.org.apache.hadoop.fs.Path(lock)
+
+    with open(lock, "w") as f:
+        json.dump({"token": "dead-holder", "pid": 0}, f)
+    obs_token = _lease_token(fs, jvm, lock)
+    obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+    os.remove(lock)
+    with open(lock, "w") as f:
+        json.dump({"token": "fresh-writer", "pid": 1}, f)
+
+    class _LandsThenThrows:
+        """rename-back applies, then the call reports failure."""
+
+        def __init__(self, real, lock_path):
+            self._real = real
+            self._lock = lock_path
+            self.restore_calls = 0
+
+        def rename(self, src, dst):
+            if str(dst).endswith(os.path.basename(self._lock)):
+                self.restore_calls += 1
+                self._real.rename(src, dst)  # the rename LANDS...
+                raise IOError("injected post-landing timeout")
+            return self._real.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    ffs = _LandsThenThrows(fs, lock)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="peerdb_cdc_psql_clickhouse_spark.operators.search",
+    ):
+        assert (
+            _break_stale_lease(
+                ffs, jvm, lock, "waiter", obs_token, obs_mtime
+            )
+            is False
+        )
+    assert ffs.restore_calls == 1  # no blind retry spin either
+    # the victim's lease is back in the slot, intact
+    assert json.load(open(lock))["token"] == "fresh-writer"
+    # and NO stolen marker, NO warning — the restore succeeded
+    assert os.listdir(root) == [os.path.basename(lock)]
+    assert not any("stolen-lease" in r.message for r in caplog.records)
