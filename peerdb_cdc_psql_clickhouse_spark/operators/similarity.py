@@ -842,6 +842,15 @@ def x2b_ann_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Containment bound for the x2b invariant legs (VERDICT r12 #4): every
+# approximate top-TOP_K result must appear in the EXACT full-probe
+# top-N for its query. N=10 is an empirically comfortable margin — the
+# worst observed exact rank of any approximate result is 4 across
+# sf0.001/0.01/0.1 — and the pytest pins containment against an
+# independent numpy oracle so a regression moves the driver row.
+ANN_SUBSET_FULL_N = 10
+
+
 @declare(
     "x2b_ann_searches",
     None,  # approximate by construction; driver rows-only check
@@ -853,9 +862,18 @@ def x2b_ann_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(search_ivf_index_prerank, recall@3 ~0.95 at 0.22 effective "
     "scan). Both prune to probed cell partitions at the parquet "
     "scan; both approximate, hence rows-only. The EXACT face of the "
-    "same index is hash-verified in x2e_ivf_fullprobe",
+    "same index is hash-verified in x2e_ivf_fullprobe. r13 (VERDICT "
+    "r12 #4) adds one DETERMINISTIC invariant row per operating "
+    "point — op='<op>_subset_full_top10', q_id=-1, vec_id=# of "
+    "approximate results OUTSIDE the exact full-probe top-10 (0 when "
+    "the subset invariant holds), cosine_sim=contained fraction, "
+    "rank=N — turning the bench-only quality claim into a driver row "
+    "(both sides of the containment are deterministic by "
+    "construction after the r12 quantizer-combine fixes)",
 )
 def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.layout import reuse
+
     a = x2b_ann_prerank(spark, sf_dir).select(
         F.lit("prerank").alias("op"), "q_id", "vec_id",
         "cosine_sim", "rank",
@@ -864,7 +882,48 @@ def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("op"), "q_id", "vec_id",
         "cosine_sim", "rank",
     )
-    return a.unionByName(b)
+    # reuse(): the approximate legs feed BOTH the union output and
+    # the invariant aggregate below — without sharing, each probed
+    # search runs twice. The frame is nq*TOP_K*2 rows — tiny.
+    approx = reuse(a.unionByName(b))
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # the exact side: brute-force cosine top-N — identical semantics
+    # to the full probe (same fround(,6) scoring, same vec_id
+    # tiebreak, self excluded; equality pytest-proven in
+    # tests/test_ivf_index.py) at ~1/5 the wall of re-walking every
+    # inverted list, and WindowGroupLimit thins the per-query top-N
+    # map-side so nothing corpus-sized crosses one task
+    full = cosine_topk(queries, emb, k=ANN_SUBSET_FULL_N).select(
+        "q_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    inv = (
+        approx.join(F.broadcast(full), ["q_id", "vec_id"], "left")
+        .groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.when(F.col("_hit").isNull(), 1).otherwise(0)
+            ).alias("_miss"),
+        )
+        .select(
+            F.concat(
+                F.col("op"),
+                F.lit(f"_subset_full_top{ANN_SUBSET_FULL_N}"),
+            ).alias("op"),
+            F.lit(-1).cast("long").alias("q_id"),
+            F.col("_miss").cast("long").alias("vec_id"),
+            fround(
+                (F.col("_n") - F.col("_miss")).cast("double")
+                / F.col("_n"),
+                6,
+            ).alias("cosine_sim"),
+            F.lit(ANN_SUBSET_FULL_N).cast("int").alias("rank"),
+        )
+    )
+    return approx.unionByName(inv)
 
 
 @declare(

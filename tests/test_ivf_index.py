@@ -369,3 +369,66 @@ def test_quantizer_builds_are_deterministic(spark):
     cb1 = pq_train(emb, m=8, nbits=4)
     cb2 = pq_train(emb, m=8, nbits=4)
     assert np.array_equal(cb1, cb2)
+
+
+def test_x2b_subset_invariant_rows_match_numpy_oracle(spark):
+    """r13 (VERDICT r12 #4): the x2b union carries one deterministic
+    invariant row per approximate operating point — # of approximate
+    results OUTSIDE the exact full-probe top-N and the contained
+    fraction. Pin both against an independent numpy oracle so a
+    containment regression moves the driver row, not just a bench
+    metric."""
+    import numpy as np
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ANN_SUBSET_FULL_N,
+        N_QUERY_VECS,
+        x2b_ann_searches,
+    )
+
+    rows = x2b_ann_searches(spark, SF).collect()
+    inv = {r.op: r for r in rows if r.op.endswith("_subset_full_top10")}
+    assert set(inv) == {
+        "ivf_subset_full_top10",
+        "prerank_subset_full_top10",
+    }
+
+    # numpy exact top-N per query: same rounding, same tiebreak,
+    # self excluded — independent of every Spark code path
+    pdf = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    exact_topn = {}
+    for q in range(N_QUERY_VECS):
+        qi = int(np.where(ids == q)[0][0])
+        sims = mat @ mat[qi] / (norms * norms[qi])
+        sims = np.floor(sims * 1e6 + 0.5) / 1e6  # fround(,6)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        exact_topn[q] = {int(ids[i]) for i in order[:ANN_SUBSET_FULL_N]}
+
+    for op in ("ivf", "prerank"):
+        approx = [
+            (r.q_id, r.vec_id) for r in rows if r.op == op
+        ]
+        assert approx  # both operating points present in the union
+        missing = sum(
+            1 for q, v in approx if v not in exact_topn[q]
+        )
+        r = inv[f"{op}_subset_full_top10"]
+        assert (r.q_id, r.rank) == (-1, ANN_SUBSET_FULL_N)
+        assert r.vec_id == missing
+        assert r.cosine_sim == round(
+            (len(approx) - missing) / len(approx), 6
+        )
+        # and the invariant itself HOLDS on the driver corpus: every
+        # approximate result is inside the exact top-N
+        assert missing == 0 and r.cosine_sim == 1.0
