@@ -119,37 +119,39 @@ def global_rank(
     UNIQUE order column: duplicate order values would make ranks
     between the duplicates bucket-boundary-dependent — a
     nondeterminism that surfaces as a distant flaky hash, not an
-    error. assert_unique=True verifies that precondition inside the
-    bounds aggregate already being run (count vs count_distinct —
-    one extra expression, no extra job) and raises on duplicates or
-    NULLs; it is opt-in because count_distinct is not free on a
-    100 TB column, and callers ranking a known-unique key (d5's
-    event_id) shouldn't pay it on every run.
+    error. assert_unique=True runs one EAGER validation aggregate
+    (count vs count_distinct vs non-null count) and raises on
+    duplicates or NULLs at the call site; it is opt-in because
+    count_distinct is not free on a 100 TB column — and it is the
+    only job this function ever runs itself (below).
 
-    Shape (all distributed, nothing corpus-sized through one task):
-      1. one min/max agg over `order_col` (2 scalars to the driver),
+    Shape (all distributed, nothing corpus-sized through one task,
+    and — r13, VERDICT r12 #3 — fully LAZY: zero jobs at build time;
+    the r12 version paid a bounds-collect job AND a counts-collect
+    job per call):
+      1. a 1-row bounds subplan (min, ceil-div stride over [min,
+         max]) broadcast-cross-joined onto the input — Catalyst
+         reuses the one exchange for both consumers below,
       2. VALUE-range bucketing — fixed stride over [min, max], so
          bucket id is a map-side expression and bucket order IS the
          global order (no sampled range partitioner whose bounds vary
          per job — the shuffle_corpus determinism rule),
       3. row_number within each bucket (partitioned window),
-      4. per-bucket counts -> cumulative offsets, computed IN-PLAN
-         (r13, VERDICT r12 #3: the r12 version collected the counts
-         to the driver — a whole extra job + round trip per call) as
-         a cumsum window over the AGGREGATED counts frame, which is
-         one row per bucket, <= n_parts rows by the clamp. That
-         window is unpartitioned but bounded by construction — the
-         same class of bounded single-partition step as the final
-         1-row aggregate exchange every global agg pays, NOT the
-         corpus-sized global window this function exists to avoid.
-         Broadcast-joined back; rank = offset + local rank.
+      4. per-bucket counts -> cumulative offsets as a cumsum window
+         over the AGGREGATED counts frame — one row per bucket,
+         <= n_parts rows by the clamp. That window is unpartitioned
+         but bounded by construction: the same class of bounded
+         single-partition step as the final 1-row aggregate exchange
+         every global agg pays, NOT the corpus-sized global window
+         this function exists to avoid. Broadcast-joined back;
+         rank = offset + local rank.
 
-    Net actions: ONE scalar job (bounds) before the caller's own; the
-    caller's job evaluates the counts subtree as its broadcast input.
-    Both re-execute the upstream plan — persist heavy derived
-    upstreams first via reuse(). Value-ranged buckets skew if
-    order_col values cluster heavily; for sequential ids (the
-    intended use) they are uniform.
+    The caller's single action therefore evaluates the bounds and
+    counts subtrees as broadcast inputs — no Python round trips in
+    between. The upstream plan is referenced three times (bounds,
+    counts, ranking) — persist heavy derived upstreams first via
+    reuse(). Value-ranged buckets skew if order_col values cluster
+    heavily; for sequential ids (the intended use) they are uniform.
 
     total_col, when set, adds the total row count as a column (the
     full-frame sum riding the same bounded offsets window — no extra
@@ -158,8 +160,17 @@ def global_rank(
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    reserved = {"_gr_bkt", "_gr_lrk", "_gr_off", "_gr_delta", rank_col}
+    reserved = {
+        "_gr_bkt",
+        "_gr_lrk",
+        "_gr_off",
+        "_gr_delta",
+        "_gr_lo",
+        "_gr_stride",
+        rank_col,
+    }
     if total_col:
         reserved.add(total_col)
     clash = reserved & set(df.columns)
@@ -170,80 +181,100 @@ def global_rank(
     n_parts = partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    aggs = [F.min(order_col).alias("lo"), F.max(order_col).alias("hi")]
     if assert_unique:
-        # rides the bounds job: count/count_distinct are two more
-        # expressions in the same partial aggregate, not a new scan.
-        # count(lit(1)) vs count(col) also exposes NULL order values,
-        # which would silently drop rows at the bucket/offset join.
-        aggs += [
+        chk = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
+            # count(lit(1)) vs count(col) exposes NULL order values,
+            # which would silently drop rows at the bucket/offset join
             F.count(order_col).alias("n_nonnull"),
             F.countDistinct(order_col).alias("n_distinct"),
-        ]
-    bounds = df.agg(*aggs).collect()[0]
-    if assert_unique:
-        if bounds["n_nonnull"] != bounds["n_rows"]:
+        ).collect()[0]
+        if chk["n_nonnull"] != chk["n_rows"]:
             raise ValueError(
                 f"global_rank order column {order_col!r} has "
-                f"{bounds['n_rows'] - bounds['n_nonnull']} NULL value(s);"
+                f"{chk['n_rows'] - chk['n_nonnull']} NULL value(s);"
                 " NULL-keyed rows would be silently dropped"
             )
-        if bounds["n_distinct"] != bounds["n_nonnull"]:
+        if chk["n_distinct"] != chk["n_nonnull"]:
             raise ValueError(
                 f"global_rank order column {order_col!r} is not unique "
-                f"({bounds['n_nonnull']} rows, {bounds['n_distinct']} "
+                f"({chk['n_nonnull']} rows, {chk['n_distinct']} "
                 "distinct values); duplicate order values make ranks "
                 "bucket-boundary-dependent"
             )
-    if bounds["lo"] is None:  # empty input: rank column only
-        out = df.withColumn(rank_col, F.lit(None).cast("long"))
-        if total_col:
-            out = out.withColumn(total_col, F.lit(0).cast("long"))
-        return out
-    import math
-
-    # floor/ceil, NOT int(): int() truncates toward zero, so a
-    # fractional negative minimum (double order column, e.g. -3.7)
-    # would yield lo > min and bucket -1 for the smallest rows — which
-    # silently drop in the offset join
-    lo, hi = math.floor(bounds["lo"]), math.ceil(bounds["hi"])
-    stride = max(-(-(hi - lo + 1) // n_parts), 1)
-    from pyspark.sql import types as T
-
-    if isinstance(
+    integral = isinstance(
         df.schema[order_col].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-    ):
-        # exact 64-bit integer bucketing (ADVICE r12): the double
-        # expression below loses low bits of delta above 2^53, so
-        # bucket boundaries drift off the documented stride. Ranks
-        # stayed order-consistent only because double rounding is
-        # monotone and both legs (counts + ranking) share the one
-        # expression — a fragile accident, not a contract. delta >= 0
-        # (lo is the global min), so `div` IS the floor. Remaining
-        # limit: a key RANGE wider than 2^63-1 (full-range longs)
-        # overflows delta itself.
+    )
+    # 1-row bounds subplan: lo plus the ceil-div stride, broadcast in
+    # (no driver collect; Catalyst reuses the exchange for the counts
+    # and ranking consumers). floor/ceil on the double path, NOT
+    # int()-style truncation: a fractional negative minimum (e.g.
+    # -3.7) truncated toward zero would yield lo > min and bucket -1
+    # for the smallest rows — silently dropped at the offset join.
+    raw = df.agg(
+        F.min(order_col).alias("_gr_min"), F.max(order_col).alias("_gr_max")
+    )
+    if integral:
+        # exact 64-bit arithmetic (ADVICE r12): the double expression
+        # below loses low bits above 2^53, so bucket boundaries drift
+        # off the documented stride (ranks survived only via the
+        # monotonicity of double rounding — an accident, not a
+        # contract). ceil((span+1)/p) == span div p + 1 for span >= 0
+        # — the identity avoids the +p term that overflows under ANSI
+        # when the span is already near 2^63. Remaining limit: a key
+        # RANGE wider than 2^63-1 (full-range longs) overflows the
+        # span subtraction itself.
+        bounds = raw.select(
+            F.col("_gr_min").cast("long").alias("_gr_lo"),
+            F.greatest(
+                F.expr(
+                    "(cast(_gr_max as bigint) - cast(_gr_min as bigint))"
+                    f" div {n_parts}L + 1L"
+                ),
+                F.lit(1).cast("long"),
+            ).alias("_gr_stride"),
+        )
+    else:
+        bounds = raw.select(
+            F.floor("_gr_min").cast("long").alias("_gr_lo"),
+            F.greatest(
+                F.ceil(
+                    (
+                        F.ceil("_gr_max") - F.floor("_gr_min") + F.lit(1)
+                    ).cast("double")
+                    / F.lit(n_parts)
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ).alias("_gr_stride"),
+        )
+    keyed = df.crossJoin(F.broadcast(bounds))
+    if integral:
         keyed = (
-            df.withColumn(
+            keyed.withColumn(
                 "_gr_delta",
-                F.col(order_col).cast("long") - F.lit(lo).cast("long"),
+                F.col(order_col).cast("long") - F.col("_gr_lo"),
             )
             .withColumn(
                 "_gr_bkt",
                 F.least(
-                    F.expr(f"_gr_delta div {stride}L"),
-                    F.lit(n_parts - 1),
+                    F.expr("_gr_delta div _gr_stride"),
+                    F.lit(n_parts - 1).cast("long"),
                 ).cast("int"),
             )
-            .drop("_gr_delta")
+            .drop("_gr_delta", "_gr_lo", "_gr_stride")
         )
     else:
-        bkt = F.least(
-            F.floor((F.col(order_col) - F.lit(lo)) / F.lit(stride)),
-            F.lit(n_parts - 1),
-        ).cast("int")
-        keyed = df.withColumn("_gr_bkt", bkt)
+        keyed = keyed.withColumn(
+            "_gr_bkt",
+            F.least(
+                F.floor(
+                    (F.col(order_col) - F.col("_gr_lo"))
+                    / F.col("_gr_stride")
+                ),
+                F.lit(n_parts - 1).cast("long"),
+            ).cast("int"),
+        ).drop("_gr_lo", "_gr_stride")
     w = Window.partitionBy("_gr_bkt").orderBy(F.col(order_col).asc())
     ranked = keyed.withColumn("_gr_lrk", F.row_number().over(w))
     # offsets in-plan (docstring step 4): the cumsum window runs over

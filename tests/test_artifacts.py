@@ -225,3 +225,45 @@ def test_registered_build_bears_its_declared_name():
             f"{q.build.__name__!r} — something was inserted between "
             "its @declare(...) decorator and the intended def"
         )
+
+
+def test_scaled_ratio_headline_floor_gating():
+    """r13 (VERDICT r12 #1): the scaled_worst_ratio headline must name
+    a query whose 1x base clears the fixed-overhead floor — the r12
+    headline pointed at x8_heavy_hitters (0.99 s base, fixed-cost
+    artifact). The unfloored worst must survive as a secondary field
+    so the gate can never hide a real regression."""
+    import bench
+
+    t1x = {"big": 2.0, "small": 0.2, "mid": 1.0}
+    t10x = {"big": 4.0, "small": 1.0, "mid": 1.5}
+    s = bench.scaled_ratio_summary(t10x, t1x, mult=10, floor=1.0)
+    # 'small' has the worst raw ratio (5.0) but a sub-floor base:
+    # the headline names 'big' (2.0), the unfloored field names it
+    assert (s["worst_query"], s["worst_ratio"]) == ("big", 2.0)
+    assert (s["worst_query_unfloored"], s["worst_ratio_unfloored"]) == (
+        "small",
+        5.0,
+    )
+    assert s["worst_ratio_filtered"] is True
+    assert s["time_ratio_vs_1x"]["mid"] == 1.5
+
+    # over-2x-per-row-cost applies the same floor: 'small' at ratio
+    # 25 (> 2*10) must NOT count; 'big' at 42 must
+    s2 = bench.scaled_ratio_summary(
+        {"big": 84.0, "small": 5.0}, t1x, mult=10, floor=1.0
+    )
+    assert set(s2["over_2x_per_row_cost"]) == {"big"}
+
+    # nothing clears the floor: fall back to the unfiltered worst and
+    # SAY SO (worst_ratio_filtered False)
+    s3 = bench.scaled_ratio_summary(
+        {"small": 1.0}, {"small": 0.2}, mult=10, floor=1.0
+    )
+    assert (s3["worst_query"], s3["worst_ratio_filtered"]) == (
+        "small",
+        False,
+    )
+
+    # the module default floor is the r13 value
+    assert bench.SCALE_SIGNAL_MIN_1X_SEC == 1.0

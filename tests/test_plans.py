@@ -295,13 +295,15 @@ def test_d5_ntile_is_bucketed_global_rank(plans):
     # the rank window is keyed on the value-range bucket
     assert "windowspecdefinition(_gr_bkt" in p
     assert "hashpartitioning(_gr_bkt" in p
-    # exactly two bounded SinglePartition steps are allowed: the final
-    # 1-row global aggregate (one partial buffer per partition) and
-    # r13's in-plan offsets cumsum, whose input is the POST-aggregation
-    # per-bucket counts frame (<= shuffle-partitions rows by the bucket
-    # clamp). Anything beyond these means a corpus-sized single-
-    # partition step crept back in.
-    assert p.count("SinglePartition") <= 2
+    # exactly four bounded SinglePartition steps are allowed: the
+    # final 1-row global aggregate (one partial buffer per partition),
+    # r13's in-plan offsets cumsum (input = the POST-aggregation
+    # per-bucket counts frame, <= shuffle-partitions rows by the
+    # bucket clamp), and the 1-row bounds aggregate that global_rank
+    # broadcasts to its two consumers (ranking + counts legs; listed
+    # twice at explain time, reused at runtime). Anything beyond
+    # these means a corpus-sized single-partition step crept back in.
+    assert p.count("SinglePartition") <= 4
 
 
 def test_declared_bm25_prunes_postings_buckets(plans):

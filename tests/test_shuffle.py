@@ -212,9 +212,11 @@ def test_global_rank_double_order_column(spark):
 def test_global_rank_assert_unique(spark):
     """r13 (VERDICT r12 #2): duplicate order values make ranks
     bucket-boundary-dependent — nondeterminism that would surface as
-    a distant flaky oracle hash. assert_unique=True rides the bounds
-    aggregate (no extra job) and raises at the source instead; NULL
-    keys (silently dropped by the offset join otherwise) also raise."""
+    a distant flaky oracle hash. assert_unique=True runs one eager
+    validation aggregate (the only job global_rank itself runs — the
+    unvalidated path is fully lazy) and raises at the source instead;
+    NULL keys (silently dropped by the offset join otherwise) also
+    raise."""
     import pytest
 
     from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
