@@ -264,3 +264,21 @@ def test_global_rank_int64_keys_above_2_53(spark):
             ).collect()
         )
         assert got == [(v, i + 1) for i, v in enumerate(sorted(vals))]
+
+
+def test_global_rank_builds_lazily_without_jobs(spark):
+    """r13: global_rank (without assert_unique) must run ZERO Spark
+    jobs at build time — bounds and stride are a broadcast subplan,
+    not a driver collect. A regression here re-adds a per-call job +
+    driver round trip to every caller (d5 pays it once per run)."""
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id")
+    tracker = spark.sparkContext.statusTracker()
+    all_before = len(tracker.getJobIdsForGroup(None) or [])
+    out = global_rank(ev, "event_id", rank_col="grk", total_col="n")
+    # building the frame scheduled nothing
+    assert len(tracker.getJobIdsForGroup(None) or []) == all_before
+    # and it still computes correctly when the caller acts
+    n = out.count()
+    assert n == ev.count() > 0
