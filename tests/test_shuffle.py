@@ -282,3 +282,59 @@ def test_global_rank_builds_lazily_without_jobs(spark):
     # and it still computes correctly when the caller acts
     n = out.count()
     assert n == ev.count() > 0
+
+
+def test_global_rank_property_random_keys(spark):
+    """r13 property guard on the rewritten bucket arithmetic: for any
+    set of unique keys — tiny, huge (up to 2^63-1), negative, long or
+    double — and any bucket count, global_rank must equal sorted-order
+    enumeration. Catches boundary drift in the broadcast bounds/stride
+    subplan that the fixed-example tests might straddle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    longs = st.lists(
+        st.integers(min_value=0, max_value=(1 << 63) - 1),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+    doubles = st.lists(
+        st.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.one_of(longs, doubles),
+        parts=st.sampled_from([1, 2, 7, 32]),
+    )
+    def check(vals, parts):
+        dtype = "double" if isinstance(vals[0], float) else "long"
+        df = spark.createDataFrame([(v,) for v in vals], f"v {dtype}")
+        got = sorted(
+            (r.v, r.rk, r.n)
+            for r in global_rank(
+                df, "v", rank_col="rk", total_col="n", partitions=parts
+            ).collect()
+        )
+        want = [
+            (v, i + 1, len(vals))
+            for i, v in enumerate(sorted(vals))
+        ]
+        assert got == want
+
+    check()
