@@ -850,6 +850,82 @@ def x2b_ann_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent numpy oracle so a regression moves the driver row.
 ANN_SUBSET_FULL_N = 10
 
+# bump when the persisted ground-truth layout/semantics change — keys
+# the cross-process slot so a new engine version never reads an old
+# artifact (1: initial — q_id/vec_id/cosine_sim/rank-int top-N rows)
+_ANN_GT_FORMAT = 1
+
+_ANN_GT_CACHE: dict[tuple[str, int], str] = {}
+
+
+def ann_groundtruth_for(
+    spark: SparkSession, sf_dir: str, n: int = ANN_SUBSET_FULL_N
+) -> DataFrame:
+    """The EXACT brute-force cosine top-n for the declared query set,
+    computed once per corpus and persisted (VERDICT r13 #1: the x2b
+    invariant legs re-ran the full brute-force pass on every
+    execution, duplicating work whose answer only changes when the
+    CORPUS changes — at 100 TB you compute ANN-evaluation ground
+    truth once per corpus snapshot, not once per evaluation run).
+    Same cross-process slot pattern as ivf_index_for: keyed by corpus
+    path+mtime (regenerated testdata invalidates automatically) plus
+    n and the query-set bound, so a parameter change can never serve
+    a stale artifact. The frame is deterministic by construction
+    (fround(,6) scoring, vec_id tiebreak — the same contract
+    x2e_ivf_fullprobe hash-verifies against DuckDB), so persisting it
+    cannot move any driver row; a slot-vs-fresh parity pytest pins
+    that. The artifact is tiny (n_queries x n rows) and the one-time
+    build cost rides bench.py's ann_groundtruth_build_sec, next to
+    the IVF index's own build line."""
+    import os as _os
+    import tempfile
+
+    from ..catalog import corpus_cache_key
+    from .search import _persistent_slot, _publish_slot
+
+    key = corpus_cache_key(sf_dir, "embeddings.parquet")
+    path = _ANN_GT_CACHE.get((key, n))
+    if path is None:
+        slot, ready = _persistent_slot(
+            "anngt", f"gfmt{_ANN_GT_FORMAT}|n{n}|q{N_QUERY_VECS}|{key}"
+        )
+        if not ready:
+            emb = load_table(spark, sf_dir, "embeddings")
+            queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+                F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+            )
+            build = tempfile.mkdtemp(prefix="spark_graft_anngt_")
+            (
+                cosine_topk(queries, emb, k=n)
+                .withColumn("rank", F.col("rank").cast("int"))
+                # n_queries x n rows: one file, no partition ceremony
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(_os.path.join(build, "data"))
+            )
+            slot = _publish_slot(build, slot)
+        path = _ANN_GT_CACHE[(key, n)] = slot
+    return spark.read.parquet(_os.path.join(path, "data"))
+
+
+def ann_groundtruth_build_seconds(
+    spark: SparkSession, sf_dir: str, n: int = ANN_SUBSET_FULL_N
+) -> float:
+    """Force (and time) the ground-truth build for sf_dir — bench.py
+    reports it separately, like the IVF/text index builds: the x2b
+    inventory entry is pure index search + a 50-row broadcast join."""
+    import time
+
+    from ..catalog import corpus_cache_key
+
+    key = corpus_cache_key(sf_dir, "embeddings.parquet")
+    if (key, n) in _ANN_GT_CACHE:
+        return 0.0
+    t0 = time.perf_counter()
+    ann_groundtruth_for(spark, sf_dir, n)
+    return round(time.perf_counter() - t0, 3)
+
 
 @declare(
     "x2b_ann_searches",
@@ -869,7 +945,11 @@ ANN_SUBSET_FULL_N = 10
     "the subset invariant holds), cosine_sim=contained fraction, "
     "rank=N — turning the bench-only quality claim into a driver row "
     "(both sides of the containment are deterministic by "
-    "construction after the r12 quantizer-combine fixes)",
+    "construction after the r12 quantizer-combine fixes). r14 "
+    "(VERDICT r13 #1): the exact side reads the per-corpus PERSISTED "
+    "ground truth (ann_groundtruth_for — built once per corpus "
+    "snapshot, slot-vs-fresh parity pytest-pinned) instead of "
+    "re-running the brute-force pass per execution",
 )
 def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.layout import reuse
@@ -886,17 +966,14 @@ def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the invariant aggregate below — without sharing, each probed
     # search runs twice. The frame is nq*TOP_K*2 rows — tiny.
     approx = reuse(a.unionByName(b))
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
     # the exact side: brute-force cosine top-N — identical semantics
     # to the full probe (same fround(,6) scoring, same vec_id
     # tiebreak, self excluded; equality pytest-proven in
-    # tests/test_ivf_index.py) at ~1/5 the wall of re-walking every
-    # inverted list, and WindowGroupLimit thins the per-query top-N
-    # map-side so nothing corpus-sized crosses one task
-    full = cosine_topk(queries, emb, k=ANN_SUBSET_FULL_N).select(
+    # tests/test_ivf_index.py) — PERSISTED once per corpus (r14,
+    # VERDICT r13 #1: the brute-force pass used to re-run on every
+    # execution; ground truth only changes when the corpus does).
+    # What this query pays is a read of n_queries x N rows.
+    full = ann_groundtruth_for(spark, sf_dir, ANN_SUBSET_FULL_N).select(
         "q_id", "vec_id", F.lit(1).alias("_hit")
     )
     inv = (

@@ -432,3 +432,40 @@ def test_x2b_subset_invariant_rows_match_numpy_oracle(spark):
         # and the invariant itself HOLDS on the driver corpus: every
         # approximate result is inside the exact top-N
         assert missing == 0 and r.cosine_sim == 1.0
+
+
+def test_ann_groundtruth_slot_matches_fresh_bruteforce(spark):
+    """r14 (VERDICT r13 #1): x2b's exact containment side reads a
+    per-corpus PERSISTED ground truth instead of re-running the
+    brute-force pass per execution. The slot must be byte-equal to a
+    fresh cosine_topk at the same n — determinism (fround(,6) +
+    vec_id tiebreak) is what makes persisting hash-safe — and the
+    build must be once-per-corpus (second timing call is a cache
+    hit)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        ANN_SUBSET_FULL_N,
+        N_QUERY_VECS,
+        ann_groundtruth_build_seconds,
+        ann_groundtruth_for,
+    )
+
+    gt = ann_groundtruth_for(spark, SF, ANN_SUBSET_FULL_N)
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    fresh = cosine_topk(queries, emb, k=ANN_SUBSET_FULL_N).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+    key = lambda r: (r.q_id, r.rank)  # noqa: E731
+    got = sorted(gt.collect(), key=key)
+    want = sorted(fresh.collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == N_QUERY_VECS * ANN_SUBSET_FULL_N
+    # parquet round-trips relax nullability; names+types must hold
+    assert [(f.name, f.dataType) for f in gt.schema] == [
+        (f.name, f.dataType) for f in fresh.schema
+    ]
+    # once-per-corpus: the slot is already warm for this process, so
+    # the timing probe reports a pure cache hit
+    assert ann_groundtruth_build_seconds(spark, SF) == 0.0
