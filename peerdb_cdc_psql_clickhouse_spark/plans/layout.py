@@ -151,7 +151,19 @@ def global_rank(
     between. The upstream plan is referenced three times (bounds,
     counts, ranking) — persist heavy derived upstreams first via
     reuse(). Value-ranged buckets skew if order_col values cluster
-    heavily; for sequential ids (the intended use) they are uniform.
+    heavily; for sequential ids (the intended use) they are uniform
+    (bucket occupancy degrades to the clustering, but ranks stay
+    exact: bucket order is value order and offsets come from actual
+    per-bucket counts — pinned by a clustered-key pytest).
+
+    NULL order keys are EXCLUDED from the output by an explicit
+    isNotNull filter (r14, ADVICE r13: F.least() ignores NULL
+    operands, so a NULL key used to land in bucket n_parts-1, sort
+    NULLS FIRST inside that bucket's row_number window, and silently
+    SHIFT every real row's rank in the last bucket — strictly worse
+    than the exclusion this docstring used to claim). Callers that
+    must not lose rows pass assert_unique=True, which raises on
+    NULLs (and duplicates) instead.
 
     total_col, when set, adds the total row count as a column (the
     full-frame sum riding the same bounded offsets window — no extra
@@ -185,7 +197,7 @@ def global_rank(
         chk = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
             # count(lit(1)) vs count(col) exposes NULL order values,
-            # which would silently drop rows at the bucket/offset join
+            # which the lazy path below excludes from the output
             F.count(order_col).alias("n_nonnull"),
             F.countDistinct(order_col).alias("n_distinct"),
         ).collect()[0]
@@ -193,7 +205,7 @@ def global_rank(
             raise ValueError(
                 f"global_rank order column {order_col!r} has "
                 f"{chk['n_rows'] - chk['n_nonnull']} NULL value(s);"
-                " NULL-keyed rows would be silently dropped"
+                " NULL-keyed rows are excluded from the ranked output"
             )
         if chk["n_distinct"] != chk["n_nonnull"]:
             raise ValueError(
@@ -248,7 +260,12 @@ def global_rank(
                 F.lit(1).cast("long"),
             ).alias("_gr_stride"),
         )
-    keyed = df.crossJoin(F.broadcast(bounds))
+    # the documented NULL exclusion (see docstring): without this
+    # filter, least() would route NULL keys into the LAST bucket and
+    # corrupt its real rows' ranks rather than drop anything
+    keyed = df.filter(F.col(order_col).isNotNull()).crossJoin(
+        F.broadcast(bounds)
+    )
     if integral:
         keyed = (
             keyed.withColumn(

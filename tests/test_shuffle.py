@@ -215,8 +215,8 @@ def test_global_rank_assert_unique(spark):
     a distant flaky oracle hash. assert_unique=True runs one eager
     validation aggregate (the only job global_rank itself runs — the
     unvalidated path is fully lazy) and raises at the source instead;
-    NULL keys (silently dropped by the offset join otherwise) also
-    raise."""
+    NULL keys (excluded from the output by the lazy path's isNotNull
+    filter otherwise — r14) also raise."""
     import pytest
 
     from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
@@ -338,3 +338,74 @@ def test_global_rank_property_random_keys(spark):
         assert got == want
 
     check()
+
+
+def test_global_rank_null_keys_excluded_ranks_unshifted(spark):
+    """r14 (ADVICE r13): F.least() ignores NULL operands, so a NULL
+    order key used to land in bucket n_parts-1, sort NULLS FIRST in
+    that bucket's row_number window, and silently SHIFT every real
+    row's rank in the last bucket (the docstring claimed 'dropped').
+    The lazy path now EXCLUDES NULL keys explicitly: real rows keep
+    exactly the ranks of the NULL-free frame at every bucket count —
+    in particular the rows that fall in the LAST bucket, where the
+    corruption used to land."""
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    vals = list(range(0, 200, 2))  # unique, even, 100 rows
+    rows = [(v,) for v in vals] + [(None,), (None,), (None,)]
+    df = spark.createDataFrame(rows, "v long")
+    want = [(v, i + 1) for i, v in enumerate(sorted(vals))]
+    for parts in (1, 4, 32):
+        got = sorted(
+            (r.v, r.rk)
+            for r in global_rank(
+                df, "v", rank_col="rk", partitions=parts
+            ).collect()
+        )
+        # no NULL-keyed output rows, and no rank shift anywhere —
+        # the max-value row (always in the last bucket) keeps rank n
+        assert got == want
+
+
+def test_global_rank_clustered_keys_exact_ranks_and_skew(spark):
+    """r14 (VERDICT r13 #2): value-ranged buckets SKEW when order
+    values cluster — here 90% of keys sit in a 1%-wide band of the
+    value range, so ~90% of rows land in bucket 0 (asserted below:
+    the skew is real and measured, not just noted). Ranks must stay
+    EXACT regardless: bucket order is value order and offsets come
+    from actual per-bucket counts, so occupancy only affects balance,
+    never correctness. Observed occupancy at 32 buckets: bucket 0
+    holds 1805/2000 rows (0.90); the residual risk at scale is a
+    straggler task, not a wrong rank — sampled-boundary bucketing is
+    the r15 candidate if a real input ever hits this shape."""
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    n_parts = 32
+    # 1800 unique keys inside [0, 10_000) — 1% of the 1e6 range —
+    # plus 200 spread across the remaining 99%
+    dense = [i * 5 for i in range(1800)]  # 0..8995
+    sparse = [10_000 + i * 4_950 for i in range(200)]  # ..995_050
+    vals = dense + sparse
+    assert len(set(vals)) == len(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = sorted(
+        (r.v, r.rk)
+        for r in global_rank(
+            df, "v", rank_col="rk", partitions=n_parts
+        ).collect()
+    )
+    assert got == [(v, i + 1) for i, v in enumerate(sorted(vals))]
+
+    # measure the occupancy skew with the same arithmetic the plan
+    # uses (exact integral path: lo=min, stride=span div p + 1,
+    # bucket=min(delta div stride, p-1))
+    lo, hi = min(vals), max(vals)
+    stride = (hi - lo) // n_parts + 1
+    occ: dict[int, int] = {}
+    for v in vals:
+        b = min((v - lo) // stride, n_parts - 1)
+        occ[b] = occ.get(b, 0) + 1
+    top_share = max(occ.values()) / len(vals)
+    # the clustered band really does pile into one bucket — this is
+    # the documented degradation mode, pinned so it stays measured
+    assert top_share >= 0.85
