@@ -602,6 +602,20 @@ def _break_stale_lease(
             if cur_token == got_token:
                 return False  # restore landed despite the error
             break
+        # cur_token None: the lock slot is occupied by a TOKEN-LESS
+        # file (legacy empty/non-JSON lease) or transiently
+        # unreadable. If the claimed lease was itself token-less, a
+        # token read-back can NEVER confirm the restore (ADVICE r13:
+        # the loop exhausted and fired a false stolen-lease warning
+        # for a lease restored intact). The claim file has exactly
+        # one mover — our own rename-back (the stolen path below
+        # hasn't run yet) — so claim-gone AND lock-occupied proves
+        # the restore landed.
+        try:
+            if not fs.exists(claim) and fs.exists(P(lock_path)):
+                return False  # restore landed despite the error
+        except Exception:  # noqa: BLE001 - transient; retry below
+            pass
         _time.sleep(0.05)
     # restore impossible: the fresh lease we mistakenly claimed is
     # STOLEN from its owner. Surface the event instead of silently

@@ -1065,3 +1065,76 @@ def test_break_stale_lease_detects_landed_but_thrown_restore(
     # and NO stolen marker, NO warning — the restore succeeded
     assert os.listdir(root) == [os.path.basename(lock)]
     assert not any("stolen-lease" in r.message for r in caplog.records)
+
+
+def test_break_stale_lease_tokenless_landed_restore_confirmed(
+    spark, tmp_path, caplog
+):
+    """ADVICE r13 (low): when the mistakenly-claimed fresh lease is a
+    LEGACY token-less file (empty/non-JSON — _lease_token returns
+    None), a rename-back that lands but throws could never be
+    confirmed by token read-back: cur_token stayed None, the loop
+    exhausted its retries, and the stolen path fired — the claim
+    rename failed (source already restored) and a false stolen-lease
+    warning with a '<claim dropped>' marker was logged for a lease
+    restored intact. The claim file has exactly one mover (our own
+    rename-back; the stolen path hasn't run yet), so claim-gone AND
+    lock-occupied now proves the restore landed: report the lock
+    held, no warning, no marker."""
+    import json
+    import logging
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.search import (
+        _LOCK,
+        _break_stale_lease,
+        _hfs,
+        _lease_token,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    lock = f"{root}/{_LOCK}"
+    fs, _p, jvm = _hfs(spark, lock)
+    p = jvm.org.apache.hadoop.fs.Path(lock)
+
+    with open(lock, "w") as f:
+        json.dump({"token": "dead-holder", "pid": 0}, f)
+    obs_token = _lease_token(fs, jvm, lock)
+    obs_mtime = int(fs.getFileStatus(p).getModificationTime())
+    os.remove(lock)
+    # the fresh writer is a PRE-TOKEN engine: its lease file is empty
+    open(lock, "w").close()
+
+    class _LandsThenThrows:
+        def __init__(self, real, lock_path):
+            self._real = real
+            self._lock = lock_path
+            self.restore_calls = 0
+
+        def rename(self, src, dst):
+            if str(dst).endswith(os.path.basename(self._lock)):
+                self.restore_calls += 1
+                self._real.rename(src, dst)  # the rename LANDS...
+                raise IOError("injected post-landing timeout")
+            return self._real.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    ffs = _LandsThenThrows(fs, lock)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="peerdb_cdc_psql_clickhouse_spark.operators.search",
+    ):
+        assert (
+            _break_stale_lease(
+                ffs, jvm, lock, "waiter", obs_token, obs_mtime
+            )
+            is False
+        )
+    assert ffs.restore_calls == 1  # confirmed on first pass, no spin
+    # the token-less lease is back in the slot, still empty
+    assert os.path.getsize(lock) == 0
+    # and NO stolen marker, NO warning — the restore landed
+    assert os.listdir(root) == [os.path.basename(lock)]
+    assert not any("stolen-lease" in r.message for r in caplog.records)
