@@ -322,3 +322,45 @@ def test_substring_spans_shares_shingle_frame(plans):
     must read the shared persisted frame."""
     p = plans("x1g_substring_spans")
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p
+
+
+def test_d5_single_partition_exchanges_are_aggregate_bounded(spark):
+    """ADVICE r13 (low): the formatted-text `SinglePartition <= 4`
+    count above keys off explain FORMATTING — a Spark minor-version
+    rename would flip it without a real regression, and a regression
+    that renames the node would pass. This anchors the invariant to
+    the plan TREE: every ShuffleExchangeExec whose output partitioning
+    is SinglePartition must have an Aggregate in its child subtree —
+    the rows entering the single partition are post-aggregation (one
+    per group: the 1-row bounds/global aggregates and the <=n_parts
+    counts frame), bounded by construction — so a corpus-sized
+    single-partition step cannot hide behind a formatting change."""
+    qs = all_queries()
+    df = qs["d5_run_summary"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()  # exchanges pre-AQE, pre-execution
+
+    def walk(node):
+        yield node
+        kids = node.children()
+        for i in range(kids.length()):
+            yield from walk(kids.apply(i))
+
+    single = [
+        n
+        for n in walk(plan)
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec"
+        and "SinglePartition" in n.outputPartitioning().toString()
+    ]
+    # the gate must be exercised: d5's global_rank carries at least
+    # the bounds aggregate and the offsets-cumsum exchange
+    assert 1 <= len(single) <= 4
+    for exch in single:
+        assert any(
+            "Aggregate" in n.getClass().getSimpleName()
+            for n in walk(exch)
+        ), (
+            "SinglePartition exchange without an aggregate-bounded "
+            f"child subtree:\n{exch.treeString()}"
+        )
