@@ -952,8 +952,6 @@ def ann_groundtruth_build_seconds(
     "re-running the brute-force pass per execution",
 )
 def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..plans.layout import reuse
-
     a = x2b_ann_prerank(spark, sf_dir).select(
         F.lit("prerank").alias("op"), "q_id", "vec_id",
         "cosine_sim", "rank",
@@ -962,10 +960,6 @@ def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("op"), "q_id", "vec_id",
         "cosine_sim", "rank",
     )
-    # reuse(): the approximate legs feed BOTH the union output and
-    # the invariant aggregate below — without sharing, each probed
-    # search runs twice. The frame is nq*TOP_K*2 rows — tiny.
-    approx = reuse(a.unionByName(b))
     # the exact side: brute-force cosine top-N — identical semantics
     # to the full probe (same fround(,6) scoring, same vec_id
     # tiebreak, self excluded; equality pytest-proven in
@@ -976,31 +970,67 @@ def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = ann_groundtruth_for(spark, sf_dir, ANN_SUBSET_FULL_N).select(
         "q_id", "vec_id", F.lit(1).alias("_hit")
     )
-    inv = (
-        approx.join(F.broadcast(full), ["q_id", "vec_id"], "left")
-        .groupBy("op")
+    # ONE pass via GROUPING SETS (r14, the real half of VERDICT r13
+    # #1's +2.5 s: the r13 shape persist()ed the approximate union so
+    # the output leg AND the invariant aggregate could share it — on
+    # a 30-row frame the cost was never data, it was the cache
+    # barrier plus the second consumer's sequential stage chain).
+    # Grouping set 1 = every output column → each detail group IS one
+    # approximate result row ((op, q_id, rank) is unique by
+    # row_number construction, so nothing collapses); grouping set 2
+    # = (op) → one rolled-up row per operating point carrying the
+    # containment counts. Expand duplicates 30 rows to 60 before one
+    # hash aggregate — the expensive search legs are consumed exactly
+    # once, no persist, no second chain.
+    gs = (
+        a.unionByName(b)
+        .join(F.broadcast(full), ["q_id", "vec_id"], "left")
+        .groupingSets(
+            [["op", "q_id", "vec_id", "cosine_sim", "rank"], ["op"]],
+            "op", "q_id", "vec_id", "cosine_sim", "rank",
+        )
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(
                 F.when(F.col("_hit").isNull(), 1).otherwise(0)
             ).alias("_miss"),
+            F.grouping("q_id").alias("_g"),
         )
-        .select(
+    )
+    is_inv = F.col("_g") == 1
+    return gs.select(
+        F.when(
+            is_inv,
             F.concat(
                 F.col("op"),
                 F.lit(f"_subset_full_top{ANN_SUBSET_FULL_N}"),
-            ).alias("op"),
-            F.lit(-1).cast("long").alias("q_id"),
-            F.col("_miss").cast("long").alias("vec_id"),
+            ),
+        )
+        .otherwise(F.col("op"))
+        .alias("op"),
+        F.when(is_inv, F.lit(-1))
+        .otherwise(F.col("q_id"))
+        .cast("long")
+        .alias("q_id"),
+        F.when(is_inv, F.col("_miss"))
+        .otherwise(F.col("vec_id"))
+        .cast("long")
+        .alias("vec_id"),
+        F.when(
+            is_inv,
             fround(
                 (F.col("_n") - F.col("_miss")).cast("double")
                 / F.col("_n"),
                 6,
-            ).alias("cosine_sim"),
-            F.lit(ANN_SUBSET_FULL_N).cast("int").alias("rank"),
+            ),
         )
+        .otherwise(F.col("cosine_sim"))
+        .alias("cosine_sim"),
+        F.when(is_inv, F.lit(ANN_SUBSET_FULL_N))
+        .otherwise(F.col("rank"))
+        .cast("int")
+        .alias("rank"),
     )
-    return approx.unionByName(inv)
 
 
 @declare(
