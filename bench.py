@@ -455,6 +455,9 @@ def scaled_inventory(
     from peerdb_cdc_psql_clickhouse_spark.operators.search import (
         text_index_build_seconds,
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        dup_clusters_build_seconds,
+    )
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         ann_groundtruth_build_seconds,
         ivf_index_build_seconds,
@@ -472,6 +475,7 @@ def scaled_inventory(
         ivf_build = ivf_index_build_seconds(spark, work)
         text_build = text_index_build_seconds(spark, work)
         anngt_build = ann_groundtruth_build_seconds(spark, work)
+        dupcl_build = dup_clusters_build_seconds(spark, work)
         timings, spreads, runs, errors = inventory_repeated(
             spark,
             work,
@@ -486,6 +490,7 @@ def scaled_inventory(
             "ivf_index_build_sec": ivf_build,
             "text_index_build_sec": text_build,
             "ann_groundtruth_build_sec": anngt_build,
+            "dup_clusters_build_sec": dupcl_build,
             "queries": timings,
             "query_rel_spread": spreads,
             "query_samples": {
@@ -938,6 +943,9 @@ def main() -> None:
     from peerdb_cdc_psql_clickhouse_spark.operators.search import (
         text_index_build_seconds,
     )
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        dup_clusters_build_seconds,
+    )
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
         ann_groundtruth_build_seconds,
         ivf_index_build_seconds,
@@ -945,6 +953,9 @@ def main() -> None:
 
     ivf_build = ivf_index_build_seconds(spark, sf_dir)
     text_build = text_index_build_seconds(spark, sf_dir)
+    # r14: the per-corpus dup-cluster table (x1f/x7/x7b join it; x1e
+    # is the declared live measurement of its construction)
+    dupcl_build = dup_clusters_build_seconds(spark, sf_dir)
     # r14 (VERDICT r13 #1): x2b's exact containment side is persisted
     # per corpus like the indexes; its one-time build is a lifecycle
     # cost, reported here so the x2b inventory line is pure search
@@ -994,6 +1005,7 @@ def main() -> None:
         "ivf_index_build_sec": ivf_build,
         "text_index_build_sec": text_build,
         "ann_groundtruth_build_sec": anngt_build,
+        "dup_clusters_build_sec": dupcl_build,
         "cdc_stress": stress,
         "cdc_stress_large_profile": stress_large,
         "ann_recall": recall,

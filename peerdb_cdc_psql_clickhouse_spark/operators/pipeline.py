@@ -68,8 +68,10 @@ FROM x7sel
     "agrees with the labeled lang, and the doc is its near-dup "
     "cluster's canonical member (or a singleton). Row-local signals "
     "fused into one scan projection; the only join is the cluster "
-    "keep table. Oracle composes the x3e lang CTE with the x1e "
-    "recursive closure.",
+    "keep table (r14: the per-corpus PERSISTED dup_clusters_for "
+    "table, parity-pinned — not a per-query label-prop re-run). "
+    "Oracle composes the x3e lang CTE with the x1e recursive "
+    "closure.",
 )
 def x7_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -81,9 +83,11 @@ def x7_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_cnt"
         ),
     )
-    clusters = _dedup.dup_clusters(
-        _dedup.winnow_edges(_text.winnow_fp(docs))
-    )
+    # r14: join the per-corpus PERSISTED cluster table (the x1e
+    # derivation, built once per corpus snapshot — see
+    # dedup.dup_clusters_for) instead of re-running the iterative
+    # label propagation inside every selection query
+    clusters = _dedup.dup_clusters_for(spark, sf_dir)
     out = scored.join(clusters, "doc_id", "left")
     dedup_keep = F.col("cluster_id").isNull() | (
         F.col("cluster_id") == F.col("doc_id")

@@ -116,3 +116,34 @@ def test_iteration_cap_respected(spark):
     got = _clusters(spark, [(1, 2), (2, 3), (3, 4)], max_iters=1)
     assert set(got) == {1, 2, 3, 4}
     assert all(lbl in {1, 2, 3, 4} and lbl <= n for n, lbl in got.items())
+
+
+def test_dup_clusters_slot_matches_fresh_derivation(spark):
+    """r14: x1f/x7/x7b join the per-corpus PERSISTED cluster table
+    instead of re-running label propagation per execution. The slot
+    must equal a fresh winnow_fp -> winnow_edges -> dup_clusters run
+    exactly — determinism (portable hashes, order-insensitive
+    min-label fixpoint) is what makes persisting hash-safe for the
+    three consumers' oracles — and the build must be once-per-corpus
+    (the second timing probe is a pure cache hit)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        dup_clusters,
+        dup_clusters_build_seconds,
+        dup_clusters_for,
+        winnow_edges,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import winnow_fp
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    fresh = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(winnow_edges(winnow_fp(docs))).collect()
+    )
+    slot = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters_for(spark, sf).collect()
+    )
+    assert slot == fresh
+    assert len(slot) > 0
+    assert dup_clusters_build_seconds(spark, sf) == 0.0
