@@ -364,3 +364,18 @@ def test_d5_single_partition_exchanges_are_aggregate_bounded(spark):
             "SinglePartition exchange without an aggregate-bounded "
             f"child subtree:\n{exch.treeString()}"
         )
+
+
+def test_dedup_apply_and_select_join_persisted_cluster_table(plans):
+    """r14: x1f/x7 join the per-corpus persisted cluster table; a
+    regression back to in-query label propagation would re-introduce
+    localCheckpoint scans (ExistingRDD leaves) and per-execution
+    iterative rounds. The consumers' plans must be pure parquet-scan
+    dataflows; x1e — the declared live construction query — still
+    legitimately carries the checkpointed iteration."""
+    for name in ("x1f_dedup_apply", "x7_corpus_select"):
+        p = plans(name)
+        assert "Scan ExistingRDD" not in p, name
+        assert "Scan parquet" in p, name
+    # and the construction query keeps its honest iterative shape
+    assert "Scan ExistingRDD" in plans("x1e_dup_clusters")
