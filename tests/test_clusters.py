@@ -147,3 +147,43 @@ def test_dup_clusters_slot_matches_fresh_derivation(spark):
     assert slot == fresh
     assert len(slot) > 0
     assert dup_clusters_build_seconds(spark, sf) == 0.0
+
+
+def test_dup_clusters_slot_empty_cluster_table_round_trips(spark, tmp_path):
+    """r14 edge: a corpus with NO near-dup pairs yields an EMPTY
+    cluster table — the persisted slot must round-trip it with the
+    right schema (empty parquet, not a read error), and the x1f-style
+    left join must then keep every doc."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.dedup import (
+        dup_clusters_for,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine"),
+            (3, "red orange yellow green blue indigo violet done"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(f"{corpus}/documents.parquet")
+
+    clusters = dup_clusters_for(spark, corpus)
+    assert clusters.count() == 0
+    assert [f.name for f in clusters.schema] == ["doc_id", "cluster_id"]
+
+    docs2 = spark.read.parquet(f"{corpus}/documents.parquet")
+    applied = docs2.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )
+    assert all(r.keep for r in applied.collect())
