@@ -772,31 +772,30 @@ def dup_clusters_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot move. x1e itself stays live: it IS the declared
     cluster-construction operator."""
     import os as _os
-    import tempfile
 
     from ..catalog import corpus_cache_key, load_table
-    from .search import _persistent_slot, _publish_slot
+    from .search import artifact_slot
 
     key = corpus_cache_key(sf_dir, "documents.parquet")
     path = _DUP_CLUSTERS_CACHE.get(key)
     if path is None:
-        slot, ready = _persistent_slot(
-            "dupclusters",
-            f"cfmt{_DUP_CLUSTERS_FORMAT}|df{WINNOW_MAX_DF}"
-            f"|ms{WINNOW_MIN_SHARED}|{key}",
-        )
-        if not ready:
+
+        def _build(build: str) -> None:
             from .text import winnow_fp
 
             docs = load_table(spark, sf_dir, "documents")
-            build = tempfile.mkdtemp(prefix="spark_graft_dupcl_")
             (
                 dup_clusters(winnow_edges(winnow_fp(docs)))
                 .write.mode("overwrite")
                 .parquet(_os.path.join(build, "data"))
             )
-            slot = _publish_slot(build, slot)
-        path = _DUP_CLUSTERS_CACHE[key] = slot
+
+        path = _DUP_CLUSTERS_CACHE[key] = artifact_slot(
+            "dupclusters",
+            f"cfmt{_DUP_CLUSTERS_FORMAT}|df{WINNOW_MAX_DF}"
+            f"|ms{WINNOW_MIN_SHARED}|{key}",
+            _build,
+        )
     return spark.read.parquet(_os.path.join(path, "data"))
 
 

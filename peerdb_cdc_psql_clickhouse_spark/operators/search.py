@@ -1852,6 +1852,26 @@ def _publish_slot(build_dir: str, slot: str) -> str:
         raise
 
 
+def artifact_slot(kind: str, key: str, build) -> str:
+    """Resolve one per-corpus persisted artifact slot, building it
+    first when no finished build is published — the shared
+    resolve-or-build step of every corpus artifact (text index,
+    lifecycle text index, IVF index, ANN ground truth, dup-cluster
+    table; r14 unification of five copies of this block). `build` is
+    a callable taking the temp build dir and writing the artifact
+    into it; publication stays the atomic rename of _publish_slot, so
+    concurrent builders race safely (exactly one rename wins, the
+    loser adopts the winner's slot and discards its own build)."""
+    import tempfile
+
+    slot, ready = _persistent_slot(kind, key)
+    if not ready:
+        tmp = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_")
+        build(tmp)
+        slot = _publish_slot(tmp, slot)
+    return slot
+
+
 def text_index_for(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, tuple[int, int]]:
@@ -1860,21 +1880,18 @@ def text_index_for(
     the cache block above). The stats pair is the persisted index
     statistic BM25 needs — searches read no corpus-sized table at all
     (dl rides the postings, N/avgdl ride here)."""
-    import tempfile
-
     from ..catalog import corpus_cache_key, load_table
 
     key = corpus_cache_key(sf_dir, "documents.parquet")
     path = _TEXT_IDX_CACHE.get(key)
     if path is None:
-        slot, ready = _persistent_slot("plain", key)
-        if not ready:
-            build = tempfile.mkdtemp(prefix="spark_graft_textidx_")
-            save_full_text_index(
+        path = _TEXT_IDX_CACHE[key] = artifact_slot(
+            "plain",
+            key,
+            lambda build: save_full_text_index(
                 load_table(spark, sf_dir, "documents"), build
-            )
-            slot = _publish_slot(build, slot)
-        path = _TEXT_IDX_CACHE[key] = slot
+            ),
+        )
     return open_text_index(spark, path)
 
 
@@ -1912,17 +1929,14 @@ def text_index_lifecycle_for(
     still exercised and convergence is fraction-independent, while
     the fixed bench cost drops; the artifact also persists across
     processes (see the cache block above)."""
-    import tempfile
-
     from ..catalog import corpus_cache_key, load_table
 
     key = corpus_cache_key(sf_dir, "documents.parquet")
     path = _TEXT_IDX_LIFECYCLE_CACHE.get(key)
     if path is None:
-        slot, ready = _persistent_slot("lifecycle", key)
-        if not ready:
+
+        def _build(build: str) -> None:
             docs = load_table(spark, sf_dir, "documents")
-            build = tempfile.mkdtemp(prefix="spark_graft_textidx_lc_")
             churn = F.col("doc_id") % 17 == 0
             save_full_text_index(
                 docs.filter(F.col("doc_id") % 20 != 0), build
@@ -1945,8 +1959,10 @@ def text_index_lifecycle_for(
                 ),
             )
             text_index_compact(spark, build)
-            slot = _publish_slot(build, slot)
-        path = _TEXT_IDX_LIFECYCLE_CACHE[key] = slot
+
+        path = _TEXT_IDX_LIFECYCLE_CACHE[key] = artifact_slot(
+            "lifecycle", key, _build
+        )
     return open_text_index(spark, path)
 
 

@@ -878,24 +878,20 @@ def ann_groundtruth_for(
     build cost rides bench.py's ann_groundtruth_build_sec, next to
     the IVF index's own build line."""
     import os as _os
-    import tempfile
 
     from ..catalog import corpus_cache_key
-    from .search import _persistent_slot, _publish_slot
+    from .search import artifact_slot
 
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     path = _ANN_GT_CACHE.get((key, n))
     if path is None:
-        slot, ready = _persistent_slot(
-            "anngt", f"gfmt{_ANN_GT_FORMAT}|n{n}|q{N_QUERY_VECS}|{key}"
-        )
-        if not ready:
+
+        def _build(build: str) -> None:
             emb = load_table(spark, sf_dir, "embeddings")
             queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
                 F.col("vec_id").alias("q_id"),
                 F.col("embedding").alias("q_vec"),
             )
-            build = tempfile.mkdtemp(prefix="spark_graft_anngt_")
             (
                 cosine_topk(queries, emb, k=n)
                 .withColumn("rank", F.col("rank").cast("int"))
@@ -904,8 +900,12 @@ def ann_groundtruth_for(
                 .write.mode("overwrite")
                 .parquet(_os.path.join(build, "data"))
             )
-            slot = _publish_slot(build, slot)
-        path = _ANN_GT_CACHE[(key, n)] = slot
+
+        path = _ANN_GT_CACHE[(key, n)] = artifact_slot(
+            "anngt",
+            f"gfmt{_ANN_GT_FORMAT}|n{n}|q{N_QUERY_VECS}|{key}",
+            _build,
+        )
     return spark.read.parquet(_os.path.join(path, "data"))
 
 
@@ -1903,32 +1903,17 @@ _IVF_CACHE: dict[str, str] = {}
 def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
     """The per-corpus persisted IVF index (built on first use; reused
     across processes via the published cache slot)."""
-    import tempfile
-
     from ..catalog import corpus_cache_key
-    from .search import _persistent_slot, _publish_slot
+    from .search import artifact_slot
 
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     path = _IVF_CACHE.get(key)
     if path is None:
-        # the slot key carries the IVF layout version AND every build
-        # param that shapes the artifact (proj_dim drives the prerank
-        # columns; vecs-per-cell drives the cell count and thus the
-        # partition layout) — _persistent_slot itself only keys the
-        # TEXT-index format, which says nothing about IVF layout
-        # (ADVICE r10; r11 folded the sizing target in so changing it
-        # can never serve a stale layout without a manual version
-        # bump)
-        slot, ready = _persistent_slot(
-            "ivf",
-            f"ifmt{_IVF_FORMAT}|pd{_IVF_PROJ_DIM}"
-            f"|vpc{IVF_TARGET_VECS_PER_CELL}|{key}",
-        )
-        if not ready:
+
+        def _build(build: str) -> None:
             emb = load_table(spark, sf_dir, "embeddings").select(
                 "vec_id", "embedding"
             )
-            build = tempfile.mkdtemp(prefix="spark_graft_ivf_")
             # cells sized from the corpus (constant cell size past the
             # floor — see ivf_auto_centroids); the chosen count rides
             # the persisted meta, so searches resolve it from the
@@ -1939,8 +1924,21 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
                 n_centroids=ivf_auto_centroids(emb.count()),
                 proj_dim=_IVF_PROJ_DIM,
             )
-            slot = _publish_slot(build, slot)
-        path = _IVF_CACHE[key] = slot
+
+        # the slot key carries the IVF layout version AND every build
+        # param that shapes the artifact (proj_dim drives the prerank
+        # columns; vecs-per-cell drives the cell count and thus the
+        # partition layout) — _persistent_slot itself only keys the
+        # TEXT-index format, which says nothing about IVF layout
+        # (ADVICE r10; r11 folded the sizing target in so changing it
+        # can never serve a stale layout without a manual version
+        # bump)
+        path = _IVF_CACHE[key] = artifact_slot(
+            "ivf",
+            f"ifmt{_IVF_FORMAT}|pd{_IVF_PROJ_DIM}"
+            f"|vpc{IVF_TARGET_VECS_PER_CELL}|{key}",
+            _build,
+        )
     return load_ivf_index(spark, path)
 
 
