@@ -742,10 +742,11 @@ def _star_labels(edges: DataFrame, max_iters: int) -> DataFrame:
     ).unionByName(roots)
 
 
-# bump when the persisted cluster-table semantics change: any change
-# to winnow_fp (shingle/window params), winnow_edges defaults
-# (WINNOW_MAX_DF / WINNOW_MIN_SHARED ride the key explicitly), or the
-# dup_clusters label contract invalidates old artifacts
+# bump when the persisted cluster-table semantics change in a way the
+# key's explicit parameters don't capture (the shingle k=5 literal
+# shared with the SQL oracle, or the dup_clusters label contract);
+# WINNOW_MAX_DF / WINNOW_MIN_SHARED / WINNOW_W ride the key itself,
+# so changing any of them rebuilds without a manual version bump
 _DUP_CLUSTERS_FORMAT = 1
 
 _DUP_CLUSTERS_CACHE: dict[str, str] = {}
@@ -790,10 +791,12 @@ def dup_clusters_for(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(_os.path.join(build, "data"))
             )
 
+        from .text import WINNOW_W
+
         path = _DUP_CLUSTERS_CACHE[key] = artifact_slot(
             "dupclusters",
             f"cfmt{_DUP_CLUSTERS_FORMAT}|df{WINNOW_MAX_DF}"
-            f"|ms{WINNOW_MIN_SHARED}|{key}",
+            f"|ms{WINNOW_MIN_SHARED}|w{WINNOW_W}|{key}",
             _build,
         )
     return spark.read.parquet(_os.path.join(path, "data"))
