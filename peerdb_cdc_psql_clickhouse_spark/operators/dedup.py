@@ -743,10 +743,12 @@ def _star_labels(edges: DataFrame, max_iters: int) -> DataFrame:
 
 
 # bump when the persisted cluster-table semantics change in a way the
-# key's explicit parameters don't capture (the shingle k=5 literal
-# shared with the SQL oracle, or the dup_clusters label contract);
-# WINNOW_MAX_DF / WINNOW_MIN_SHARED / WINNOW_W ride the key itself,
-# so changing any of them rebuilds without a manual version bump
+# key's explicit parameters don't capture (the dup_clusters label
+# contract); every label-shaping PARAMETER — WINNOW_MAX_DF /
+# WINNOW_MIN_SHARED / WINNOW_W / WINNOW_SHINGLE_K / CLUSTER_MAX_ITERS
+# (r15, ADVICE r14: the iteration cap shapes labels too, as
+# test_iteration_cap_respected proves) — rides the key itself, so
+# changing any of them rebuilds without a manual version bump
 _DUP_CLUSTERS_FORMAT = 1
 
 _DUP_CLUSTERS_CACHE: dict[str, str] = {}
@@ -791,32 +793,38 @@ def dup_clusters_for(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(_os.path.join(build, "data"))
             )
 
-        from .text import WINNOW_W
+        from .text import WINNOW_SHINGLE_K, WINNOW_W
 
         path = _DUP_CLUSTERS_CACHE[key] = artifact_slot(
             "dupclusters",
             f"cfmt{_DUP_CLUSTERS_FORMAT}|df{WINNOW_MAX_DF}"
-            f"|ms{WINNOW_MIN_SHARED}|w{WINNOW_W}|{key}",
+            f"|ms{WINNOW_MIN_SHARED}|w{WINNOW_W}|k{WINNOW_SHINGLE_K}"
+            f"|it{CLUSTER_MAX_ITERS}|{key}",
             _build,
         )
     return spark.read.parquet(_os.path.join(path, "data"))
 
 
-def dup_clusters_build_seconds(spark: SparkSession, sf_dir: str) -> float:
+def dup_clusters_build_seconds(
+    spark: SparkSession, sf_dir: str
+) -> float | None:
     """Force (and time) the cluster-table build for sf_dir — bench.py
     reports it separately, like the text/IVF index builds: the
     x1f/x7/x7b inventory entries are joins against the table, and the
-    one-time construction cost is x1e's own declared measurement."""
+    one-time construction cost is x1e's own declared measurement.
+    None = warm-slot resolve, no build ran (r15, ADVICE r14)."""
     import time
 
     from ..catalog import corpus_cache_key
+    from .search import slot_was_built
 
     key = corpus_cache_key(sf_dir, "documents.parquet")
     if key in _DUP_CLUSTERS_CACHE:
         return 0.0
     t0 = time.perf_counter()
     dup_clusters_for(spark, sf_dir)
-    return round(time.perf_counter() - t0, 3)
+    dt = round(time.perf_counter() - t0, 3)
+    return dt if slot_was_built(_DUP_CLUSTERS_CACHE[key]) else None
 
 
 def dup_clusters_star(

@@ -1836,20 +1836,39 @@ def _persistent_slot(kind: str, key: str) -> tuple[str, bool]:
     return slot, os.path.exists(os.path.join(slot, "_READY"))
 
 
-def _publish_slot(build_dir: str, slot: str) -> str:
+def _publish_slot(build_dir: str, slot: str) -> tuple[str, bool]:
     """Atomically move a finished build into its cache slot; if a
-    concurrent process published first, keep theirs and drop ours."""
+    concurrent process published first, keep theirs and drop ours.
+    Returns (slot, won) — won=False means the published bytes are a
+    concurrent winner's, not this build's (r15: the built/adopted
+    distinction feeds slot_was_built, so build-cost reporting can't
+    attribute a discarded build's timing to the published slot)."""
     import shutil
 
     open(os.path.join(build_dir, "_READY"), "w").close()
     try:
         os.rename(build_dir, slot)
-        return slot
+        return slot, True
     except OSError:
         if os.path.exists(os.path.join(slot, "_READY")):
             shutil.rmtree(build_dir, ignore_errors=True)
-            return slot
+            return slot, False
         raise
+
+
+# Slot paths THIS process actually built (vs adopted already-published
+# — r15, ADVICE r14: the *_build_seconds reporters used to time a warm
+# slot RESOLVE (~0 s) and report it as the one-time build cost,
+# understating it whenever a prior process had published the slot).
+_BUILT_SLOTS: set[str] = set()
+
+
+def slot_was_built(path: str) -> bool:
+    """True when THIS process ran the build for the published slot at
+    `path` (False = adopted a slot another process published, or lost
+    the publish race). The *_build_seconds reporters use this to
+    return None ("cached") instead of a misleading near-zero time."""
+    return path in _BUILT_SLOTS
 
 
 def artifact_slot(kind: str, key: str, build) -> str:
@@ -1861,14 +1880,19 @@ def artifact_slot(kind: str, key: str, build) -> str:
     a callable taking the temp build dir and writing the artifact
     into it; publication stays the atomic rename of _publish_slot, so
     concurrent builders race safely (exactly one rename wins, the
-    loser adopts the winner's slot and discards its own build)."""
+    loser adopts the winner's slot and discards its own build).
+    slot_was_built(returned_path) reports whether this call actually
+    built (a losing racer does NOT count: its timing measured a
+    discarded build, and the published bytes are the winner's)."""
     import tempfile
 
     slot, ready = _persistent_slot(kind, key)
     if not ready:
         tmp = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_")
         build(tmp)
-        slot = _publish_slot(tmp, slot)
+        slot, won = _publish_slot(tmp, slot)
+        if won:
+            _BUILT_SLOTS.add(slot)
     return slot
 
 
@@ -1966,14 +1990,20 @@ def text_index_lifecycle_for(
     return open_text_index(spark, path)
 
 
-def text_index_build_seconds(spark: SparkSession, sf_dir: str) -> float:
+def text_index_build_seconds(
+    spark: SparkSession, sf_dir: str
+) -> float | None:
     """Force (and time) the text-index builds for sf_dir — the exact
     analog of similarity.ivf_index_build_seconds (VERDICT r5 #2:
     x9_bm25_search was charging the one-time build to the timed
     search at both scales, polluting the scaled-ratio trend line).
     Covers BOTH standing indexes (the one-pass build behind x9 and
     the lifecycle-built twin behind x9b) so bench timings stay pure
-    search. Returns 0.0 when both are already standing."""
+    search. Returns 0.0 when both are already standing in THIS
+    process, and None when the resolve adopted slots a PRIOR process
+    published (r15, ADVICE r14: a warm-cache-root resolve takes ~0 s
+    and is NOT the one-time build cost — bench reports it as null
+    rather than understating the build)."""
     import time
 
     from ..catalog import corpus_cache_key
@@ -1984,7 +2014,11 @@ def text_index_build_seconds(spark: SparkSession, sf_dir: str) -> float:
     t0 = time.perf_counter()
     text_index_for(spark, sf_dir)
     text_index_lifecycle_for(spark, sf_dir)
-    return round(time.perf_counter() - t0, 3)
+    dt = round(time.perf_counter() - t0, 3)
+    built = slot_was_built(_TEXT_IDX_CACHE[key]) or slot_was_built(
+        _TEXT_IDX_LIFECYCLE_CACHE[key]
+    )
+    return dt if built else None
 
 
 # Declared BM25 query (r5, VERDICT r4 #10): retrieval joins the hash

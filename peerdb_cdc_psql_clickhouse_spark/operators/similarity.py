@@ -457,6 +457,40 @@ def _l2(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# Fixed-point grid for the distributed mean accumulations (r15,
+# VERDICT r14 #1 / #3): each row's contribution is rounded to this
+# grid and summed as int64, so a per-partition partial is EXACTLY the
+# same number for any partition boundary, Arrow batch shape, or
+# platform reduction order — float partials only promised that
+# statistically (their last bits depended on which rows shared a
+# partition, and f32 storage rounding absorbed the noise by luck, not
+# contract). Headroom: |component| <= ~16 after scaling leaves
+# 2^63 / (16e9) ≈ 5.8e8 rows per PARTITION before int64 overflow
+# (spark.sql.files.maxPartitionBytes bounds a partition to ~5e5
+# 64-dim float vectors), and the cross-partition combines sum exactly
+# (decimal Spark-side, arbitrary-precision ints driver-side).
+_SUM_GRID = 1_000_000_000  # 1e-9 component quantization
+
+# Decimals every numpy distance is rounded to before an argmin /
+# top-take lexsort that decides an assignment or candidate cut (r15,
+# VERDICT r14 #1): GEMM last bits are PLATFORM-dependent (BLAS picks
+# kernels by CPU), so an unrounded argmin on a near-tie flipped one
+# IVF-PQ code between the builder's box and the driver's box —
+# recall@10 0.898 vs 0.896 on byte-identical code and data. Rounding
+# turns every gap below 5e-7 into an exact tie resolved by smallest
+# code id / vec_id — the numpy twin of the fround(,6) discipline the
+# Spark-side search paths already apply.
+_ARGMIN_DECIMALS = 6
+
+
+def _fixed_point(x):
+    """Round a float ndarray onto the _SUM_GRID as int64 (exact,
+    associative summation units)."""
+    import numpy as np
+
+    return np.rint(x * _SUM_GRID).astype("int64")
+
+
 def _argmin_centroid(scored: DataFrame, cand_col: str) -> DataFrame:
     """(vec_id, embedding, <cand_col>) — per-vector argmin over scored
     candidate rows (vec_id, embedding, <cand_col>, l2). min_by with an
@@ -564,6 +598,17 @@ def kmeans_centroids(
        previous centroid; means are rounded to float32 each round
        (the centroid table's storage type). Ties argmin to the
        smallest c_id (the matrix rows are id-sorted).
+
+    Determinism contract (r15): per-row contributions are fixed-point
+    (_SUM_GRID) and summed in int64 / arbitrary-precision ints, and
+    the assignment argmin rounds distances (_ARGMIN_DECIMALS) first —
+    so the trained centroids are bit-identical for ANY partition
+    count, Arrow batch size, or BLAS build, by construction (pinned
+    by tests/test_determinism.py). The pre-r15 float partials were
+    only statistically stable: f32 storage rounding absorbed the
+    partition-dependent last bits in practice, but a component
+    sitting on an f32 boundary — or a different BLAS kernel on
+    another box — could and did leak through.
     """
     import numpy as np
     import pandas as pd
@@ -592,7 +637,11 @@ def kmeans_centroids(
             # partitions x n_centroids rows regardless of corpus size
             # (a per-batch yield would grow the collect linearly with
             # rows — the 100 TB bounded-collect claim depends on this).
-            acc_sum = np.zeros_like(cm)
+            # Sums are fixed-point int64 (_SUM_GRID) and the argmin is
+            # rounded (_ARGMIN_DECIMALS) — see the constants' block:
+            # the partial is then EXACTLY partition- and
+            # platform-independent, not just statistically stable.
+            acc_sum = np.zeros(cm.shape, dtype="int64")
             acc_cnt = np.zeros(cm.shape[0], dtype="int64")
             for pdf in pdfs:
                 if not len(pdf):
@@ -603,8 +652,10 @@ def kmeans_centroids(
                     - 2.0 * x @ cm.T
                     + (cm**2).sum(axis=1)[None, :]
                 )
-                a = d2.argmin(axis=1)  # first index wins = smallest id
-                np.add.at(acc_sum, a, x)
+                # first index wins = smallest id; rounded so BLAS
+                # last-bit noise can't flip a near-tie across boxes
+                a = np.round(d2, _ARGMIN_DECIMALS).argmin(axis=1)
+                np.add.at(acc_sum, a, _fixed_point(x))
                 np.add.at(acc_cnt, a, 1)
             hit = np.nonzero(acc_cnt)[0]
             if len(hit):
@@ -618,29 +669,29 @@ def kmeans_centroids(
 
         combined = (
             emb.select("embedding")
-            .mapInPandas(partials, "c int, psum array<double>, cnt long")
+            .mapInPandas(partials, "c int, psum array<long>, cnt long")
             .collect()  # bounded: <= partitions x n_centroids rows
         )
-        sums = np.zeros_like(cent_mat)
+        # integer partials sum exactly in ANY order (r15 — the r12
+        # canonical-order sort existed because float addition was
+        # order-sensitive; Python ints are arbitrary-precision, so
+        # even 2^63-scale totals cannot overflow driver-side)
+        sums = [[0] * cent_mat.shape[1] for _ in c_ids]
         cnts = np.zeros(len(c_ids), dtype="int64")
-        # canonical accumulation order (r12): collect() returns the
-        # per-partition partials in TASK-COMPLETION order, and float
-        # addition is order-sensitive — unsorted accumulation made the
-        # refined centroids differ in their last bits run-to-run,
-        # which flipped borderline cell assignments and wiggled the
-        # published recall metrics (observed ±0.002 on byte-identical
-        # code). Sorting by full row content makes the sum, and
-        # therefore the whole build, deterministic by construction.
-        for r in sorted(
-            combined, key=lambda r: (r["c"], r["cnt"], r["psum"])
-        ):
-            sums[r["c"]] += np.asarray(r["psum"], dtype="float64")
+        for r in combined:
+            row = sums[r["c"]]
+            for i, v in enumerate(r["psum"]):
+                row[i] += v
             cnts[r["c"]] += r["cnt"]
-        nonempty = cnts > 0
         cent_mat = cent_mat.copy()
-        cent_mat[nonempty] = (
-            sums[nonempty] / cnts[nonempty, None]
-        ).astype("float32")  # storage-type rounding each round
+        for c in np.nonzero(cnts > 0)[0]:
+            cent_mat[c] = (
+                np.asarray(
+                    [float(v) for v in sums[c]], dtype="float64"
+                )
+                / _SUM_GRID
+                / cnts[c]
+            ).astype("float32")  # storage-type rounding each round
 
     return spark.createDataFrame(
         [
@@ -911,20 +962,23 @@ def ann_groundtruth_for(
 
 def ann_groundtruth_build_seconds(
     spark: SparkSession, sf_dir: str, n: int = ANN_SUBSET_FULL_N
-) -> float:
+) -> float | None:
     """Force (and time) the ground-truth build for sf_dir — bench.py
     reports it separately, like the IVF/text index builds: the x2b
-    inventory entry is pure index search + a 50-row broadcast join."""
+    inventory entry is pure index search + a 50-row broadcast join.
+    None = warm-slot resolve, no build ran (r15, ADVICE r14)."""
     import time
 
     from ..catalog import corpus_cache_key
+    from .search import slot_was_built
 
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     if (key, n) in _ANN_GT_CACHE:
         return 0.0
     t0 = time.perf_counter()
     ann_groundtruth_for(spark, sf_dir, n)
-    return round(time.perf_counter() - t0, 3)
+    dt = round(time.perf_counter() - t0, 3)
+    return dt if slot_was_built(_ANN_GT_CACHE[(key, n)]) else None
 
 
 @declare(
@@ -1942,19 +1996,25 @@ def ivf_index_for(spark: SparkSession, sf_dir: str) -> IvfIndex:
     return load_ivf_index(spark, path)
 
 
-def ivf_index_build_seconds(spark: SparkSession, sf_dir: str) -> float:
+def ivf_index_build_seconds(
+    spark: SparkSession, sf_dir: str
+) -> float | None:
     """Force (and time) the index build for sf_dir — bench.py reports
-    build and search separately, the index lifecycle's two costs."""
+    build and search separately, the index lifecycle's two costs.
+    None = the resolve adopted a slot a prior process published (r15,
+    ADVICE r14: a ~0 s warm resolve is not the build cost)."""
     import time
 
     from ..catalog import corpus_cache_key
+    from .search import slot_was_built
 
     key = corpus_cache_key(sf_dir, "embeddings.parquet")
     if key in _IVF_CACHE:
         return 0.0
     t0 = time.perf_counter()
     ivf_index_for(spark, sf_dir)
-    return round(time.perf_counter() - t0, 3)
+    dt = round(time.perf_counter() - t0, 3)
+    return dt if slot_was_built(_IVF_CACHE[key]) else None
 
 
 # -- Product quantization (PQ codes + ADC search) ---------------------------
@@ -2018,7 +2078,16 @@ def pq_train(
     partitions x m x ksub tiny rows regardless of corpus size); the
     exact combine posexplodes the partials and sums per (s, code,
     dim). Only partials are ever shuffled; the corpus is never
-    re-keyed. Empty cells keep their previous sub-centroid."""
+    re-keyed. Empty cells keep their previous sub-centroid.
+
+    Determinism contract (r15, VERDICT r14 #1): partials are
+    fixed-point int64 (_SUM_GRID) and the code-assignment argmin
+    rounds d² first (_ARGMIN_DECIMALS), so the trained codebook is
+    bit-identical for any partition count, Arrow batch shape, or
+    BLAS build — the pre-r15 f64 partials were partition-dependent
+    in their last bits, and a BLAS-kernel difference between boxes
+    flipped one near-tied code (driver recall@10 0.896 vs the
+    builder's 0.898)."""
     import numpy as np
     import pandas as pd
 
@@ -2042,49 +2111,50 @@ def pq_train(
                         - 2.0 * xs[:, s, :] @ cb[s].T
                         + (cb[s] ** 2).sum(axis=1)[None, :]
                     )
-                    codes = d2.argmin(axis=1)
+                    codes = np.round(d2, _ARGMIN_DECIMALS).argmin(axis=1)
                     for c in np.unique(codes):
                         mask = codes == c
                         out_s.append(s)
                         out_c.append(int(c))
-                        out_p.append(xs[mask, s, :].sum(axis=0).tolist())
+                        out_p.append(
+                            _fixed_point(xs[mask, s, :]).sum(axis=0).tolist()
+                        )
                         out_n.append(int(mask.sum()))
                 yield pd.DataFrame(
                     {"s": out_s, "code": out_c, "psum": out_p, "cnt": out_n}
                 )
 
         part = emb.select(vec_col).mapInPandas(
-            partials, "s int, code int, psum array<double>, cnt long"
+            partials, "s int, code int, psum array<long>, cnt long"
         )
         combined = (
             part.select(
                 "s", "code", "cnt", F.posexplode("psum").alias("pos", "v")
             )
             .groupBy("s", "code", "pos")
-            # decimal sum (r12): a double F.sum's partial-combine order
-            # varies with task completion, so the trained codebook
-            # differed in its last bits run-to-run (same class as the
-            # kmeans combine fix above). Exact decimal addition is
-            # order-insensitive; 38,15 holds component partial sums
-            # with 23 integer digits of headroom.
+            # decimal sum over fixed-point int64 partials: exact and
+            # order-insensitive (r12 moved to decimal for run-to-run
+            # stability; r15 moved the partials themselves to the
+            # fixed-point grid so they are also partition- and
+            # platform-independent — see the determinism contract).
+            # decimal(38,0) has 19 digits of headroom over int64.
             .agg(
-                F.sum(F.col("v").cast("decimal(38,15)"))
-                .cast("double")
-                .alias("sv"),
+                F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
                 F.sum("cnt").alias("n"),
             )
             .collect()
         )
-        # exact combine lands driver-side: m*ksub*dsub tiny rows
+        # exact combine lands driver-side: m*ksub*dsub tiny rows.
+        # float(Decimal) rounds once, deterministically by value.
         sums = np.zeros_like(codebook)
         cnts = np.zeros((m, ksub), dtype="int64")
         for r in combined:
-            sums[r["s"], r["code"], r["pos"]] = r["sv"]
+            sums[r["s"], r["code"], r["pos"]] = float(r["sv"])
             # every pos row of a (s, code) carries the same summed n
             cnts[r["s"], r["code"]] = r["n"]
         new = codebook.copy()
         nz = cnts > 0
-        new[nz] = sums[nz] / cnts[nz][:, None]
+        new[nz] = sums[nz] / _SUM_GRID / cnts[nz][:, None]
         codebook = new
     return codebook
 
@@ -2121,7 +2191,9 @@ def pq_encode(
                     - 2.0 * xs[:, s, :] @ cb[s].T
                     + (cb[s] ** 2).sum(axis=1)[None, :]
                 )
-                codes[:, s] = d2.argmin(axis=1)
+                # rounded argmin (r15): batch-shape / BLAS last-bit
+                # noise can't flip a near-tied code across boxes
+                codes[:, s] = np.round(d2, _ARGMIN_DECIMALS).argmin(axis=1)
             out = {id_col: pdf[id_col].values, "codes": list(codes)}
             for c in passthrough:
                 out[c] = pdf[c].values
@@ -2209,11 +2281,15 @@ def pq_search(
             take = min(k, n)
             out_q, out_v, out_d = [], [], []
             for qi in range(nq):
-                # partial top-k with (dist, id) tiebreak, then exact sort
-                idx = np.lexsort((ids, dist[qi]))[:take]
+                # partial top-k with (dist, id) tiebreak on ROUNDED
+                # distances (r15): the candidate cut is then immune to
+                # platform last-bit noise, matching the fround(,6)
+                # output contract
+                dq = np.round(dist[qi], _ARGMIN_DECIMALS)
+                idx = np.lexsort((ids, dq))[:take]
                 out_q.extend([int(q_ids[qi])] * take)
                 out_v.extend(ids[idx].tolist())
-                out_d.extend(dist[qi][idx].tolist())
+                out_d.extend(dq[idx].tolist())
             yield pd.DataFrame(
                 {"q_id": out_q, id_col: out_v, "adc_dist": out_d}
             )
@@ -2498,6 +2574,9 @@ def search_ivfpq_index(
                     dist = np.zeros(n)
                     for s in range(m):
                         dist += lut[s][codes[:, s]]
+                    # rounded cut (r15): see pq_search — candidate
+                    # selection is platform-noise-immune
+                    dist = np.round(dist, _ARGMIN_DECIMALS)
                     idx = np.lexsort((ids, dist))[:take]
                     frames.append(
                         pd.DataFrame(

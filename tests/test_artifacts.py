@@ -85,6 +85,36 @@ def test_pq_codebook_round_trip(spark, tmp_path):
     assert [list(r.codes) for r in a] == [list(r.codes) for r in b]
 
 
+def test_build_seconds_distinguish_build_from_warm_resolve(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: the *_build_seconds reporters claimed to 'force
+    (and time) the build', but when a PRIOR process had already
+    published the cache slot they timed only a ~0 s slot resolve and
+    reported that as the one-time cost. Contract now: a real build
+    returns its seconds, a warm-root resolve returns None ('cached'),
+    and a later same-process call returns 0.0 (already standing).
+    Exercised on the cheapest artifact (ANN ground truth) against a
+    private cache root."""
+    from peerdb_cdc_psql_clickhouse_spark.operators import search, similarity
+
+    monkeypatch.setattr(search, "_cache_root", lambda: str(tmp_path))
+    monkeypatch.setattr(similarity, "_ANN_GT_CACHE", {})
+    monkeypatch.setattr(search, "_BUILT_SLOTS", set())
+
+    cold = similarity.ann_groundtruth_build_seconds(spark, SF_SMOKE)
+    assert isinstance(cold, float) and cold > 0  # cold root: real build
+
+    # simulate a NEW process on the warm root: module caches empty,
+    # built-slot record empty, published slot still on disk
+    monkeypatch.setattr(similarity, "_ANN_GT_CACHE", {})
+    monkeypatch.setattr(search, "_BUILT_SLOTS", set())
+    assert similarity.ann_groundtruth_build_seconds(spark, SF_SMOKE) is None
+
+    # third call in the same process: artifact already standing
+    assert similarity.ann_groundtruth_build_seconds(spark, SF_SMOKE) == 0.0
+
+
 def test_survey_split_matches_registry():
     """VERDICT r4 #7: the documented declared-surface split in
     SURVEY.md §8 is auto-checked against the registry so the doc

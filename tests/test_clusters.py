@@ -118,6 +118,31 @@ def test_iteration_cap_respected(spark):
     assert all(lbl in {1, 2, 3, 4} and lbl <= n for n, lbl in got.items())
 
 
+def test_dup_clusters_slot_key_carries_label_shaping_params():
+    """ADVICE r14: CLUSTER_MAX_ITERS shapes labels (the
+    iteration-capped propagation changes results — see
+    test_iteration_cap_respected) and the shingle-k literal shapes
+    the fingerprints, but neither rode the slot key — changing either
+    would silently serve a stale persisted table unless someone
+    remembered the manual _DUP_CLUSTERS_FORMAT bump. Same pattern as
+    test_ivf_cache_key_carries_layout_params: every label-shaping
+    parameter must appear in the key-building source."""
+    import inspect
+
+    from peerdb_cdc_psql_clickhouse_spark.operators import dedup
+
+    src = inspect.getsource(dedup.dup_clusters_for)
+    for param in (
+        "WINNOW_MAX_DF",
+        "WINNOW_MIN_SHARED",
+        "WINNOW_W",
+        "WINNOW_SHINGLE_K",
+        "CLUSTER_MAX_ITERS",
+        "_DUP_CLUSTERS_FORMAT",
+    ):
+        assert param in src, param
+
+
 def test_dup_clusters_slot_matches_fresh_derivation(spark):
     """r14: x1f/x7/x7b join the per-corpus PERSISTED cluster table
     instead of re-running label propagation per execution. The slot

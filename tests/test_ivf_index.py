@@ -336,16 +336,15 @@ def test_ivf_cache_key_carries_layout_params(spark):
 
 
 def test_quantizer_builds_are_deterministic(spark):
-    """r12: the kmeans driver-side combine used to accumulate partial
-    sums in task-completion order and pq_train's Spark-side combine
-    used a double F.sum — float addition order varied run-to-run, the
-    refined centroids/codebook differed in their last bits, borderline
-    assignments flipped, and the published recall metrics wiggled
-    ±0.002 on byte-identical code. Pin: kmeans is partitioning-
-    INDEPENDENT (canonical-order driver combine; float32-valued
-    inputs sum exactly in f64), pq_train is run-to-run stable at
-    fixed partitioning (order-insensitive decimal combine; its
-    per-batch f64 partials are honestly grouping-dependent)."""
+    """r12 found float-order nondeterminism (combine order varied
+    run-to-run, recalls wiggled ±0.002 on byte-identical code); r15
+    closed the remaining partition/platform dependence with
+    fixed-point partials + rounded-argmin assignment (VERDICT r14
+    #1). Pin: BOTH quantizer trainings are now partitioning-
+    INDEPENDENT by construction — kmeans at 13 vs default partitions
+    and pq_train at 4 vs 32 partitions must agree bit-for-bit (the
+    broader per-artifact repartition pins live in
+    tests/test_determinism.py)."""
     import numpy as np
 
     from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
@@ -366,8 +365,8 @@ def test_quantizer_builds_are_deterministic(spark):
     }
     assert a == b and len(a) == 32
 
-    cb1 = pq_train(emb, m=8, nbits=4)
-    cb2 = pq_train(emb, m=8, nbits=4)
+    cb1 = pq_train(emb.repartition(4), m=8, nbits=4)
+    cb2 = pq_train(emb.repartition(32), m=8, nbits=4)
     assert np.array_equal(cb1, cb2)
 
 

@@ -34,6 +34,14 @@ def _numpy_corpus(spark):
 
 
 def _numpy_encode(mat, codebook):
+    # same assignment contract as pq_encode (r15): d² rounded to
+    # _ARGMIN_DECIMALS before argmin, ties to the smallest code id —
+    # computed via the DIRECT difference expansion, so this is still
+    # an independent implementation of the documented rule
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _ARGMIN_DECIMALS,
+    )
+
     m, ksub, dsub = codebook.shape
     n = mat.shape[0]
     xs = mat.reshape(n, m, dsub)
@@ -42,7 +50,7 @@ def _numpy_encode(mat, codebook):
         d2 = ((xs[:, s, :][:, None, :] - codebook[s][None, :, :]) ** 2).sum(
             axis=2
         )
-        codes[:, s] = d2.argmin(axis=1)
+        codes[:, s] = np.round(d2, _ARGMIN_DECIMALS).argmin(axis=1)
     return codes
 
 

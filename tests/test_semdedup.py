@@ -406,16 +406,24 @@ def test_kmeans_exact_vs_numpy_and_batch_invariant(spark):
     """ADVICE r5 (medium): the per-partition partials now accumulate
     ACROSS Arrow batches and yield once per partition (bounded driver
     collect). Two checks: (1) centroids are EXACTLY numpy-Lloyd's
-    (same prefix seeding, smallest-id tie break, float32 rounding per
-    round, empty cluster keeps its previous centroid); (2) the result
-    is invariant to the Arrow batch size — forcing many tiny batches
-    through the accumulate-then-yield path changes nothing."""
+    under the documented determinism contract (same prefix seeding,
+    ROUNDED-distance smallest-id tie break, fixed-point 1e-9 sums,
+    float32 rounding per round, empty cluster keeps its previous
+    centroid — r15); (2) the result is invariant to the Arrow batch
+    size — forcing many tiny batches through the
+    accumulate-then-yield path changes nothing."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _ARGMIN_DECIMALS,
+        _SUM_GRID,
+    )
+
     emb = _emb(spark)
     k, iters = 8, 2
     want_rows = kmeans_centroids(emb, k, iters).orderBy("c_id").collect()
 
     rows = sorted(emb.collect(), key=lambda r: r.vec_id)
     vecs = np.array([r.embedding for r in rows], dtype="float64")
+    fp = np.rint(vecs * _SUM_GRID).astype("int64")
     cent = vecs[:k].copy()
     for _ in range(iters):
         d2 = (
@@ -423,12 +431,14 @@ def test_kmeans_exact_vs_numpy_and_batch_invariant(spark):
             - 2.0 * vecs @ cent.T
             + (cent**2).sum(axis=1)[None, :]
         )
-        a = d2.argmin(axis=1)
+        a = np.round(d2, _ARGMIN_DECIMALS).argmin(axis=1)
         for c in range(k):
             m = a == c
             if m.any():
                 cent[c] = (
-                    vecs[m].sum(axis=0) / m.sum()
+                    fp[m].sum(axis=0).astype("float64")
+                    / _SUM_GRID
+                    / m.sum()
                 ).astype("float32")
     got = np.array([r.c_vec for r in want_rows], dtype="float64")
     assert np.array_equal(got, cent.astype("float32").astype("float64"))

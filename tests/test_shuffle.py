@@ -367,6 +367,28 @@ def test_global_rank_null_keys_excluded_ranks_unshifted(spark):
         assert got == want
 
 
+def test_global_rank_null_exclusion_is_observable(spark):
+    """r15 (ADVICE r14): the lazy path's NULL exclusion is silent —
+    a future caller with a nullable key loses rows with no runtime
+    signal unless it opts into the eager assert_unique aggregate.
+    Passing a pyspark Observation makes the loss observable at zero
+    extra-job cost: the metrics ride the caller's own action."""
+    from pyspark.sql import Observation
+
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    rows = [(v,) for v in (10, 20, 30, 40)] + [(None,), (None,)]
+    df = spark.createDataFrame(rows, "v long")
+    obs = Observation("gr_nulls")
+    out = global_rank(df, "v", rank_col="rk", observation=obs).collect()
+    assert sorted((r.v, r.rk) for r in out) == [
+        (10, 1), (20, 2), (30, 3), (40, 4)
+    ]
+    got = obs.get
+    assert got["null_order_keys"] == 2
+    assert got["input_rows"] == 6
+
+
 def test_global_rank_clustered_keys_exact_ranks_and_skew(spark):
     """r14 (VERDICT r13 #2): value-ranged buckets SKEW when order
     values cluster — here 90% of keys sit in a 1%-wide band of the
