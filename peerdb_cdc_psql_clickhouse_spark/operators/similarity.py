@@ -483,11 +483,27 @@ _SUM_GRID = 1_000_000_000  # 1e-9 component quantization
 _ARGMIN_DECIMALS = 6
 
 
+# |component| bound for fixed-point accumulation: 16 × _SUM_GRID ×
+# 5.8e8 rows/partition is the documented int64 headroom. Embeddings
+# and residuals are unit-scale; anything past this bound would WRAP
+# int64 silently in numpy — fail loudly instead.
+_FIXED_POINT_MAX_ABS = 16.0
+
+
 def _fixed_point(x):
     """Round a float ndarray onto the _SUM_GRID as int64 (exact,
-    associative summation units)."""
+    associative summation units). Raises on components outside the
+    documented headroom bound rather than wrapping silently."""
     import numpy as np
 
+    if x.size and np.abs(x).max() > _FIXED_POINT_MAX_ABS:
+        raise ValueError(
+            "vector component magnitude "
+            f"{np.abs(x).max():.3g} exceeds the fixed-point "
+            f"accumulation bound {_FIXED_POINT_MAX_ABS} — normalize "
+            "the embeddings or lower _SUM_GRID (int64 partial sums "
+            "would overflow silently past this bound)"
+        )
     return np.rint(x * _SUM_GRID).astype("int64")
 
 

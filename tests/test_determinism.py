@@ -142,3 +142,22 @@ def test_ann_groundtruth_is_partitioning_independent(spark):
         return cosine_topk(queries, emb, k=ANN_SUBSET_FULL_N)
 
     assert _rows(build(2)) == _rows(build(8))
+
+
+def test_fixed_point_guard_raises_on_out_of_bound_components(spark):
+    """The fixed-point accumulator would WRAP int64 silently if a
+    component exceeded the documented headroom bound — kmeans must
+    raise loudly instead (e.g. un-normalized embeddings at 1e6
+    scale)."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    big = spark.createDataFrame(
+        [(i, [float(1e6 + i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="fixed-point"):
+        kmeans_centroids(big, n_centroids=2, iters=1).collect()
