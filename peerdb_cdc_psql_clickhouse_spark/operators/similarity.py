@@ -2615,7 +2615,17 @@ def search_ivfpq_index(
         F.asc("adc_dist"), F.asc("vec_id")
     )
     short = (
-        cand.dropDuplicates(["q_id", "vec_id"])  # multi-assign copies
+        # multi-assign copies: a vector lives in up to n_assign cells
+        # with DIFFERENT residual codes, so its per-cell ADC distances
+        # differ — keep the BEST estimate (min is order-insensitive).
+        # r15: this was dropDuplicates, which keeps whichever copy a
+        # task happened to deliver first — the rerank-shortlist
+        # boundary (and therefore the published recall) flickered
+        # run-to-run with task order: probe3 caught query 29's true
+        # neighbor 31 in the shortlist on one run and out of it on
+        # the next, the last source of the 0.898-vs-0.896 drift.
+        cand.groupBy("q_id", "vec_id")
+        .agg(F.min("adc_dist").alias("adc_dist"))
         .withColumn("_r", F.row_number().over(wa))
         .filter(F.col("_r") <= rerank)
         .select("q_id", "vec_id")
