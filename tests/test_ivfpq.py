@@ -202,3 +202,79 @@ def test_two_level_build_searchable_full_probe_exact(spark, tmp_path):
     want = _brute(spark, range(5), 3)
     for q in range(5):
         assert [v for _, v in sorted(got[q])] == want[q]
+
+
+def test_probed_search_matches_numpy_min_adc_oracle(spark, tmp_path):
+    """r15: an independent numpy replay of the WHOLE probed-search
+    contract — probe the query's nprobe nearest cells, ADC against
+    per-(query, cell) residual LUTs, round distances to 6 decimals,
+    keep each multi-assigned vector's MINIMUM ADC across its cells,
+    shortlist top-rerank by (dist, id), exact-L2 rerank top-k with
+    the same rounding and id tiebreak, self excluded. Pins the
+    min-ADC dedup semantics that replaced dropDuplicates (whose
+    task-order-dependent keep flickered the published recall@10
+    between 0.898 and 0.896 on byte-identical indexes)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _ARGMIN_DECIMALS,
+    )
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivfpq_oracle")
+    nprobe, rerank, k, m = 3, 20, 10, 8
+    idx = build_ivfpq_index(
+        emb, path, n_centroids=8, n_assign=2, m=m, nbits=4
+    )
+    q_ids = [0, 3, 7, 11]
+    queries = emb.filter(F.col("vec_id").isin(q_ids))
+    got = {}
+    for r in search_ivfpq_index(
+        idx, queries, emb, k=k, nprobe=nprobe, rerank=rerank
+    ).collect():
+        got.setdefault(r.q_id, []).append((r.rank, r.vec_id, r.l2_dist))
+
+    # ---- independent replay from the persisted artifacts ----
+    cents = {
+        int(r.c_id): np.asarray(r.c_vec, dtype="float64")
+        for r in idx.centroids.collect()
+    }
+    lists = [
+        (int(r.vec_id), np.asarray(r.codes, dtype="int64"), int(r.centroid_id))
+        for r in idx.lists.collect()
+    ]
+    rows = emb.orderBy("vec_id").collect()
+    vec = {int(r.vec_id): np.asarray(r.embedding, dtype="float64") for r in rows}
+    cb = idx.codebook
+    dsub = cb.shape[2]
+
+    for q in q_ids:
+        qv = vec[q]
+        # probe cells: nprobe nearest centroids by squared L2, c_id tiebreak
+        cells = sorted(
+            cents, key=lambda c: (((qv - cents[c]) ** 2).sum(), c)
+        )[:nprobe]
+        # min ADC across the vector's probed copies
+        best: dict[int, float] = {}
+        for cid in cells:
+            res = (qv - cents[cid]).reshape(m, dsub)
+            lut = np.stack(
+                [
+                    ((res[s][None, :] - cb[s]) ** 2).sum(axis=1)
+                    for s in range(m)
+                ]
+            )
+            for vid, codes, lcid in lists:
+                if lcid != cid or vid == q:
+                    continue
+                d = round(sum(lut[s][codes[s]] for s in range(m)), _ARGMIN_DECIMALS)
+                if vid not in best or d < best[vid]:
+                    best[vid] = d
+        short = sorted(best, key=lambda v: (best[v], v))[:rerank]
+        exact = sorted(
+            short,
+            key=lambda v: (round(((qv - vec[v]) ** 2).sum(), 6), v),
+        )[:k]
+        want = [
+            (i + 1, v, round(((qv - vec[v]) ** 2).sum(), 6))
+            for i, v in enumerate(exact)
+        ]
+        assert sorted(got[q]) == want, (q, sorted(got[q])[:3], want[:3])
