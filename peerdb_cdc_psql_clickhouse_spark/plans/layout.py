@@ -172,7 +172,12 @@ def global_rank(
     (metrics `null_order_keys` / `input_rows`), which rides the
     caller's own action at zero extra-job cost —
     observation.get["null_order_keys"] > 0 is the dropped-rows
-    signal.
+    signal, always a long (coalesced — ADVICE r15). Degenerate-input
+    caveat: for a 0-row input, or one where EVERY key is NULL, AQE
+    collapses the whole plan to an empty relation and Spark fails to
+    deliver schema'd metrics — Observation.get raises Py4JJavaError
+    (upstream; AQE off returns correct zeros). Use
+    assert_unique=True when degenerate inputs must fail loudly.
 
     total_col, when set, adds the total row count as a column (the
     full-frame sum riding the same bounded offsets window — no extra
@@ -223,16 +228,6 @@ def global_rank(
                 "distinct values); duplicate order values make ranks "
                 "bucket-boundary-dependent"
             )
-    if observation is not None:
-        # lazy NULL-exclusion observability: metrics materialize with
-        # whatever action the caller runs — no job of our own
-        df = df.observe(
-            observation,
-            F.sum(
-                F.col(order_col).isNull().cast("long")
-            ).alias("null_order_keys"),
-            F.count(F.lit(1)).alias("input_rows"),
-        )
     integral = isinstance(
         df.schema[order_col].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
@@ -243,6 +238,30 @@ def global_rank(
     # int()-style truncation: a fractional negative minimum (e.g.
     # -3.7) truncated toward zero would yield lo > min and bucket -1
     # for the smallest rows — silently dropped at the offset join.
+    if observation is not None:
+        # lazy NULL-exclusion observability: metrics materialize with
+        # whatever action the caller runs — no job of our own.
+        # coalesce (ADVICE r15): sum over an empty input is NULL, so
+        # the documented `get["null_order_keys"] > 0` check would
+        # raise TypeError instead of reading 0. Degenerate-input
+        # caveat (r16, found pinning that fix): when the WHOLE plan
+        # collapses to an empty relation under AQE (0-row input, or
+        # every key NULL), Spark delivers a schema-less metrics row
+        # and Observation.get raises Py4JJavaError inside toPyRow —
+        # an upstream limitation (AQE off returns correct zeros), not
+        # a placement bug: no observe placement survives whole-plan
+        # pruning (verified against the 1-row bounds agg — the
+        # pruned join discards the un-executed broadcast subtree,
+        # CollectMetrics included). Callers anticipating degenerate
+        # inputs should use assert_unique=True (eager) instead.
+        df = df.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.col(order_col).isNull().cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("null_order_keys"),
+            F.count(F.lit(1)).alias("input_rows"),
+        )
     raw = df.agg(
         F.min(order_col).alias("_gr_min"), F.max(order_col).alias("_gr_max")
     )

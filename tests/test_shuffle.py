@@ -389,6 +389,58 @@ def test_global_rank_null_exclusion_is_observable(spark):
     assert got["input_rows"] == 6
 
 
+def test_global_rank_null_observation_coalesced_and_empty_caveat(spark):
+    """r16 (ADVICE r15): sum in the observed metrics is coalesced so
+    the documented `get["null_order_keys"] > 0` check reads a long
+    instead of raising TypeError. Pinned two ways:
+
+    1. the fix's reachable case — with AQE OFF, a fully-empty input
+       delivers metrics, and they read long zeros (pre-fix: None →
+       TypeError on the documented check);
+    2. the documented DEGENERATE-input caveat — with AQE ON, a
+       0-row input collapses the whole plan to an empty relation and
+       Spark delivers a schema-less metrics row: Observation.get
+       raises Py4JJavaError inside toPyRow (upstream limitation —
+       verified unfixable by observe placement: attaching to the
+       always-1-row bounds aggregate still loses the node when the
+       pruned join discards the un-executed broadcast subtree).
+       Output ROWS are correct (empty) either way.
+    """
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import Observation
+
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
+
+    # 1. AQE off: empty-input metrics are retrievable, coalesced longs
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spark.createDataFrame([], "v long")
+        obs = Observation("gr_nulls_empty_noaqe")
+        out = global_rank(df, "v", rank_col="rk", observation=obs).collect()
+        assert out == []
+        got = obs.get
+        assert got["null_order_keys"] == 0  # long 0, not None
+        assert not (got["null_order_keys"] > 0)  # documented check: no raise
+        assert got["input_rows"] == 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    # 2. AQE on: rows still correct; metric retrieval hits the
+    # documented upstream failure (if a future Spark fixes it, accept
+    # correct zeros and retire this branch)
+    df2 = spark.createDataFrame([], "v long")
+    obs2 = Observation("gr_nulls_empty_aqe")
+    out2 = global_rank(df2, "v", rank_col="rk", observation=obs2).collect()
+    assert out2 == []
+    try:
+        got2 = obs2.get
+    except Py4JJavaError:
+        pass  # the documented caveat
+    else:
+        assert got2["null_order_keys"] == 0
+        assert got2["input_rows"] == 0
+
+
 def test_global_rank_clustered_keys_exact_ranks_and_skew(spark):
     """r14 (VERDICT r13 #2): value-ranged buckets SKEW when order
     values cluster — here 90% of keys sit in a 1%-wide band of the
