@@ -161,3 +161,83 @@ def test_fixed_point_guard_raises_on_out_of_bound_components(spark):
     )
     with pytest.raises(Exception, match="fixed-point"):
         kmeans_centroids(big, n_centroids=2, iters=1).collect()
+
+
+def test_fixed_point_rows_guard_bounds_partition_row_count():
+    """r16 (ADVICE r15): the magnitude guard alone doesn't bound ROWS
+    per partition — maxPartitionBytes bounds file-scan partitions,
+    but an explicit coalesce to few partitions bypasses it, and
+    np.add.at past ~5.8e8 max-magnitude rows would wrap int64
+    silently. The accumulating loops now check the row count against
+    the documented headroom BEFORE adding a batch; this pins the
+    guard's arithmetic (the bound itself is untestably large to hit
+    end-to-end — 5.8e8 rows in one partition)."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _FIXED_POINT_MAX_ABS,
+        _FIXED_POINT_MAX_ROWS,
+        _SUM_GRID,
+        _check_fixed_point_rows,
+    )
+
+    # the bound is exactly the documented headroom arithmetic
+    assert _FIXED_POINT_MAX_ROWS == (2**63 - 1) // int(
+        _FIXED_POINT_MAX_ABS * _SUM_GRID
+    )
+    # a max-magnitude component stream at the bound cannot wrap int64
+    assert (
+        _FIXED_POINT_MAX_ROWS * int(_FIXED_POINT_MAX_ABS * _SUM_GRID)
+        <= 2**63 - 1
+    )
+    _check_fixed_point_rows(0)
+    _check_fixed_point_rows(_FIXED_POINT_MAX_ROWS)  # at the bound: ok
+    with pytest.raises(ValueError, match="headroom"):
+        _check_fixed_point_rows(_FIXED_POINT_MAX_ROWS + 1)
+
+
+def test_bpe_merges_are_partitioning_independent(spark):
+    """VERDICT r15 #5: BPE training counts words distributed (integer
+    groupBy — exactly associative) then learns merges driver-side
+    from the bounded frequency dict; the learned merge list must be
+    identical for any input partitioning."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.bpe import train_bpe
+
+    a = train_bpe(_docs(spark, 2), n_merges=120)
+    b = train_bpe(_docs(spark, 8), n_merges=120)
+    assert a == b  # exact, rank order included
+
+
+def test_langid_profiles_are_partitioning_independent(spark):
+    """VERDICT r15 #5: trained language-ID profiles are integer
+    gram counts + a deterministically tie-broken rank window — the
+    profile table must be identical for any input partitioning."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import (
+        train_langid_profiles,
+    )
+
+    def build(n_parts: int):
+        labeled = _docs(spark, n_parts).select(
+            "doc_id",
+            "text",
+            F.concat(F.lit("l"), (F.col("doc_id") % 3)).alias("lang"),
+        )
+        return train_langid_profiles(labeled, top_k=80)
+
+    assert _rows(build(2)) == _rows(build(8))
+
+
+def test_lm_scores_are_partitioning_independent(spark):
+    """VERDICT r15 #5: the x3h LM table is integer bigram/unigram
+    counts; the quantized scoring path (fixed-point log-probs +
+    DECIMAL sums) must make the per-doc scores exactly
+    partitioning-independent, float bits included."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.text import (
+        LM_QUANT,
+        ngram_lm_scores,
+    )
+
+    def build(n_parts: int):
+        return ngram_lm_scores(_docs(spark, n_parts), quantize=LM_QUANT)
+
+    assert _rows(build(2)) == _rows(build(8))
