@@ -1797,6 +1797,11 @@ def text_index_apply_changes(
 _TEXT_IDX_CACHE: dict[str, str] = {}
 
 
+# When set, _cache_root returns this path instead of the per-user
+# root — the cold_artifact_environment hook (r16, VERDICT r15 #3).
+_CACHE_ROOT_OVERRIDE: str | None = None
+
+
 def _cache_root() -> str:
     """Per-user, owner-only cache root (ADVICE r9: a fixed
     world-readable /tmp path trusted any slot carrying a _READY
@@ -1808,6 +1813,8 @@ def _cache_root() -> str:
     serving someone else's bytes."""
     import tempfile
 
+    if _CACHE_ROOT_OVERRIDE is not None:
+        return _CACHE_ROOT_OVERRIDE
     uid = os.getuid() if hasattr(os, "getuid") else "nouid"
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_idx_cache-{uid}")
     os.makedirs(root, mode=0o700, exist_ok=True)
@@ -1871,6 +1878,22 @@ def slot_was_built(path: str) -> bool:
     return path in _BUILT_SLOTS
 
 
+# Slots whose build THIS process ran to completion but whose publish
+# race was lost (the published bytes are a concurrent winner's; our
+# build's wall-clock was spent anyway and then discarded).
+_RACE_LOST_SLOTS: dict[str, float] = {}
+
+
+def slot_build_race_lost_seconds(path: str) -> float | None:
+    """Seconds THIS process spent on a completed build for `path`
+    that then lost the publish race (None = no lost-race build
+    here). ADVICE r15: *_build_seconds return None for such slots —
+    correct, since the served bytes are the winner's — but that left
+    the loser's spent wall-clock silently unattributed; a concurrent
+    bench run reads it from here instead of under-reporting."""
+    return _RACE_LOST_SLOTS.get(path)
+
+
 def artifact_slot(kind: str, key: str, build) -> str:
     """Resolve one per-corpus persisted artifact slot, building it
     first when no finished build is published — the shared
@@ -1885,15 +1908,82 @@ def artifact_slot(kind: str, key: str, build) -> str:
     built (a losing racer does NOT count: its timing measured a
     discarded build, and the published bytes are the winner's)."""
     import tempfile
+    import time
 
     slot, ready = _persistent_slot(kind, key)
     if not ready:
         tmp = tempfile.mkdtemp(prefix=f"spark_graft_{kind}_")
+        t0 = time.perf_counter()
         build(tmp)
+        dt = round(time.perf_counter() - t0, 3)
         slot, won = _publish_slot(tmp, slot)
         if won:
             _BUILT_SLOTS.add(slot)
+        else:
+            # a full build's wall-clock was spent and discarded —
+            # record + note it so concurrent bench runs can tell a
+            # lost race from a warm resolve (ADVICE r15)
+            _RACE_LOST_SLOTS[slot] = dt
+            _LOG.info(
+                "%s build for slot %s completed in %.3fs but lost "
+                "the publish race; serving the concurrent winner's "
+                "bytes (timing retrievable via "
+                "slot_build_race_lost_seconds)",
+                kind,
+                slot,
+                dt,
+            )
     return slot
+
+
+@contextmanager
+def cold_artifact_environment():
+    """Temporarily point the artifact cache at a THROWAWAY root and
+    empty every in-process artifact cache, so the *_build_seconds
+    reporters measure a genuine cold build regardless of slot warmth
+    (r16, VERDICT r15 #3: when the driver's box happened to hold warm
+    slots, the honest-None contract left the round's record with no
+    1× build-cost datum at all — bench now measures a cold twin into
+    a throwaway root alongside the warm-or-cold resolve). Restores
+    the root, every cache, and the built/lost-race slot records on
+    exit and removes the throwaway root, so surrounding queries keep
+    serving the original standing artifacts."""
+    import shutil
+    import tempfile
+
+    global _CACHE_ROOT_OVERRIDE
+    from . import dedup as _dedup
+    from . import similarity as _sim
+
+    caches: list[dict] = [
+        _TEXT_IDX_CACHE,
+        _TEXT_IDX_LIFECYCLE_CACHE,
+        _sim._IVF_CACHE,
+        _sim._IVF_HANDLE_CACHE,
+        _sim._ANN_GT_CACHE,
+        _dedup._DUP_CLUSTERS_CACHE,
+    ]
+    saved = [dict(c) for c in caches]
+    saved_built = set(_BUILT_SLOTS)
+    saved_lost = dict(_RACE_LOST_SLOTS)
+    root = tempfile.mkdtemp(prefix="spark_graft_cold_root_")
+    _CACHE_ROOT_OVERRIDE = root
+    for c in caches:
+        c.clear()
+    _BUILT_SLOTS.clear()
+    _RACE_LOST_SLOTS.clear()
+    try:
+        yield root
+    finally:
+        _CACHE_ROOT_OVERRIDE = None
+        for c, s in zip(caches, saved):
+            c.clear()
+            c.update(s)
+        _BUILT_SLOTS.clear()
+        _BUILT_SLOTS.update(saved_built)
+        _RACE_LOST_SLOTS.clear()
+        _RACE_LOST_SLOTS.update(saved_lost)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def text_index_for(

@@ -115,6 +115,49 @@ def test_build_seconds_distinguish_build_from_warm_resolve(
     assert similarity.ann_groundtruth_build_seconds(spark, SF_SMOKE) == 0.0
 
 
+def test_lost_publish_race_build_time_is_recorded(tmp_path, monkeypatch):
+    """r16 (ADVICE r15): a builder that loses the publish race spent a
+    full build's wall-clock, but *_build_seconds correctly return None
+    (the served bytes are the winner's). That time must not vanish
+    silently: artifact_slot records it, retrievable via
+    slot_build_race_lost_seconds, so a concurrent bench run can
+    attribute its spent wall-clock."""
+    import os
+    import time
+
+    from peerdb_cdc_psql_clickhouse_spark.operators import search
+
+    monkeypatch.setattr(search, "_cache_root", lambda: str(tmp_path))
+    monkeypatch.setattr(search, "_BUILT_SLOTS", set())
+    monkeypatch.setattr(search, "_RACE_LOST_SLOTS", {})
+
+    expected_slot, ready = search._persistent_slot("racetest", "k1")
+    assert not ready
+
+    def build(tmp_dir: str) -> None:
+        # simulate a concurrent winner publishing mid-build: the slot
+        # appears (with _READY) while this build is still running
+        os.makedirs(expected_slot)
+        open(os.path.join(expected_slot, "_READY"), "w").close()
+        with open(os.path.join(tmp_dir, "data"), "w") as f:
+            f.write("losing build")
+        time.sleep(0.01)  # make the recorded wall-clock non-zero
+
+    slot = search.artifact_slot("racetest", "k1", build)
+    assert slot == expected_slot
+    assert not search.slot_was_built(slot)  # served bytes = winner's
+    lost = search.slot_build_race_lost_seconds(slot)
+    assert isinstance(lost, float) and lost > 0
+    # a clean win records NO lost-race time
+    slot2 = search.artifact_slot(
+        "racetest",
+        "k2",
+        lambda d: open(os.path.join(d, "data"), "w").close(),
+    )
+    assert search.slot_was_built(slot2)
+    assert search.slot_build_race_lost_seconds(slot2) is None
+
+
 def test_survey_split_matches_registry():
     """VERDICT r4 #7: the documented declared-surface split in
     SURVEY.md §8 is auto-checked against the registry so the doc
@@ -185,8 +228,8 @@ def test_bench_compact_line_fits_tail_capture():
         "sf": 0.1,
         "bench_iters": 3,
         "rel_spread_p90": 0.25,
-        "ivf_index_build_sec": 123.456,
-        "text_index_build_sec": 123.456,
+        "ivf_index_build_sec_cold": 123.456,
+        "text_index_build_sec_cold": 123.456,
         "cdc_ops_per_sec": 16758.12,
         "cdc_ops_per_sec_declared_profile": 16758.12,
         "cdc_bulk_rows_per_sec": 192720.55,
