@@ -147,13 +147,28 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
+def _signs_array(plane: int, dim: int) -> F.Column:
+    """The ±1 sign vector as ONE parsed SQL array literal (r16: the
+    F.array(*[F.lit(s) ...]) form issued `dim` py4j calls per plane —
+    n_planes × dim calls per bucket expression, a measurable slice of
+    the LSH queries' plan-build time; the parsed literal is the same
+    array of doubles, so bucket ids are bit-identical)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "1.0D" if s > 0 else "-1.0D" for s in _plane_signs(plane, dim)
+        )
+        + ")"
+    )
+
+
 def hyperplane_bucket(
     vec: F.Column, n_planes: int = N_PLANES, dim: int = EMB_DIM
 ) -> F.Column:
     """LSH bucket id: n_planes sign bits of deterministic hyperplanes."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(s) for s in _plane_signs(p, dim)])
+        plane = _signs_array(p, dim)
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
@@ -1259,9 +1274,7 @@ def _sub_bucket(
     JL projections."""
     bits = []
     for p in range(n_planes):
-        plane = F.array(
-            *[F.lit(s) for s in _plane_signs(_SUB_SEED + p, dim)]
-        )
+        plane = _signs_array(_SUB_SEED + p, dim)
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
             F.lit(0.0),
