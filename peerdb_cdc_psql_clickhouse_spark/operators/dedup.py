@@ -123,9 +123,13 @@ def minhash_signature(
         F.transform(F.col("_m"), lambda m: _half(m, 1)).alias("_ha"),
         F.transform(F.col("_m"), lambda m: _half(m, 17)).alias("_hb"),
     )
+    # one parsed SQL expression per hash function (r16): the Column-
+    # API form crossed py4j ~8x per function — k x 8 driver calls per
+    # signature build; the parsed plan is identical long arithmetic,
+    # so signatures are bit-identical
     sigs = [
-        F.array_min(
-            F.zip_with(F.col("_ha"), F.col("_hb"), lambda a, b: a + i * b)
+        F.expr(
+            f"array_min(zip_with(_ha, _hb, (a, b) -> a + {i}L * b))"
         ).alias(f"sig_{i}")
         for i in range(k)
     ]
@@ -403,12 +407,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS)
         )
         .filter(F.size("_h") > 0)
     )
+    # parsed SQL per bit (r16, same py4j-call cut as minhash sigs):
+    # identical int vote arithmetic, bit-identical signatures
     votes = [
-        F.aggregate(
-            F.col("_h"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.expr(
+            "aggregate(_h, 0, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {i}) & 1) = 1 "
+            "THEN 1 ELSE -1 END))"
         ).alias(f"v_{i}")
         for i in range(bits)
     ]
