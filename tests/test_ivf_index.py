@@ -468,3 +468,42 @@ def test_ann_groundtruth_slot_matches_fresh_bruteforce(spark):
     # once-per-corpus: the slot is already warm for this process, so
     # the timing probe reports a pure cache hit
     assert ann_groundtruth_build_seconds(spark, SF) == 0.0
+
+
+def test_shared_probe_assignment_matches_standalone_searches(
+    spark, tmp_path
+):
+    """r16 (VERDICT r15 #2): the declared x2b union feeds BOTH
+    operating points one probe_assignment() instead of two identical
+    assignment + cells-collect jobs; the shared-probes results must
+    equal the standalone searches EXACTLY (same rows, same float
+    bits) — the refactor is a cost change, never a value change."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        probe_assignment,
+    )
+
+    emb = _emb(spark)
+    idx = build_ivf_index(
+        emb,
+        str(tmp_path / "ivf"),
+        n_centroids=16,
+        n_assign=2,
+        proj_dim=8,
+        dim=64,
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    shared = probe_assignment(idx, queries, nprobe=4)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        search_ivf_index(idx, queries, k=3, nprobe=4)
+    ) == rows(search_ivf_index(idx, queries, k=3, probes_cells=shared))
+    assert rows(
+        search_ivf_index_prerank(idx, queries, k=3, nprobe=4, rerank=20)
+    ) == rows(
+        search_ivf_index_prerank(
+            idx, queries, k=3, rerank=20, probes_cells=shared
+        )
+    )
