@@ -1709,6 +1709,11 @@ def project_embeddings(
     pinned by tests/test_projection.py's numpy-exact check)."""
     import math
 
+    if "`" in vec_col:
+        raise ValueError(
+            f"vec_col {vec_col!r} contains a backtick — it is embedded "
+            "in a SQL identifier and cannot be quoted safely"
+        )
     inv = 1.0 / math.sqrt(out_dim)
 
     def comp_sql(j: int) -> str:

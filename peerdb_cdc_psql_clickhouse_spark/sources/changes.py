@@ -31,7 +31,8 @@ def write_change_batches(
 
     (
         changes.withColumn(
-            "_batch", F.expr(f"{version_col} div {rows_per_batch}")
+            "_batch",
+            F.expr(f"`{version_col}` div {int(rows_per_batch)}"),
         )
         .repartition("_batch")
         .write.partitionBy("_batch")
