@@ -1947,13 +1947,30 @@ def cold_artifact_environment():
     a throwaway root alongside the warm-or-cold resolve). Restores
     the root, every cache, and the built/lost-race slot records on
     exit and removes the throwaway root, so surrounding queries keep
-    serving the original standing artifacts."""
+    serving the original standing artifacts.
+
+    Single-threaded-driver contract (ADVICE r16): this mutates
+    process-global state (_CACHE_ROOT_OVERRIDE plus six shared cache
+    dicts) with no thread guard — any artifact resolution running
+    concurrently in the same process would build into the
+    soon-deleted throwaway root and have its cache entry discarded by
+    the clear+restore. Bench is the only caller and drives queries
+    strictly sequentially from one driver thread; reentry (nested or
+    concurrent use) raises rather than corrupting the caches."""
     import shutil
     import tempfile
 
     global _CACHE_ROOT_OVERRIDE
     from . import dedup as _dedup
     from . import similarity as _sim
+
+    if _CACHE_ROOT_OVERRIDE is not None:
+        raise RuntimeError(
+            "cold_artifact_environment is not reentrant: a cold root "
+            f"is already active ({_CACHE_ROOT_OVERRIDE}); nested or "
+            "concurrent use would silently discard cache entries on "
+            "restore"
+        )
 
     caches: list[dict] = [
         _TEXT_IDX_CACHE,

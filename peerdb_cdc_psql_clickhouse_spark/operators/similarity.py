@@ -1077,7 +1077,14 @@ def ann_groundtruth_build_seconds(
     "(VERDICT r13 #1): the exact side reads the per-corpus PERSISTED "
     "ground truth (ann_groundtruth_for — built once per corpus "
     "snapshot, slot-vs-fresh parity pytest-pinned) instead of "
-    "re-running the brute-force pass per execution",
+    "re-running the brute-force pass per execution. CONSTRUCTION "
+    "semantics (ADVICE r16): building this DataFrame is EAGER — it "
+    "resolves the persisted index and runs one bounded "
+    "probe-assignment job (collect of |queries| x nprobe rows), so "
+    "the probe set is a snapshot taken at plan-construction time, "
+    "not recomputed per action; plan-only consumers (schema or "
+    "explain inspection without execution) still pay those driver "
+    "jobs",
 )
 def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE probe assignment for both operating points (r16, VERDICT

@@ -29,6 +29,14 @@ def write_change_batches(
     batched-VALUES analog). Each batch dir is one commit unit."""
     from pyspark.sql import functions as F
 
+    if "`" in version_col:
+        # mirrors project_embeddings' guard (ADVICE r16): the name is
+        # interpolated inside a backtick-quoted F.expr identifier, so
+        # a backtick would escape the quoting and inject into the SQL
+        raise ValueError(
+            f"version_col may not contain a backtick: {version_col!r}"
+        )
+
     (
         changes.withColumn(
             "_batch",

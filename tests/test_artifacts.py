@@ -158,6 +158,31 @@ def test_lost_publish_race_build_time_is_recorded(tmp_path, monkeypatch):
     assert search.slot_build_race_lost_seconds(slot2) is None
 
 
+def test_cold_artifact_environment_rejects_reentry(tmp_path, monkeypatch):
+    """ADVICE r16: cold_artifact_environment mutates process-global
+    state (_CACHE_ROOT_OVERRIDE + six shared cache dicts) under a
+    single-threaded-driver contract; nested or concurrent entry would
+    build into a soon-deleted throwaway root and have its cache entry
+    silently discarded on restore. Contract now: reentry raises, and
+    the guard must not leak state — the outer block keeps working and
+    the override is fully cleared on exit."""
+    import pytest
+
+    from peerdb_cdc_psql_clickhouse_spark.operators import search
+
+    assert search._CACHE_ROOT_OVERRIDE is None
+    with search.cold_artifact_environment() as root:
+        with pytest.raises(RuntimeError, match="not reentrant"):
+            with search.cold_artifact_environment():
+                pass
+        # the failed reentry must not have torn down the outer root
+        assert search._CACHE_ROOT_OVERRIDE == root
+        import os
+
+        assert os.path.isdir(root)
+    assert search._CACHE_ROOT_OVERRIDE is None
+
+
 def test_survey_split_matches_registry():
     """VERDICT r4 #7: the documented declared-surface split in
     SURVEY.md §8 is auto-checked against the registry so the doc

@@ -121,6 +121,18 @@ def test_change_batch_spool_roundtrip(spark, tmp_path):
     )
 
 
+def test_write_change_batches_rejects_backtick_version_col(spark, tmp_path):
+    """ADVICE r16: version_col is interpolated inside a backtick-quoted
+    F.expr identifier; a backtick in the name would escape the quoting
+    and inject into the SQL expression. Mirror of project_embeddings'
+    vec_col guard."""
+    changes = _mk_changes(spark, EVENTS)
+    with pytest.raises(ValueError, match="backtick"):
+        write_change_batches(
+            changes, str(tmp_path / "c"), version_col="`+1 as x, `"
+        )
+
+
 @pytest.fixture()
 def mirror(spark, tmp_path):
     return Mirror(

@@ -412,6 +412,10 @@ def test_global_rank_null_observation_coalesced_and_empty_caveat(spark):
     from peerdb_cdc_psql_clickhouse_spark.plans.layout import global_rank
 
     # 1. AQE off: empty-input metrics are retrievable, coalesced longs
+    # (save/restore the session value rather than hardcoding "true" on
+    # exit, so this test never flips session state for later tests if
+    # the suite default ever changes — ADVICE r16)
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         df = spark.createDataFrame([], "v long")
@@ -423,7 +427,7 @@ def test_global_rank_null_observation_coalesced_and_empty_caveat(spark):
         assert not (got["null_order_keys"] > 0)  # documented check: no raise
         assert got["input_rows"] == 0
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
 
     # 2. AQE on: rows still correct; metric retrieval hits the
     # documented upstream failure (if a future Spark fixes it, accept
