@@ -1978,6 +1978,7 @@ def cold_artifact_environment():
         _sim._IVF_CACHE,
         _sim._IVF_HANDLE_CACHE,
         _sim._ANN_GT_CACHE,
+        _sim._DECLARED_PROBES_MEMO,
         _dedup._DUP_CLUSTERS_CACHE,
     ]
     saved = [dict(c) for c in caches]

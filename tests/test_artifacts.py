@@ -160,7 +160,7 @@ def test_lost_publish_race_build_time_is_recorded(tmp_path, monkeypatch):
 
 def test_cold_artifact_environment_rejects_reentry(tmp_path, monkeypatch):
     """ADVICE r16: cold_artifact_environment mutates process-global
-    state (_CACHE_ROOT_OVERRIDE + six shared cache dicts) under a
+    state (_CACHE_ROOT_OVERRIDE + seven shared cache dicts) under a
     single-threaded-driver contract; nested or concurrent entry would
     build into a soon-deleted throwaway root and have its cache entry
     silently discarded on restore. Contract now: reentry raises, and

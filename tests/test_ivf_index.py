@@ -507,3 +507,36 @@ def test_shared_probe_assignment_matches_standalone_searches(
             idx, queries, k=3, rerank=20, probes_cells=shared
         )
     )
+
+
+def test_declared_probes_memo_matches_fresh_assignment(spark):
+    """r17: declared_query_probes memoizes the declared batch's probe
+    assignment per (sf_dir, index path, nprobe) within a session. A
+    memo hit must return values bit-identical to a fresh
+    probe_assignment on the same constructed batch (the memo is a
+    cost change, never a value change), hits must be same-object
+    (no re-collect), and a different nprobe must miss."""
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _DECLARED_PROBES_MEMO,
+        N_QUERY_VECS,
+        declared_query_probes,
+        ivf_index_for,
+        probe_assignment,
+    )
+
+    idx = ivf_index_for(spark, SF)
+    _DECLARED_PROBES_MEMO.clear()
+    probes_a, cells_a = declared_query_probes(spark, SF, idx, nprobe=3)
+    probes_b, cells_b = declared_query_probes(spark, SF, idx, nprobe=3)
+    assert probes_a is probes_b and cells_a is cells_b  # memo hit
+
+    queries = _emb(spark).filter(F.col("vec_id") < N_QUERY_VECS)
+    fresh_probes, fresh_cells = probe_assignment(idx, queries, nprobe=3)
+    assert cells_a == fresh_cells
+    assert sorted(map(tuple, probes_a.collect())) == sorted(
+        map(tuple, fresh_probes.collect())
+    )
+
+    other_probes, other_cells = declared_query_probes(spark, SF, idx, nprobe=2)
+    assert other_probes is not probes_a  # different nprobe = miss
+    assert len(other_cells) <= len(cells_a)
