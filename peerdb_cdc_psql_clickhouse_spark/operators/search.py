@@ -1950,7 +1950,7 @@ def cold_artifact_environment():
     serving the original standing artifacts.
 
     Single-threaded-driver contract (ADVICE r16): this mutates
-    process-global state (_CACHE_ROOT_OVERRIDE plus six shared cache
+    process-global state (_CACHE_ROOT_OVERRIDE plus seven shared cache
     dicts) with no thread guard — any artifact resolution running
     concurrently in the same process would build into the
     soon-deleted throwaway root and have its cache entry discarded by
