@@ -855,6 +855,35 @@ def extended_ops(spark, sf_dir: str) -> dict:
     return out
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu
+    line, or None where unreadable. Why (r17): three consecutive
+    rounds spent effort attributing bench dispersion to 'the box'
+    by inference (r15's degraded-window saga, r16's window gating,
+    r17's steal discovery) — hypervisor steal is directly measurable,
+    so the round record now carries it instead of guessing. Snapshot
+    deltas across the run appear in BENCH_DETAIL.json as
+    host_steal_pct (steal share of all cpu ticks elapsed, busy+idle):
+    near-0 = clean window; percents = a noisy co-tenant window."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if parts[:1] != ["cpu"] or len(parts) < 9:
+        return None
+    vals = [int(x) for x in parts[1:]]
+    return vals[7], sum(vals)
+
+
+def _steal_pct(start: tuple[int, int] | None) -> float | None:
+    """Steal share (percent) of cpu ticks elapsed since `start`."""
+    end = _cpu_ticks()
+    if start is None or end is None or end[1] <= start[1]:
+        return None
+    return round(100.0 * (end[0] - start[0]) / (end[1] - start[1]), 3)
+
+
 # The driver captures exactly the LAST 2000 characters of stdout and
 # parses the final line as JSON. r3 AND r5 both lost the parsed signal
 # to this limit (VERDICT r5 #1), so the budget is now enforced, not
@@ -917,6 +946,7 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    run_ticks = _cpu_ticks()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -983,7 +1013,9 @@ def main() -> None:
     # scaled pass below medians too since r11 (VERDICT r10 #4), with
     # a lower adaptive cap — see scaled_inventory
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    inv_ticks = _cpu_ticks()
     timings, spreads, runs, errors = inventory_repeated(spark, sf_dir, iters)
+    inventory_steal_pct = _steal_pct(inv_ticks)
 
     # median-of-3 with dispersion (VERDICT r10 #5 — single-sample CDC
     # numbers moved ±19-34% on unchanged code)
@@ -1020,6 +1052,12 @@ def main() -> None:
         # whose n differs, instead of reading the regime change as a
         # regression.
         "query_samples": {q: len(ts) for q, ts in sorted(runs.items())},
+        # r17: directly-measured hypervisor steal (see _cpu_ticks) —
+        # the window-quality datum three rounds of noise attribution
+        # were missing. inventory_* covers just the timed inventory
+        # passes; run_* covers the whole bench process.
+        "host_steal_pct_inventory": inventory_steal_pct,
+        "host_steal_pct_run": _steal_pct(run_ticks),
         "ivf_index_build_sec": ivf_build,
         "text_index_build_sec": text_build,
         "ann_groundtruth_build_sec": anngt_build,
