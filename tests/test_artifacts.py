@@ -365,3 +365,48 @@ def test_scaled_ratio_headline_floor_gating():
 
     # the module default floor is the r13 value
     assert bench.SCALE_SIGNAL_MIN_1X_SEC == 1.0
+
+
+def test_bench_steal_sampler_contract(tmp_path, monkeypatch):
+    """r17: bench measures hypervisor steal directly (/proc/stat)
+    instead of inferring window quality. Contract: _cpu_ticks returns
+    (steal, total) with steal <= total; _steal_pct computes the share
+    of elapsed ticks, returns None on unreadable input or no elapsed
+    ticks (never raises — a missing /proc must not break a bench
+    run)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    t = bench._cpu_ticks()
+    assert t is not None  # this box has /proc/stat
+    steal, total = t
+    assert 0 <= steal <= total
+
+    # steal share computed from an artificial baseline: 2 steal ticks
+    # out of 100 elapsed = 2.0%
+    pct = bench._steal_pct((steal - 2, total - 100))
+    assert pct == round(100.0 * 2 / 100, 3)
+
+    # graceful None paths: no baseline, and no elapsed ticks
+    assert bench._steal_pct(None) is None
+    assert bench._steal_pct((steal, total + 10)) is None
+
+    # unreadable /proc/stat -> None, not an exception
+    real_open = open
+
+    def boom(path, *a, **k):
+        if path == "/proc/stat":
+            raise OSError("no proc")
+        return real_open(path, *a, **k)
+
+    import builtins
+
+    monkeypatch.setattr(builtins, "open", boom)
+    assert bench._cpu_ticks() is None
