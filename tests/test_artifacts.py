@@ -389,14 +389,18 @@ def test_bench_steal_sampler_contract(tmp_path, monkeypatch):
     steal, total = t
     assert 0 <= steal <= total
 
-    # steal share computed from an artificial baseline: 2 steal ticks
-    # out of 100 elapsed = 2.0%
-    pct = bench._steal_pct((steal - 2, total - 100))
-    assert pct == round(100.0 * 2 / 100, 3)
+    # share math on a pinned end-sample (hermetic — the real
+    # /proc/stat accrues ticks between any two reads, ~3200/s on 32
+    # cpus, so arithmetic against a live re-read is inherently racy):
+    # 2 steal ticks out of 100 elapsed = 2.0%
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: (102, 1100))
+    assert bench._steal_pct((100, 1000)) == 2.0
 
-    # graceful None paths: no baseline, and no elapsed ticks
+    # graceful None paths: no baseline, no elapsed ticks, clock skew
     assert bench._steal_pct(None) is None
-    assert bench._steal_pct((steal, total + 10)) is None
+    assert bench._steal_pct((102, 1100)) is None
+    assert bench._steal_pct((102, 1200)) is None
+    monkeypatch.undo()
 
     # unreadable /proc/stat -> None, not an exception
     real_open = open
