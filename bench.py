@@ -873,7 +873,11 @@ def _cpu_ticks() -> tuple[int, int] | None:
     if parts[:1] != ["cpu"] or len(parts) < 9:
         return None
     vals = [int(x) for x in parts[1:]]
-    return vals[7], sum(vals)
+    # Denominator = user..steal (fields 1-8) only (ADVICE r17): Linux
+    # accounts guest/guest_nice INSIDE user/nice, so summing all ten
+    # fields double-counts guest time on a KVM host and understates
+    # steal%. (Both fields are 0 on a guest VM, where this runs today.)
+    return vals[7], sum(vals[:8])
 
 
 def _steal_pct(start: tuple[int, int] | None) -> float | None:

@@ -257,7 +257,7 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
 # re-infers schemas per query; this cache is the standalone analog.
 # We cache the INFERRED schema rather than trusting TESTDATA_SCHEMAS
 # because physical testdata generations drift (see events.ts below).
-_TABLE_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+_TABLE_SCHEMA_CACHE: dict[tuple[str, int], T.StructType] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -280,7 +280,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = None
     with contextlib.suppress(OSError):  # URI/missing: just re-infer
-        key = (path, os.path.getmtime(path))
+        # st_mtime_ns, not getmtime's float-seconds (ADVICE r17):
+        # parquet regeneration completes in <1 s, so a float-seconds
+        # key could serve a stale schema after an in-place rewrite
+        # within mtime granularity; corpus_cache_key (above) already
+        # uses ns for the same reason.
+        key = (path, os.stat(path).st_mtime_ns)
     schema = _TABLE_SCHEMA_CACHE.get(key) if key is not None else None
     if schema is None:
         df = spark.read.parquet(path)

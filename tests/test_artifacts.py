@@ -414,3 +414,20 @@ def test_bench_steal_sampler_contract(tmp_path, monkeypatch):
 
     monkeypatch.setattr(builtins, "open", boom)
     assert bench._cpu_ticks() is None
+    monkeypatch.undo()
+
+    # guest/guest_nice are excluded from the denominator (ADVICE r17:
+    # Linux accounts guest time inside user/nice, so including fields
+    # 9-10 double-counts on a KVM host and understates steal%)
+    import io
+
+    def fake_stat(path, *a, **k):
+        if path == "/proc/stat":
+            # user nice sys idle iowait irq sirq steal guest gnice
+            return io.StringIO(
+                "cpu 100 10 50 800 20 5 5 10 40 4\ncpu0 ...\n"
+            )
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_stat)
+    assert bench._cpu_ticks() == (10, 1000)  # not 1044

@@ -21,8 +21,8 @@ from peerdb_cdc_psql_clickhouse_spark.catalog import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def _key(path: str) -> tuple[str, float]:
-    return (path, os.path.getmtime(path))
+def _key(path: str) -> tuple[str, int]:
+    return (path, os.stat(path).st_mtime_ns)
 
 
 def test_cached_load_equals_fresh_inference(spark):
@@ -70,8 +70,7 @@ def test_mtime_invalidates_schema_cache(spark, tmp_path):
         [(2, "b", "x")],
         "r_regionkey int, r_name string, r_comment string",
     ).write.mode("overwrite").parquet(path)
-    # guarantee a distinct mtime even on coarse-grained filesystems
-    st = os.stat(path)
-    os.utime(path, (st.st_atime, st.st_mtime + 2))
+    # no manual utime bump (ADVICE r17): the key is st_mtime_ns, so a
+    # sub-second in-place rewrite already yields a distinct key
     second = load_table(spark, sf_dir, "region")
     assert len(second.schema) == 3  # re-inferred, not served stale
