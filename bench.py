@@ -888,6 +888,51 @@ def _steal_pct(start: tuple[int, int] | None) -> float | None:
     return round(100.0 * (end[0] - start[0]) / (end[1] - start[1]), 3)
 
 
+# --- steal certification gate (r18, VERDICT r17 #1) -----------------
+# r17 measured the correlation on an identical tree: ~0% steal ->
+# 36.5 s inventory, ~0.5% -> 41.8 s, ~1.1% -> 42.4 s. Acting on it:
+# when the timed inventory lands in a stealy window, re-measure (up
+# to the attempt cap) instead of committing a number whose delta
+# would need forensic attribution next round. The committed record is
+# either steal-certified (measured steal <= threshold) or explicitly
+# marked degraded — never silently noisy.
+STEAL_CERT_THRESHOLD_PCT = 0.5
+STEAL_GATE_MAX_ATTEMPTS = 3  # 1 initial measurement + up to 2 reruns
+
+
+def steal_gate(
+    steal_pcts: list[float | None],
+    threshold: float = STEAL_CERT_THRESHOLD_PCT,
+    max_attempts: int = STEAL_GATE_MAX_ATTEMPTS,
+) -> dict:
+    """Pure policy: given the inventory-steal measurement of each
+    attempt so far (None = /proc/stat unreadable), decide whether to
+    re-measure and which attempt to promote.
+
+    Returns {"retry": bool, "pick": int, "certified": bool}:
+    - pick: index of the attempt to promote — lowest measured steal
+      (an unmeasured attempt never beats a measured one; when nothing
+      measured, the first attempt stands).
+    - certified: the picked attempt measured at or under threshold.
+    - retry: the latest attempt measured ABOVE threshold, no attempt
+      is certified yet, and attempts remain. An unmeasured sampler
+      never retries — /proc will not become more readable.
+    """
+    measured = [(p, i) for i, p in enumerate(steal_pcts) if p is not None]
+    if measured:
+        best_p, best_i = min(measured)
+        certified = best_p <= threshold
+    else:
+        best_i, certified = 0, False
+    last = steal_pcts[-1] if steal_pcts else None
+    retry = (
+        last is not None
+        and not certified
+        and len(steal_pcts) < max_attempts
+    )
+    return {"retry": retry, "pick": best_i, "certified": certified}
+
+
 # The driver captures exactly the LAST 2000 characters of stdout and
 # parses the final line as JSON. r3 AND r5 both lost the parsed signal
 # to this limit (VERDICT r5 #1), so the budget is now enforced, not
@@ -917,6 +962,11 @@ _COMPACT_DROP_ORDER = [
     "detail_file",
     "scaled_mult",
     "scaled_worst_ratio",
+    # r18: the certification datum is near-undroppable — a bench
+    # record without its window quality restarts the r15-r17
+    # attribution guesswork. (steal_degraded, when present, is never
+    # dropped at all: it is the explicit honesty marker.)
+    "host_steal_pct_inventory",
     "cdc_ops_per_sec",
 ]
 
@@ -1017,9 +1067,29 @@ def main() -> None:
     # scaled pass below medians too since r11 (VERDICT r10 #4), with
     # a lower adaptive cap — see scaled_inventory
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    inv_ticks = _cpu_ticks()
-    timings, spreads, runs, errors = inventory_repeated(spark, sf_dir, iters)
-    inventory_steal_pct = _steal_pct(inv_ticks)
+    # r18 (VERDICT r17 #1): the timed inventory is gated on measured
+    # hypervisor steal — re-measured (bounded) when it lands in a
+    # stealy window, and the promoted result is the lowest-steal
+    # attempt, explicitly marked certified or degraded. Attempt cap
+    # overridable (1 disables reruns — smoke/test runs).
+    gate_attempts = int(
+        os.environ.get(
+            "SPARK_GRAFT_STEAL_GATE_ATTEMPTS", str(STEAL_GATE_MAX_ATTEMPTS)
+        )
+    )
+    attempts: list[tuple] = []
+    steal_pcts: list[float | None] = []
+    while True:
+        inv_ticks = _cpu_ticks()
+        attempt = inventory_repeated(spark, sf_dir, iters)
+        steal_pcts.append(_steal_pct(inv_ticks))
+        attempts.append(attempt)
+        decision = steal_gate(steal_pcts, max_attempts=gate_attempts)
+        if not decision["retry"]:
+            break
+    timings, spreads, runs, errors = attempts[decision["pick"]]
+    inventory_steal_pct = steal_pcts[decision["pick"]]
+    steal_certified = decision["certified"]
 
     # median-of-3 with dispersion (VERDICT r10 #5 — single-sample CDC
     # numbers moved ±19-34% on unchanged code)
@@ -1062,6 +1132,15 @@ def main() -> None:
         # passes; run_* covers the whole bench process.
         "host_steal_pct_inventory": inventory_steal_pct,
         "host_steal_pct_run": _steal_pct(run_ticks),
+        # r18 gate outcome: all attempts' steal in measurement order,
+        # which one was promoted, and whether the record is certified
+        # (<= STEAL_CERT_THRESHOLD_PCT) or explicitly degraded.
+        "steal_gate": {
+            "threshold_pct": STEAL_CERT_THRESHOLD_PCT,
+            "attempt_steal_pcts": steal_pcts,
+            "picked_attempt": decision["pick"],
+            "certified": steal_certified,
+        },
         "ivf_index_build_sec": ivf_build,
         "text_index_build_sec": text_build,
         "ann_groundtruth_build_sec": anngt_build,
@@ -1117,6 +1196,11 @@ def main() -> None:
             if spreads
             else None
         ),
+        # r18 (VERDICT r17 #1): the window-quality datum rides the
+        # committed record itself; absence of steal_degraded = the
+        # inventory number is steal-certified (<= threshold).
+        "host_steal_pct_inventory": inventory_steal_pct,
+        **({} if steal_certified else {"steal_degraded": True}),
         "ivf_index_build_sec_cold": ivf_build_cold,
         "text_index_build_sec_cold": text_build_cold,
         "cdc_ops_per_sec": stress.get("ops_per_sec"),

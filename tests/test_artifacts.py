@@ -431,3 +431,46 @@ def test_bench_steal_sampler_contract(tmp_path, monkeypatch):
 
     monkeypatch.setattr(builtins, "open", fake_stat)
     assert bench._cpu_ticks() == (10, 1000)  # not 1044
+
+
+def test_bench_steal_gate_policy():
+    """r18 (VERDICT r17 #1): the committed bench record must be
+    steal-certified or explicitly degraded. steal_gate is the pure
+    policy deciding rerun/promotion; pin every branch."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    gate = bench.steal_gate
+
+    # clean first window: no rerun, certified
+    assert gate([0.1]) == {"retry": False, "pick": 0, "certified": True}
+    # exactly at threshold certifies (<=)
+    assert gate([0.5]) == {"retry": False, "pick": 0, "certified": True}
+    # stealy window with attempts left: rerun
+    assert gate([1.1]) == {"retry": True, "pick": 0, "certified": False}
+    # rerun landed clean: promote the clean attempt, certified
+    assert gate([1.1, 0.2]) == {
+        "retry": False, "pick": 1, "certified": True,
+    }
+    # every attempt stealy at the cap: promote the least-stealy,
+    # explicitly NOT certified (-> steal_degraded marker)
+    assert gate([1.1, 0.9, 0.7]) == {
+        "retry": False, "pick": 2, "certified": False,
+    }
+    assert gate([0.9, 1.4]) == {"retry": True, "pick": 0, "certified": False}
+    # unmeasurable sampler (no /proc): never retries, never certifies
+    assert gate([None]) == {"retry": False, "pick": 0, "certified": False}
+    # an unmeasured attempt never beats a measured one
+    assert gate([None, 0.8], max_attempts=2) == {
+        "retry": False, "pick": 1, "certified": False,
+    }
+    # attempt cap override (smoke runs disable reruns with cap=1)
+    assert gate([2.0], max_attempts=1) == {
+        "retry": False, "pick": 0, "certified": False,
+    }
