@@ -591,6 +591,12 @@ def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_MAX_DF = 20   # drop fingerprints shared by more docs (stopword-y)
 WINNOW_MIN_SHARED = 2  # docs sharing >= this many fingerprints are dups
 CLUSTER_MAX_ITERS = 20  # label propagation rounds (>= graph diameter)
+# r18 (VERDICT r17 #2): propagation still changing after this many
+# rounds means a component's diameter exceeds the near-dup regime
+# (boilerplate-heavy crawls grow giant components) — auto-dispatch to
+# the O(log^2 n) large-star/small-star variant instead of burning
+# diameter-many rounds or, worse, returning cap-truncated labels.
+STAR_DISPATCH_ROUNDS = 6
 
 
 def winnow_edges(
@@ -630,7 +636,9 @@ def winnow_edges(
 
 
 def dup_clusters(
-    edges: DataFrame, max_iters: int = CLUSTER_MAX_ITERS
+    edges: DataFrame,
+    max_iters: int = CLUSTER_MAX_ITERS,
+    star_after: int | None = STAR_DISPATCH_ROUNDS,
 ) -> DataFrame:
     """Connected components by min-label propagation: (doc_id,
     cluster_id) where cluster_id = min doc_id in the component.
@@ -639,9 +647,19 @@ def dup_clusters(
     checks a changed-count scalar (no data collected) and stops at
     fixpoint — iterations = graph diameter, which for near-dup
     clusters is small. localCheckpoint() truncates lineage each round
-    so plans don't grow. At extreme component sizes swap in the
-    large-star/small-star variant; the contract (min-id labels) is
-    identical.
+    so plans don't grow.
+
+    Giant-component auto-dispatch (r18, VERDICT r17 #2): if labels are
+    still moving after `star_after` rounds, a component's diameter has
+    outgrown the near-dup regime, and the loop hands the ORIGINAL edge
+    set to the O(log^2 n) large-star/small-star variant
+    (dup_clusters_star) — same contract, same fixpoint labels
+    (equivalence pinned by tests/test_clusters.py), so the switch is
+    invisible to consumers' hashes. The dispatch only fires strictly
+    inside the caller's round budget (star_after < max_iters): a small
+    explicit max_iters keeps the documented cap-truncation semantics
+    (test_iteration_cap_respected). star_after=None disables dispatch
+    (pure propagation, used by the equivalence tests themselves).
     """
     # materialize edges BEFORE the symmetric union — union reads its
     # input twice, which would re-run the whole edge derivation
@@ -655,7 +673,7 @@ def dup_clusters(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         neigh = (
             sym.join(lbl, sym.dst == lbl.node)
             .groupBy("src")
@@ -676,6 +694,10 @@ def dup_clusters(
         lbl = new.drop("_chg")
         if changed == 0:
             break
+        if star_after is not None and star_after <= i + 1 < max_iters:
+            # diameter outgrew the dispatch bound: finish with the
+            # star variant on the (already-checkpointed) edges
+            return dup_clusters_star(edges, max_iters)
     return lbl.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -804,7 +826,7 @@ def dup_clusters_for(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dupclusters",
             f"cfmt{_DUP_CLUSTERS_FORMAT}|df{WINNOW_MAX_DF}"
             f"|ms{WINNOW_MIN_SHARED}|w{WINNOW_W}|k{WINNOW_SHINGLE_K}"
-            f"|it{CLUSTER_MAX_ITERS}|{key}",
+            f"|it{CLUSTER_MAX_ITERS}|sa{STAR_DISPATCH_ROUNDS}|{key}",
             _build,
         )
     return spark.read.parquet(_os.path.join(path, "data"))

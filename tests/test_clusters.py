@@ -100,7 +100,10 @@ def test_star_matches_label_prop_on_winnow_edges(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     edges = winnow_edges(winnow_fp(docs))
     via_prop = {
-        (r["doc_id"], r["cluster_id"]) for r in dup_clusters(edges).collect()
+        (r["doc_id"], r["cluster_id"])
+        # star_after=None: keep this a genuine propagation-vs-star
+        # cross-check (dispatch would make it star-vs-star)
+        for r in dup_clusters(edges, star_after=None).collect()
     }
     via_star = {
         (r["doc_id"], r["cluster_id"])
@@ -108,6 +111,38 @@ def test_star_matches_label_prop_on_winnow_edges(spark):
     }
     assert via_star == via_prop
     assert via_star
+
+
+def test_giant_component_auto_dispatches_to_star(spark):
+    """r18 (VERDICT r17 #2): a 64-node path has diameter 63 — plain
+    propagation would still be unconverged at CLUSTER_MAX_ITERS=20 and
+    return cap-truncated labels. With auto-dispatch, dup_clusters
+    hands off to the star variant once STAR_DISPATCH_ROUNDS rounds are
+    still changing, and must return the FULL fixpoint labels (all
+    nodes labeled 1) under the default round budget."""
+    edges = [(i, i + 1) for i in range(1, 64)]
+    got = _clusters(spark, edges)  # defaults: dispatch armed
+    assert got == {n: 1 for n in range(1, 65)}
+
+    # the same graph with dispatch disabled proves propagation alone
+    # genuinely cannot converge inside the budget (i.e. the assertion
+    # above exercised the star path, not a lucky fast convergence)
+    undispatched = _clusters(spark, edges, star_after=None)
+    assert undispatched != {n: 1 for n in range(1, 65)}
+
+
+def test_small_diameter_never_touches_star_path(spark, monkeypatch):
+    """x1e's declared hash rides the propagation path: on graphs that
+    converge inside the dispatch bound the star variant must never be
+    invoked (dispatch is a fallback, not a rewrite)."""
+    from peerdb_cdc_psql_clickhouse_spark.operators import dedup
+
+    def boom(*a, **k):
+        raise AssertionError("star path must not fire")
+
+    monkeypatch.setattr(dedup, "dup_clusters_star", boom)
+    got = _clusters(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {n: 1 for n in range(1, 6)}
 
 
 def test_iteration_cap_respected(spark):
@@ -138,6 +173,7 @@ def test_dup_clusters_slot_key_carries_label_shaping_params():
         "WINNOW_W",
         "WINNOW_SHINGLE_K",
         "CLUSTER_MAX_ITERS",
+        "STAR_DISPATCH_ROUNDS",
         "_DUP_CLUSTERS_FORMAT",
     ):
         assert param in src, param
