@@ -180,7 +180,22 @@ _REPL_STRIDE = 10_000_000
 #   (a 1%-of-one-coordinate rescale is NOT enough: review measured
 #   cos >= 0.9996 to the original, i.e. still a planted near-dup).
 _ROT_ALPHABET = "etaoinshrdluc"
-MAX_SCALE_MULT = len(_ROT_ALPHABET)  # 13: transforms are identity past it
+MAX_SCALE_MULT = len(_ROT_ALPHABET)  # 13: one family is identity past it
+
+# r18 (VERDICT r17 #3): one bijective family caps replicas at 13, so
+# copies beyond it COMPOSE a second independent family (previously
+# scale_probe-only; promoted here so the bench's own scaled legs can
+# exceed 10x). Text: rot2 over a DISJOINT alphabet — copy c applies
+# rot1^(c%13) ∘ rot2^(c//13), bijective and distinct for all 169
+# combos, so within-copy shingle/dup structure is exactly preserved
+# while cross-copy text diverges. Embeddings: cyclic coordinate shift
+# composed with a deterministic ±1 sign-flip — both orthogonal, so
+# within-copy cosines are bit-preserved and cross-copy vectors stay
+# near-orthogonal. Copies 0..12 have c//13 == 0 (rot2/sign-flip =
+# identity), so the existing 10x leg's replicas are byte-identical to
+# the single-family era.
+_ROT2_ALPHABET = "mfwygpbvkxjqz"
+MAX_COMPOSED_MULT = MAX_SCALE_MULT * len(_ROT2_ALPHABET)  # 169
 
 # a query's scaled ratio is a scaling SIGNAL only if its 1x time
 # clears the fixed plan-compile/submit overhead (~0.2 s on local[32]).
@@ -212,12 +227,63 @@ def _shift_embedding(col, i: int, dim: int = 64):
     return F.concat(F.slice(col, s + 1, dim - s), F.slice(col, 1, s))
 
 
-def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
+def _rot2_text(col, j: int):
+    from pyspark.sql import functions as F
+
+    r = j % len(_ROT2_ALPHABET)
+    if r == 0:
+        return col
+    return F.translate(
+        col, _ROT2_ALPHABET, _ROT2_ALPHABET[r:] + _ROT2_ALPHABET[:r]
+    )
+
+
+def _sign_flip(col, j: int, dim: int = 64):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    if j == 0:
+        return col
+    signs = [
+        1.0
+        if int(hashlib.md5(f"sf{j}:{i}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+        else -1.0
+        for i in range(dim)
+    ]
+    return F.zip_with(
+        col,
+        F.array(*[F.lit(s) for s in signs]),
+        lambda x, s: (x * s).cast("float"),
+    )
+
+
+def _copy_text(col, c: int):
+    """Composed per-copy text transform: rot1^(c%13) ∘ rot2^(c//13)."""
+    return _rot2_text(_rot_text(col, c % MAX_SCALE_MULT), c // MAX_SCALE_MULT)
+
+
+def _copy_embedding(col, c: int, dim: int = 64):
+    """Composed per-copy embedding transform: shift ∘ sign-flip."""
+    return _sign_flip(
+        _shift_embedding(col, c % MAX_SCALE_MULT, dim),
+        c // MAX_SCALE_MULT,
+        dim,
+    )
+
+
+def materialize_scaled(
+    spark, sf_dir: str, out_dir: str, mult: int, tables=None
+) -> None:
     """Write a mult× replica of the testdata (ids offset per copy so
     keys stay distinct and FK joins keep their per-copy fan-out;
     document text rotated and embeddings coordinate-shifted per copy
     so the duplication RATE stays constant) in the same layout
-    load_table reads."""
+    load_table reads. Copies past 13 compose the second transform
+    family (r18 — see _ROT2_ALPHABET), valid to 169 copies; `tables`
+    restricts the replica to a subset (the extended dedup leg only
+    needs the tables its four queries read)."""
     from pyspark.sql import functions as F
 
     from peerdb_cdc_psql_clickhouse_spark.catalog import (
@@ -225,14 +291,14 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
         load_table,
     )
 
-    if mult > MAX_SCALE_MULT:
+    if mult > MAX_COMPOSED_MULT:
         raise ValueError(
-            f"mult={mult} exceeds {MAX_SCALE_MULT}: the per-copy content "
-            "transforms cycle back to identity and replicas regain "
-            "verbatim duplicate multiplicity"
+            f"mult={mult} exceeds {MAX_COMPOSED_MULT}: both composed "
+            "content-transform families cycle back to identity and "
+            "replicas regain verbatim duplicate multiplicity"
         )
 
-    for name in TESTDATA_TABLES:
+    for name in tables if tables is not None else TESTDATA_TABLES:
         if name == "events":
             # replicate ts at its physical type (long nanos in older
             # testdata generations, TIMESTAMP(MICROS) in newer) —
@@ -251,9 +317,9 @@ def materialize_scaled(spark, sf_dir: str, out_dir: str, mult: int) -> None:
                         *[
                             (F.col(c) + i * _REPL_STRIDE).alias(c)
                             if c in keys
-                            else _rot_text(F.col(c), i).alias(c)
+                            else _copy_text(F.col(c), i).alias(c)
                             if name == "documents" and c == "text"
-                            else _shift_embedding(F.col(c), i).alias(c)
+                            else _copy_embedding(F.col(c), i).alias(c)
                             if name == "embeddings" and c == "embedding"
                             else F.col(c)
                             for c in src.columns
@@ -496,6 +562,57 @@ def scaled_inventory(
             "query_samples": {
                 q: len(ts) for q, ts in sorted(runs.items())
             },
+            **scaled_ratio_summary(timings, timings_1x, mult),
+            **({"errors": errors} if errors else {}),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# r18 (VERDICT r17 #3): the 10x scaled leg argues the dedup family's
+# skew guards (GRAM_DF_CAP df-capped inverted lists, SPAN_OCC_CAP
+# hot-shingle star path, star-dispatch clustering) hold by plan shape;
+# this leg PROVES them empirically at ~50x — composed-replica corpus,
+# single pass per round (each pass costs mult x a 1x pass, so no
+# median here; the reading is the RATIO, with 2·mult per-row-cost
+# slack, not a round-over-round wall-clock trend).
+EXTENDED_SCALE_QUERIES = (
+    "x1d_ngram_jaccard",
+    "x1e_dup_clusters",
+    "x1g_substring_spans",
+    "x5_sketch_stats",
+)
+EXTENDED_SCALE_TABLES = ("documents", "lineitem", "events")
+EXTENDED_SCALE_MULT = 50
+
+
+def extended_dedup_scaled(spark, sf_dir: str, timings_1x: dict) -> dict | None:
+    """The dedup-family queries at EXTENDED_SCALE_MULT x (env
+    SPARK_GRAFT_EXTENDED_MULT overrides; <=1 disables). Only the three
+    tables those queries read are replicated. Reports per-query
+    seconds + ratio arithmetic via scaled_ratio_summary (floor gating
+    identical to the 10x leg)."""
+    import shutil
+    import tempfile
+
+    mult = int(
+        os.environ.get("SPARK_GRAFT_EXTENDED_MULT", str(EXTENDED_SCALE_MULT))
+    )
+    if mult <= 1:
+        return None
+    work = tempfile.mkdtemp(prefix="bench_xscaled_")
+    try:
+        materialize_scaled(
+            spark, sf_dir, work, mult, tables=EXTENDED_SCALE_TABLES
+        )
+        spark.catalog.clearCache()
+        timings, errors = inventory(
+            spark, work, names=EXTENDED_SCALE_QUERIES
+        )
+        return {
+            "mult": mult,
+            "total_sec": round(sum(timings.values()), 3),
+            "queries": timings,
             **scaled_ratio_summary(timings, timings_1x, mult),
             **({"errors": errors} if errors else {}),
         }
@@ -942,6 +1059,10 @@ def steal_gate(
 # metric/value/unit/queries/sf are never dropped.
 COMPACT_BUDGET = 1950
 _COMPACT_DROP_ORDER = [
+    # r18 extended-dedup leg: headline-droppable first (full numbers
+    # always in BENCH_DETAIL.extended_dedup_scaled)
+    "xscaled_worst_ratio",
+    "xscaled_mult",
     "scaled_worst_ratio_unfloored",
     "rel_spread_p90",
     "bench_iters",
@@ -1107,6 +1228,12 @@ def main() -> None:
     scaled = (
         scaled_inventory(spark, sf_dir, timings, mult) if mult > 1 else None
     )
+    # r18: the dedup family at ~50x — cap/star-path engagement proved
+    # at composed-replica scale, not argued (only runs when the 10x
+    # leg runs: both are scale diagnostics, gated the same way)
+    dedup_ext = (
+        extended_dedup_scaled(spark, sf_dir, timings) if mult > 1 else None
+    )
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -1155,6 +1282,7 @@ def main() -> None:
         "search_quality": search_q,
         "extended_ops": extended,
         **({"scaled_inventory": scaled} if scaled else {}),
+        **({"extended_dedup_scaled": dedup_ext} if dedup_ext else {}),
         **({"errors": errors} if errors else {}),
     }
     # Full detail goes to a committed file; stdout gets ONE compact
@@ -1235,6 +1363,14 @@ def main() -> None:
                 ),
             }
             if scaled
+            else {}
+        ),
+        **(
+            {
+                "xscaled_mult": dedup_ext["mult"],
+                "xscaled_worst_ratio": dedup_ext["worst_ratio"],
+            }
+            if dedup_ext
             else {}
         ),
         **({"error_count": len(errors)} if errors else {}),

@@ -178,45 +178,11 @@ def replicate(
     return out
 
 
-# Composed replicas (VERDICT r3 #8 — the 2-decade curve): one bijective
-# family caps at 13 copies, so compose TWO independent families.
-# Text: rot1 over "etaoinshrdluc" composed with rot2 over the DISJOINT
-# alphabet below — copy (i, j) applies rot1^i ∘ rot2^j, bijective and
-# distinct for all 169 combos, so within-copy shingle/dup structure is
-# exactly preserved while cross-copy text diverges. Embeddings: cyclic
-# coordinate shift (64 values) composed with a deterministic ±1
-# sign-flip pattern per copy — both orthogonal transforms, so every
-# within-copy cosine is bit-identically preserved and cross-copy
-# vectors stay near-orthogonal.
-_ROT2_ALPHABET = "mfwygpbvkxjqz"
-
-
-def _rot2_text(col, j: int):
-    if j % len(_ROT2_ALPHABET) == 0:
-        return col
-    r = j % len(_ROT2_ALPHABET)
-    return F.translate(
-        col, _ROT2_ALPHABET, _ROT2_ALPHABET[r:] + _ROT2_ALPHABET[:r]
-    )
-
-
-def _sign_flip(col, j: int, dim: int = 64):
-    import hashlib
-
-    if j == 0:
-        return col
-    signs = [
-        1.0
-        if int(hashlib.md5(f"sf{j}:{i}".encode()).hexdigest()[:15], 16) % 2
-        == 0
-        else -1.0
-        for i in range(dim)
-    ]
-    return F.zip_with(
-        col,
-        F.array(*[F.lit(s) for s in signs]),
-        lambda x, s: (x * s).cast("float"),
-    )
+# Composed replicas (VERDICT r3 #8 — the 2-decade curve): one
+# bijective family caps at 13 copies, so compose TWO independent
+# families. r18: the transform family moved to bench.py (VERDICT r17
+# #3 promoted it into the bench's own extended scaled leg); this
+# wrapper keeps the probe's call shape.
 
 
 def replicate_composed(
@@ -225,21 +191,18 @@ def replicate_composed(
 ):
     """n stacked copies via the composed transform families — valid to
     13 x 13 = 169 copies at the same duplicate rate."""
-    from bench import MAX_SCALE_MULT, _rot_text, _shift_embedding
+    from bench import MAX_COMPOSED_MULT, _copy_embedding, _copy_text
 
-    if n > MAX_SCALE_MULT * len(_ROT2_ALPHABET):
-        raise ValueError(f"n={n} exceeds composed guard {13 * 13}")
+    if n > MAX_COMPOSED_MULT:
+        raise ValueError(f"n={n} exceeds composed guard {MAX_COMPOSED_MULT}")
     out = df
     for c in range(1, n):
-        i, j = c % MAX_SCALE_MULT, c // MAX_SCALE_MULT
         rep = df.withColumn(id_col, F.col(id_col) + c * id_stride)
         if text_col is not None:
-            rep = rep.withColumn(
-                text_col, _rot2_text(_rot_text(F.col(text_col), i), j)
-            )
+            rep = rep.withColumn(text_col, _copy_text(F.col(text_col), c))
         if emb_col is not None:
             rep = rep.withColumn(
-                emb_col, _sign_flip(_shift_embedding(F.col(emb_col), i), j)
+                emb_col, _copy_embedding(F.col(emb_col), c)
             )
         out = out.unionByName(rep)
     return out
