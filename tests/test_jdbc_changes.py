@@ -1379,3 +1379,103 @@ def test_persist_merge_concurrent_writers_lose_no_keys(tmp_path):
 
     st = writers[0]._state()
     assert {f"k{i}": i for i in range(16)}.items() <= st.items()
+
+
+def test_sweeps_converge_under_hot_key_skew(spark, derby_url, tmp_path):
+    """r18 (VERDICT r17 #4): equal-width first-key bucketing under a
+    hot pk range degrades BALANCE, not correctness or boundedness.
+    Fixture: 100 source rows with 90% of keys packed into one
+    bucket's range (1..90) and the rest scattered to 1e6 (so
+    min/max-derived spans put ~91% of rows in bucket 0). Deletes in
+    the hot range AND the sparse tail, plus an in-place update in
+    each, must all converge through the composed sweeps; per-bucket
+    remote transfer must stay PARTITIONED (each bucket fetches
+    exactly its key range — the hot bucket carries the hot mass, and
+    no bucket re-reads the table); and the per-bucket range predicate
+    must still reach the remote scan (sweep_plan gate)."""
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc import read_jdbc
+    from peerdb_cdc_psql_clickhouse_spark.sources.jdbc_changes import (
+        ChecksumDiffUpdateSweeper,
+        SnapshotDiffDeleteSweeper,
+    )
+
+    hot = [(i, f"h{i}") for i in range(1, 91)]  # 90 keys in one range
+    sparse = [(i * 100_000, f"s{i}") for i in range(1, 11)]  # to 1e6
+    rows = hot + sparse
+    write_jdbc(spark.createDataFrame(rows, ROW_SCHEMA), derby_url, "skew_t")
+    mirror = _mirror(spark, tmp_path)
+    mirror.snapshot(read_jdbc(spark, url=derby_url, dbtable="skew_t"))
+    assert len(_state(mirror)) == 100
+
+    # mutations a poll tail cannot see: hard deletes + in-place
+    # updates, in BOTH the hot range and the sparse tail
+    _exec_sql(
+        spark,
+        derby_url,
+        'DELETE FROM skew_t WHERE "entity_id" IN '
+        "(5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 500000)",
+    )
+    _exec_sql(
+        spark,
+        derby_url,
+        "UPDATE skew_t SET \"val\" = 'h20x' WHERE \"entity_id\" = 20",
+    )
+    _exec_sql(
+        spark,
+        derby_url,
+        "UPDATE skew_t SET \"val\" = 's9x' WHERE \"entity_id\" = 900000",
+    )
+
+    spool = str(tmp_path / "skspool")
+    common = dict(
+        url=derby_url,
+        table="skew_t",
+        key_cols=["entity_id"],
+        row_schema=ROW_SCHEMA,
+        spool_dir=spool,
+        n_buckets=10,
+    )
+    dsw = SnapshotDiffDeleteSweeper(
+        state_path=str(tmp_path / "skstate.json"), **common
+    )
+    usw = ChecksumDiffUpdateSweeper(
+        state_path=str(tmp_path / "skstate.json"), **common
+    )
+
+    # --- bounded per-bucket transfer, asserted on the live fixture:
+    # the sweep's own clamped bucket ranges partition the key span, so
+    # summing each bucket's remote fetch equals the table size (no
+    # bucket re-reads the table) while the hot bucket carries ~91%
+    target_keys = mirror.read_target().select("entity_id")
+    lo, hi = dsw._bounds(target_keys)
+    per_bucket = []
+    for b_lo, b_hi in dsw._bucket_ranges(lo, hi):
+        c_lo = lo if b_lo is None else b_lo
+        c_hi = hi if b_hi is None else b_hi
+        per_bucket.append(
+            dsw._remote_bucket_df(spark, c_lo, c_hi).count()
+        )
+    src_rows = 100 - 11  # after the deletes
+    assert sum(per_bucket) == src_rows  # partitioned: each row once
+    assert max(per_bucket) >= int(0.9 * src_rows)  # the hot bucket
+    assert len(per_bucket) == 10
+
+    # --- pushdown gate: the per-bucket range predicate reaches the
+    # remote scan for BOTH sweepers (O(keys/bucket) transfer claim)
+    for sw in (dsw, usw):
+        plan = sw.sweep_plan(spark)
+        assert "PushedFilters" in plan
+        assert "GreaterThanOrEqual(entity_id" in plan
+
+    # --- convergence: update sweep then delete sweep, one drain
+    assert usw.sweep_once(spark, mirror) == 2
+    assert dsw.sweep_once(spark, mirror) == 11
+    _drain(mirror, spool)
+    want = {k: v for k, v in rows if k not in
+            {5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 500000}}
+    want[20] = "h20x"
+    want[900000] = "s9x"
+    assert _state(mirror) == want
+    # converged: both sweeps idempotent
+    assert usw.sweep_once(spark, mirror) == 0
+    assert dsw.sweep_once(spark, mirror) == 0
