@@ -574,9 +574,17 @@ def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # shuffle_hash, never broadcast (r18, found by the 50x extended
+    # leg): `sizes` is O(corpus) — one row per doc — and at 50x its
+    # ~60 MB serialized estimate slid just under the 64 MB broadcast
+    # threshold, OOMing the driver-side build (the same boundary
+    # SCALE.md documents for substring_spans at 100x). A corpus-sized
+    # side must never ride a size estimate into a broadcast; after
+    # the shuffle each partition's hash build is n_docs/partitions,
+    # bounded at any scale.
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", fround(jac, 4).alias("jaccard"))
     )

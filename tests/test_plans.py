@@ -65,6 +65,17 @@ def test_dim_joins_broadcast(plans):
         assert "CartesianProduct" not in p, q
 
 
+def test_ngram_jaccard_never_broadcasts_corpus_sized_sides(plans):
+    """r18, found by the 50x extended leg: x1d's `sizes` frames are
+    O(corpus) (one row per doc); at 50x their ~60 MB serialized
+    estimate slid under the 64 MB broadcast threshold and the
+    driver-side build OOMed. The joins are hinted shuffle_hash — no
+    broadcast may appear anywhere in the x1d plan, at any scale."""
+    p = plans("x1d_ngram_jaccard")
+    assert "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p
+
+
 def test_cdc_apply_single_shuffle_with_group_limit(plans):
     p = plans("c4_cdc_apply_latest")
     # exactly one exchange (hash on entity_id) for the keyed dedup
