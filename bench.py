@@ -1213,14 +1213,29 @@ def main() -> None:
     steal_certified = decision["certified"]
 
     # median-of-3 with dispersion (VERDICT r10 #5 — single-sample CDC
-    # numbers moved ±19-34% on unchanged code)
-    stress = cdc_stress_repeated(spark, sf_dir)
-    # the reference's DECLARED load profile (peerdb_config.yaml:34-35:
-    # 100k records / 5k per batch) streamed through the same mirror —
-    # events at sf0.1 is exactly 100k rows
-    stress_large = cdc_stress_repeated(
-        spark, sf_dir, n_rows=100_000, batch=5_000
-    )
+    # numbers moved ±19-34% on unchanged code). r18 (VERDICT r17 #5):
+    # the CDC legs are the most steal-sensitive in the bench (r17
+    # measured 1180-1626 ops/s on one tree, tracking window steal),
+    # so they get the same certified-or-degraded treatment as the
+    # inventory — measured around BOTH legs, one bounded retry.
+    cdc_attempts: list[tuple] = []
+    cdc_steals: list[float | None] = []
+    while True:
+        cdc_ticks = _cpu_ticks()
+        s = cdc_stress_repeated(spark, sf_dir)
+        # the reference's DECLARED load profile (peerdb_config.yaml:
+        # 34-35: 100k records / 5k per batch) streamed through the
+        # same mirror — events at sf0.1 is exactly 100k rows
+        s_large = cdc_stress_repeated(
+            spark, sf_dir, n_rows=100_000, batch=5_000
+        )
+        cdc_steals.append(_steal_pct(cdc_ticks))
+        cdc_attempts.append((s, s_large))
+        cdc_decision = steal_gate(cdc_steals, max_attempts=2)
+        if not cdc_decision["retry"]:
+            break
+    stress, stress_large = cdc_attempts[cdc_decision["pick"]]
+    cdc_steal_pct = cdc_steals[cdc_decision["pick"]]
     recall = ann_recall(spark, sf_dir)
     search_q = search_quality(spark, sf_dir)
     extended = extended_ops(spark, sf_dir)
@@ -1267,6 +1282,16 @@ def main() -> None:
             "attempt_steal_pcts": steal_pcts,
             "picked_attempt": decision["pick"],
             "certified": steal_certified,
+        },
+        # r18 (VERDICT r17 #5): the CDC legs' own window quality —
+        # the official cdc_ops_per_sec record is certified or
+        # explicitly degraded, same contract as the inventory
+        "host_steal_pct_cdc": cdc_steal_pct,
+        "cdc_steal_gate": {
+            "threshold_pct": STEAL_CERT_THRESHOLD_PCT,
+            "attempt_steal_pcts": cdc_steals,
+            "picked_attempt": cdc_decision["pick"],
+            "certified": cdc_decision["certified"],
         },
         "ivf_index_build_sec": ivf_build,
         "text_index_build_sec": text_build,
@@ -1332,6 +1357,7 @@ def main() -> None:
         "ivf_index_build_sec_cold": ivf_build_cold,
         "text_index_build_sec_cold": text_build_cold,
         "cdc_ops_per_sec": stress.get("ops_per_sec"),
+        **({} if cdc_decision["certified"] else {"cdc_steal_degraded": True}),
         "cdc_ops_per_sec_declared_profile": stress_large.get("ops_per_sec"),
         "cdc_bulk_rows_per_sec": stress.get("bulk_rows_per_sec"),
         "ivf_index_recall_at_3": recall.get("ivf_index_recall_at_3"),
