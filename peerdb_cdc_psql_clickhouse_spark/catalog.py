@@ -246,6 +246,49 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
     return total
 
 
+# Exact row-count cache: (path, mtime_ns) -> num_rows from the parquet
+# footer (r18 opt). Several operators size scale knobs off the corpus
+# ROW COUNT (planes_for occupancy, ivf_auto_centroids) and used to run
+# a full count() job at plan-build time to get it. The footer already
+# carries the exact count — this is the standalone analog of reading
+# row counts from table stats in a metastore, which is exactly what
+# planes_for's contract asks callers to do at 100 TB.
+_TABLE_ROWS_CACHE: dict[tuple[str, int], int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of one testdata table from parquet footer
+    metadata (no Spark job; ~1 ms driver-side). None for URIs/missing
+    paths or unreadable footers — callers fall back to a count()."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        return None
+    hit = _TABLE_ROWS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isfile(path):
+            n = int(pq.read_metadata(path).num_rows)
+        elif os.path.isdir(path):
+            n = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += int(
+                            pq.read_metadata(os.path.join(root, f)).num_rows
+                        )
+        else:
+            return None
+    except Exception:  # noqa: BLE001 - metadata is an optimization only
+        return None
+    _TABLE_ROWS_CACHE[key] = n
+    return n
+
+
 # Inferred-schema cache: (path, file mtime) -> raw reader StructType.
 # A StructType is pure Python (no session binding), so entries are
 # valid across SparkSessions; the mtime in the key invalidates on

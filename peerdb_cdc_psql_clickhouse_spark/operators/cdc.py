@@ -200,23 +200,24 @@ def c1_snapshot_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from pyspark.sql import Observation
+
     work = tempfile.mkdtemp(prefix="snap_")
     try:
         src = events_as_changes(spark, sf_dir)
-        snapshot(src, f"{work}/target")
+        # src_cnt rides the snapshot WRITE itself via observe() (r18
+        # opt): the copy already touches every source row, so a
+        # separate count() scan of the source was a pure extra pass.
+        # Identical value — rows written == rows observed.
+        obs = Observation("c1_src_cnt")
+        snapshot(src.observe(obs, F.count(F.lit(1)).alias("n")), f"{work}/target")
+        src_cnt = int(obs.get["n"])
         tgt = spark.read.parquet(f"{work}/target")
-        row = (
-            src.agg(F.count(F.lit(1)).alias("src_cnt"))
-            .crossJoin(tgt.agg(F.count(F.lit(1)).alias("tgt_cnt")))
-            .select(
-                "src_cnt",
-                "tgt_cnt",
-                (F.col("src_cnt") - F.col("tgt_cnt")).cast("int").alias("lag"),
-            )
+        tgt_cnt = int(tgt.count())
+        return spark.createDataFrame(
+            [(src_cnt, tgt_cnt, src_cnt - tgt_cnt)],
+            "src_cnt bigint, tgt_cnt bigint, lag int",
         )
-        # materialize before the temp dir is removed
-        rows = row.collect()
-        return spark.createDataFrame(rows, row.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

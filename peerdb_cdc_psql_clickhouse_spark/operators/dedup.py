@@ -675,11 +675,15 @@ def dup_clusters(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # lazy checkpoint (r18 opt, guide §1/§5): the label frame is tiny
+    # (one row per node) — marking it for checkpoint and letting round
+    # 1's count job materialize it saves one driver-blocking job; the
+    # lineage cut is identical once materialized.
     lbl = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for i in range(max_iters):
         neigh = (
@@ -697,7 +701,10 @@ def dup_clusters(
                 (F.col("nlbl") < F.col("lbl")).alias("_chg"),
             )
         )
-        new = new.localCheckpoint()
+        # lazy: the changed-count action below materializes the
+        # checkpoint in the SAME job that computes the round (one job
+        # per round instead of eager-checkpoint + count = two)
+        new = new.localCheckpoint(eager=False)
         changed = new.filter(F.col("_chg")).count()
         lbl = new.drop("_chg")
         if changed == 0:
@@ -754,14 +761,20 @@ def _star_labels(edges: DataFrame, max_iters: int) -> DataFrame:
         )
 
     cur = edges.localCheckpoint()  # materialize edge derivation once
+    # lazy: nodes is only consumed by the final roots anti-join, and
+    # its input is the already-materialized edges checkpoint — no
+    # reason to run a dedicated job up front (r18 opt)
     nodes = (
         cur.select(F.col("src").alias("node"))
         .union(cur.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
-        nxt = small_star(large_star(cur)).localCheckpoint()
+        # lazy checkpoint: the count() below materializes it in the
+        # same job that computes the round (r18 opt, one job saved
+        # per star round)
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=False)
         # set equality of deduped edge lists: same count + empty diff
         if nxt.count() == cur.count() and nxt.exceptAll(cur).isEmpty():
             cur = nxt
@@ -1475,12 +1488,16 @@ def line_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """(line_hash, occurrences, canon_id, canon_line_no): corpus-wide
     occurrence count and canonical (lowest (id, line_no)) carrier per
     distinct line. Blank/whitespace-only lines are ignored (they are
-    separators, not content — and the all-pairs hot key at scale)."""
-    lines = _doc_lines(docs, id_col, text_col)
+    separators, not content — and the all-pairs hot key at scale).
+    `lines` (r18 opt): a caller that already derived (and persisted)
+    the _doc_lines frame passes it to share the split+hash pass."""
+    if lines is None:
+        lines = _doc_lines(docs, id_col, text_col)
     return lines.groupBy("line_hash").agg(
         F.count(F.lit(1)).alias("occurrences"),
         F.min(F.struct(F.col("_id").alias("id"), F.col("line_no"))).alias(
@@ -1533,8 +1550,15 @@ def line_dedup_apply(
     docs that lose lines are rebuilt newline-joined from non-blank
     survivors (the token-model normalization, same convention as
     substring_dedup_apply's whitespace rebuild)."""
-    lines = _doc_lines(docs, id_col, text_col)
-    stats = line_stats(docs, id_col, text_col)
+    from ..plans.layout import reuse
+
+    # one split+hash pass (r18 opt, guide §2.4): the line frame feeds
+    # BOTH the per-line join side and the corpus-wide stats agg —
+    # without the persist Catalyst derives _doc_lines twice (two full
+    # corpus scans + splits). At 100 TB the lines frame is the
+    # written-out intermediate of a preprocessing pass either way.
+    lines = reuse(_doc_lines(docs, id_col, text_col))
+    stats = line_stats(docs, id_col, text_col, lines=lines)
     keep = (
         lines.join(stats, "line_hash")
         .withColumn(

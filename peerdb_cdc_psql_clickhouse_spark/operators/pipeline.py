@@ -400,14 +400,16 @@ def shuffle_corpus(
 
     Positions come from VALUE-based hash-range buckets (fixed stride
     over hash64's [0, 2^60) output), never from physical partition
-    ids: the offsets job and the rank job must agree on which bucket
-    every row is in, and `repartitionByRange`'s sampled bounds are
-    job-dependent (its reservoir seed varies per job), which silently
-    broke the permutation above ~sample-size rows — caught by review,
-    regression-tested at 200k rows. Buckets are uniform (md5-derived
-    key), so the rank window has no skew. The offsets job re-executes
-    the upstream plan once (one count per bucket); persist heavy
-    upstreams first (plans.layout.reuse).
+    ids: the offsets subtree and the rank subtree must agree on which
+    bucket every row is in, and `repartitionByRange`'s sampled bounds
+    are job-dependent (its reservoir seed varies per job), which
+    silently broke the permutation above ~sample-size rows — caught by
+    review, regression-tested at 200k rows. Buckets are uniform
+    (md5-derived key), so the rank window has no skew. The offsets
+    subtree (per-bucket counts -> bounded cumsum window, <= partitions
+    rows, broadcast back — in-plan since r18, no build-time collect)
+    re-executes the upstream plan once; persist heavy upstreams first
+    (plans.layout.reuse).
 
     id_col must be UNIQUE: it is the hash tiebreak, so duplicate ids
     make the order (and therefore positions between the duplicates)
@@ -447,20 +449,26 @@ def shuffle_corpus(
         F.col("_sk").asc(), F.col(id_col).asc()
     )
     ranked = keyed.withColumn("_lrk", F.row_number().over(w) - 1)
-    # per-bucket counts -> cumulative offsets: #buckets rows, the one
-    # legitimate driver-side materialization in this operator
-    counts = sorted(
-        (r["_bkt"], r["n"])
-        for r in keyed.groupBy("_bkt")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+    # per-bucket counts -> cumulative offsets IN-PLAN (r18 opt): the
+    # cumsum window runs over the POST-aggregation counts frame — one
+    # row per non-empty bucket, <= n_parts rows total — the same
+    # bounded single-partition step global_rank uses. The old
+    # collect() + createDataFrame form ran a driver-blocking job at
+    # plan-BUILD time; now the offsets subtree evaluates as a
+    # broadcast input of the caller's own action. Same arithmetic,
+    # same positions.
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    offsets, acc = [], 0
-    for bkt, n in counts:
-        offsets.append((bkt, acc))
-        acc += n
-    off = docs.sparkSession.createDataFrame(
-        offsets or [(0, 0)], "_bkt int, _off long"
+    off = (
+        keyed.groupBy("_bkt")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_bkt",
+            F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+            .cast("long")
+            .alias("_off"),
+        )
     )
     out = (
         ranked.join(F.broadcast(off), "_bkt")

@@ -367,6 +367,8 @@ FROM pairs WHERE cosine_sim >= {NEARDUP_COS}
     "buckets from the same literal hyperplanes",
 )
 def x2c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
     # planes_for(corpus size), like the API default (VERDICT r3 #4: the
     # pinned N_PLANES made this the worst scaled-inventory entry —
@@ -374,7 +376,10 @@ def x2c_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-stable because planes_for(n) == N_PLANES for every driver
     # testdata size (500 / 2000 vectors; the plateau holds to n=2048),
     # while a 10x replica crosses the plateau and gets more planes.
-    return cosine_neardup_pairs(emb)
+    # r18 opt: the row count comes from the parquet footer (the
+    # table-stats path planes_for documents for 100 TB) instead of a
+    # plan-build-time count() job; identical exact count either way.
+    return cosine_neardup_pairs(emb, n_vectors=table_rows(sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -814,12 +819,25 @@ def ann_topk_ivf(
     )
     scored = cand.select(
         "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
-    ).dropDuplicates(["q_id", "vec_id"])
+    )
+    # duplicate (q, v) pairs (a vector assigned to >1 probed cell,
+    # n_assign > 1) carry IDENTICAL cosine_sim, so keeping the first
+    # of each adjacent run under a per-query sort equals
+    # dropDuplicates([q_id, vec_id]) — but as a window over the SAME
+    # partition key as the rank window below, so both run after ONE
+    # exchange on q_id instead of hash(q_id, vec_id) + hash(q_id)
+    # (r18 opt, guide §2.4).
+    wdup = Window.partitionBy("q_id").orderBy(F.asc("vec_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
+    deduped = scored.withColumn(
+        "_prev", F.lag("vec_id").over(wdup)
+    ).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("vec_id"))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "q_id", "vec_id", "cosine_sim",
@@ -895,9 +913,16 @@ def ann_topk_ivf_prerank(
     wpre = Window.partitionBy("q_id").orderBy(
         F.desc("psim"), F.asc("vec_id")
     )
+    # dup (q, v) pairs carry IDENTICAL psim — first-of-adjacent-run
+    # under a per-query sort == dropDuplicates([q_id, vec_id]), but
+    # shares the prank window's q_id exchange (r18 opt, guide §2.4)
+    wpdup = Window.partitionBy("q_id").orderBy(F.asc("vec_id"))
     shortlist = (
         cand.select("q_id", "vec_id", psim.alias("psim"))
-        .dropDuplicates(["q_id", "vec_id"])
+        .withColumn("_prev", F.lag("vec_id").over(wpdup))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("vec_id"))
+        )
         .withColumn("prank", F.row_number().over(wpre))
         .filter(F.col("prank") <= rerank)
         .select("q_id", "vec_id")
@@ -1950,12 +1975,25 @@ def search_ivf_index(
     )
     scored = cand.select(
         "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
-    ).dropDuplicates(["q_id", "vec_id"])
+    )
+    # duplicate (q, v) pairs (a vector assigned to >1 probed cell,
+    # n_assign > 1) carry IDENTICAL cosine_sim, so keeping the first
+    # of each adjacent run under a per-query sort equals
+    # dropDuplicates([q_id, vec_id]) — but as a window over the SAME
+    # partition key as the rank window below, so both run after ONE
+    # exchange on q_id instead of hash(q_id, vec_id) + hash(q_id)
+    # (r18 opt, guide §2.4).
+    wdup = Window.partitionBy("q_id").orderBy(F.asc("vec_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
+    deduped = scored.withColumn(
+        "_prev", F.lag("vec_id").over(wdup)
+    ).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("vec_id"))
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "q_id", "vec_id", "cosine_sim",
@@ -2093,9 +2131,16 @@ def search_ivf_index_prerank(
     wpre = Window.partitionBy("q_id").orderBy(
         F.desc("psim"), F.asc("vec_id")
     )
+    # dup (q, v) pairs carry IDENTICAL psim — first-of-adjacent-run
+    # under a per-query sort == dropDuplicates([q_id, vec_id]), but
+    # shares the prank window's q_id exchange (r18 opt, guide §2.4)
+    wpdup = Window.partitionBy("q_id").orderBy(F.asc("vec_id"))
     shortlist = (
         cand.select("q_id", "vec_id", psim.alias("psim"))
-        .dropDuplicates(["q_id", "vec_id"])
+        .withColumn("_prev", F.lag("vec_id").over(wpdup))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_prev") != F.col("vec_id"))
+        )
         .withColumn("prank", F.row_number().over(wpre))
         .filter(F.col("prank") <= rerank)
         .select("q_id", "vec_id")

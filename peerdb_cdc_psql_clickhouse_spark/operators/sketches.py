@@ -153,9 +153,12 @@ def heavy_hitters(
     # Candidates stay DISTRIBUTED — only the scalar bound and the
     # final k rows ever land on the driver, so the operator holds at
     # partition counts where a candidate collect() would not.
+    # lazy checkpoint (r18 opt): the bound-sum action on the next line
+    # materializes it inside its own job — one corpus pass + one job
+    # instead of an eager checkpoint job followed by the sum job
     raw = df.select(col).mapInPandas(
         local_top, "item string, ceiling long"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     missed_bound = int(
         raw.agg(F.sum("ceiling").alias("s")).first()["s"] or 0
     )
@@ -252,53 +255,94 @@ def _hash48_sql(expr: str) -> str:
     )
 
 
+def kmv_distinct_stats(
+    df: DataFrame, specs: list[tuple[str, str]], k: int = SKETCH_K
+) -> DataFrame:
+    """(stat, value) rows: KMV distinct-count estimates for several
+    key columns of the SAME table, sharing ONE corpus scan (r18 opt,
+    guide §2.3: x5 used to run an independent scan + Arrow pass per
+    key). Plan shape per key is unchanged — the bounded-state property
+    that makes KMV a sketch: the Arrow pass keeps each partition's k
+    smallest DISTINCT hashes per key (state <= ~4k values per key per
+    task), so only partitions x k x n_keys rows ever reach the final
+    distinct + top-k — the corpus-wide distinct set is never shuffled,
+    unlike the exact companion. Any correct k-min-distinct
+    implementation yields the identical set, so the declared hash is
+    implementation-independent. `specs` = [(key_col, stat_name), ...];
+    output rows come one per spec, same values as the per-key runs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.layout import reuse
+
+    n_keys = len(specs)
+
+    def kmin_multi(pdfs, k=k, n_keys=n_keys):
+        bests: list = [None] * n_keys
+        for pdf in pdfs:
+            for i in range(n_keys):
+                u = pdf[f"h{i}"].to_numpy()
+                b = bests[i]
+                b = u if b is None else np.concatenate([b, u])
+                if len(b) > 4 * k:  # compact the running state
+                    b = np.unique(b)[:k]
+                bests[i] = b
+        frames = []
+        for i, b in enumerate(bests):
+            if b is None:
+                continue
+            b = np.unique(b)[:k]
+            frames.append(
+                pd.DataFrame(
+                    {"which": np.full(len(b), i, dtype="int32"), "h": b}
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    state = df.select(
+        *[
+            _hash48(F.col(key)).alias(f"h{i}")
+            for i, (key, _) in enumerate(specs)
+        ]
+    ).mapInPandas(kmin_multi, "which int, h long")
+    if n_keys > 1:
+        # bounded frame (<= partitions x k x n_keys rows): persist so
+        # the per-key consumers below share the single corpus pass
+        state = reuse(state)
+
+    out = None
+    for i, (_key, name) in enumerate(specs):
+        hashes = (
+            state.filter(F.col("which") == i)
+            .select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+        agg = hashes.agg(
+            F.count("h").alias("n_h"), F.max("h").alias("h_k")
+        )
+        est = F.when(
+            F.col("n_h") < k, F.col("n_h").cast("double")
+        ).otherwise(
+            F.floor(
+                F.lit(_KMV_NUM) / F.col("h_k").cast("double") * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        )
+        row = agg.select(F.lit(name).alias("stat"), est.alias("value"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def kmv_distinct_stat(
     df: DataFrame, key: str, name: str, k: int = SKETCH_K
 ) -> DataFrame:
     """One (stat, value) row: the KMV distinct-count estimate for
-    df[key]. Plan shape (the bounded-state property that makes KMV a
-    sketch): one Arrow pass keeps each partition's k smallest
-    DISTINCT hashes (state <= ~4k values per task), so only
-    partitions x k rows ever reach the final distinct + top-k — the
-    corpus-wide distinct set is never shuffled, unlike the exact
-    companion. Any correct k-min-distinct implementation yields the
-    identical set, so the declared hash is implementation-
-    independent."""
-    import numpy as np
-    import pandas as pd
-
-    def kmin(pdfs, k=k):
-        best = None
-        for pdf in pdfs:
-            u = pdf["h"].to_numpy()
-            best = u if best is None else np.concatenate([best, u])
-            if len(best) > 4 * k:  # compact the running state
-                best = np.unique(best)[:k]
-        if best is None:
-            return
-        best = np.unique(best)[:k]
-        yield pd.DataFrame({"h": best})
-
-    hashes = (
-        df.select(_hash48(F.col(key)).alias("h"))
-        .mapInPandas(kmin, "h long")
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-    )
-    agg = hashes.agg(F.count("h").alias("n_h"), F.max("h").alias("h_k"))
-    est = F.when(
-        F.col("n_h") < k, F.col("n_h").cast("double")
-    ).otherwise(
-        F.floor(
-            F.lit(_KMV_NUM) / F.col("h_k").cast("double") * 10000.0
-            + 0.5
-        )
-        / 10000.0
-    )
-    return agg.select(
-        F.lit(name).alias("stat"), est.alias("value")
-    )
+    df[key] — the single-key form of kmv_distinct_stats."""
+    return kmv_distinct_stats(df, [(key, name)], k)
 
 
 def _kmv_sql(table: str, key: str, name: str, k: int = SKETCH_K) -> str:
@@ -347,13 +391,17 @@ def minhash_sample_quantiles(
         F.row_number().over(one.orderBy("v", "h")).alias("r"),
         F.count(F.lit(1)).over(one).alias("n"),
     )
-    out = None
-    for name, q in qs.items():
-        pick = ranked.filter(
-            F.col("r") == F.ceil(F.lit(q) * F.col("n"))
-        ).select(F.lit(name).alias("stat"), F.col("v").alias("value"))
-        out = pick if out is None else out.unionByName(pick)
-    return out
+    # one pass over the ranked sample (r18 opt, guide §2.4): the old
+    # per-quantile union re-planned the WHOLE sample subtree (scan +
+    # top-n + two windows) once per quantile; joining the tiny literal
+    # (stat, q) frame picks every quantile's rank row in a single
+    # subtree. Same rank arithmetic (r == ceil(q * n)), same rows.
+    qdf = df.sparkSession.createDataFrame(
+        [(name, float(q)) for name, q in qs.items()], "stat string, q double"
+    )
+    return ranked.join(
+        F.broadcast(qdf), F.col("r") == F.ceil(F.col("q") * F.col("n"))
+    ).select("stat", F.col("v").alias("value"))
 
 
 def _sample_quantiles_sql(
@@ -420,9 +468,13 @@ def x5_sketch_stats(spark, sf_dir: str):
         "stack(2, 'value_min', mn, 'value_max', mx) AS (stat, value)"
     )
     return (
-        kmv_distinct_stat(li, "l_orderkey", "kmv_distinct_orders")
-        .unionByName(
-            kmv_distinct_stat(li, "l_partkey", "kmv_distinct_parts")
+        # fused: both KMV estimates off ONE lineitem scan (r18 opt)
+        kmv_distinct_stats(
+            li,
+            [
+                ("l_orderkey", "kmv_distinct_orders"),
+                ("l_partkey", "kmv_distinct_parts"),
+            ],
         )
         .unionByName(exact)
         .unionByName(

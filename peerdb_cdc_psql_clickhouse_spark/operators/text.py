@@ -75,6 +75,10 @@ GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
     "map-side partial aggregation keeps the shuffle tiny",
 )
 def x3_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO fan_out here (r18 opt, measured): plain tokenize+count is too
+    # cheap per row for a round-robin shuffle of the raw text to pay
+    # (A/B: fan_out cost +0.28 s at sf0.1, jobs 2->3); the heavy
+    # signal battery (doc_signals) is where fan_out wins.
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
@@ -178,7 +182,13 @@ def doc_signals(docs: DataFrame, passthrough: tuple[str, ...] = ()) -> DataFrame
     (corpus_report) must never join the battery back to its own input
     (a corpus-to-corpus shuffle at scale)."""
     from ..functions.numeric import fround
+    from ..plans.layout import fan_out
 
+    # the signal battery is the per-row hot loop (4-language marker
+    # scoring, 3-gram array, regex token count, md5): rebalance
+    # single-split inputs across cores first (r18 opt; no-op on real
+    # multi-split inputs — the winnow_fp discipline)
+    docs = fan_out(docs)
     staged = detect_language(docs, "text").select(
         "doc_id",
         "lang",
@@ -351,12 +361,16 @@ def x3g_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
     )
+    # r18 opt (guide §2.3): (doc_id, term) is already distinct in tf,
+    # so COUNT per term over tf == COUNT(DISTINCT doc_id) per term
+    # over the raw token stream — deriving dfreq from tf drops the
+    # count_distinct's two-phase expand over the full token stream.
+    # No persist and no fan_out (A/B-measured: both cost more than
+    # the recompute at this per-row weight).
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
@@ -762,52 +776,66 @@ def ngram_lm_scores(
         raise ValueError("add_k must be > 0 (smoothing floor)")
     train = train_docs if train_docs is not None else docs
 
-    def bigrams(frame: DataFrame, keep_id: bool) -> DataFrame:
+    def token_pairs(frame: DataFrame, keep_id: bool) -> DataFrame:
+        """(id?, w1, w2) — one row per TOKEN, w2 = following token or
+        NULL for each document's last token. One tokenization serves
+        both count tables (r18 opt: the bigram-string form needed a
+        SECOND tokenize pass for unigram counts — the before-plan
+        showed three full corpus tokenizations for x3h; this shape
+        needs exactly one). F.get is 0-based and NULL out-of-bounds
+        (ANSI-safe), so the last token pairs with NULL."""
         staged = fan_out(frame).select(
             *([F.col(id_col)] if keep_id else []),
             tokens_col(F.col(text_col)).alias("_toks"),
         )
         toks = F.col("_toks")
-        # explicit n>=2 guard: sequence(1, n-1) DESCENDS for n<2
-        # ([1, 0] — then slice(toks, 0, 2) throws); an empty array
-        # explodes to zero rows, which is exactly the "no bigrams"
-        # contract for short docs
-        pairs = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        pairs = F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("w1"), F.get(toks, i + 1).alias("w2")
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        )
         return staged.select(
             *([F.col(id_col)] if keep_id else []),
-            F.explode(pairs).alias("bigram"),
+            F.explode(pairs).alias("_p"),
+        ).select(
+            *([F.col(id_col)] if keep_id else []),
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
         )
 
-    doc_bi = bigrams(docs, keep_id=True).withColumn(
-        "w1", F.split(F.col("bigram"), " ", 2).getItem(0)
-    )
+    doc_stream = token_pairs(docs, keep_id=True)
     if train_docs is None:
-        # self-train: the scored corpus's bigram stream IS the
+        # self-train: the scored corpus's token stream IS the
         # training stream — share one tokenization pass instead of
         # re-deriving it (the corpus_report reuse discipline)
-        doc_bi = reuse(doc_bi)
-        train_bi = doc_bi.select("bigram")
+        doc_stream = reuse(doc_stream)
+        train_stream = doc_stream
     else:
-        train_bi = bigrams(train, keep_id=False)
-    bi_counts = train_bi.groupBy("bigram").agg(
+        # train referenced by both count tables below — persist it
+        train_stream = reuse(token_pairs(train, keep_id=False))
+    doc_bi = doc_stream.filter(F.col("w2").isNotNull())
+    # bigram counts keyed by the (w1, w2) PAIR: tokens contain no
+    # whitespace (split on \s+), so pair equality == equality of the
+    # old "w1 w2" concatenated key — identical counts, minus the
+    # concat and the re-split
+    bi_counts = doc_bi.select("w1", "w2") if train_docs is None else (
+        train_stream.filter(F.col("w2").isNotNull())
+    )
+    bi_counts = bi_counts.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
     )
     # denominator is the RAW unigram count, which includes each
     # document's final token even though that token never opens a
     # bigram — so sum_w2 P(w2|w1) < 1 by a hair. Deliberate CCNet-
     # style approximation (ADVICE r3): one token stream serves both
-    # counts, and the test oracles model the same choice.
-    uni_counts = (
-        fan_out(train)
-        .select(F.explode(tokens_col(F.col(text_col))).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+    # counts, and the test oracles model the same choice. The (w1,
+    # NULL) last-token rows are exactly the tokens the bigram stream
+    # loses, so grouping the FULL stream by w1 reproduces the raw
+    # count. reuse(): uni_counts feeds both the w1 join and the
+    # vocab-size aggregate; the persisted frame is vocab-sized.
+    uni_counts = reuse(
+        train_stream.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     )
     vocab = uni_counts.agg(
         F.count(F.lit(1)).cast("double").alias("_v")
@@ -821,7 +849,7 @@ def ngram_lm_scores(
 
         lp = fround(lp, quantize)
     scored = (
-        doc_bi.join(bi_counts, "bigram", "left")
+        doc_bi.join(bi_counts, ["w1", "w2"], "left")
         .join(uni_counts, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(id_col, lp.alias("_lp"))
