@@ -289,6 +289,57 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     return n
 
 
+_COLUMN_MINMAX_CACHE: dict[tuple[str, int, str], tuple | None] = {}
+
+
+def table_column_minmax(
+    sf_dir: str, name: str, column: str
+) -> tuple | None:
+    """Exact (min, max) of one column from parquet footer row-group
+    statistics (no Spark job). None when the file is missing, any row
+    group lacks exact stats for the column, or every value is NULL —
+    callers fall back to an aggregate. Matches F.min/F.max semantics:
+    parquet stats cover non-null values only."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (path, os.stat(path).st_mtime_ns, column)
+    except OSError:
+        return None
+    if key in _COLUMN_MINMAX_CACHE:
+        return _COLUMN_MINMAX_CACHE[key]
+    out = None
+    try:
+        import pyarrow.parquet as pq
+
+        files = []
+        if os.path.isfile(path):
+            files = [path]
+        elif os.path.isdir(path):
+            for root, _, fs in os.walk(path):
+                files += [
+                    os.path.join(root, f)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+        lo = hi = None
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(column)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                if st.num_values == 0:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out = (lo, hi) if lo is not None else None
+    except Exception:  # noqa: BLE001 - stats are an optimization only
+        out = None
+    _COLUMN_MINMAX_CACHE[key] = out
+    return out
+
+
 # Inferred-schema cache: (path, file mtime) -> raw reader StructType.
 # A StructType is pure Python (no session binding), so entries are
 # valid across SparkSessions; the mtime in the key invalidates on

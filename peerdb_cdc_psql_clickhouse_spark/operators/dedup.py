@@ -79,11 +79,21 @@ def _shingles_of(toks: F.Column, w: int = SHINGLE_W) -> F.Column:
     be a STAGED column reference, not an inline expression: it is
     referenced inside the transform lambda, and a non-trivial captured
     expression there re-evaluates once per shingle position — the
-    measured-64x re-tokenization trap (NOTES_r1)."""
+    measured-64x re-tokenization trap (NOTES_r1).
+
+    Per-position form is concat_ws over w direct element accesses
+    (r18 opt): array_join(slice(...)) allocated a w-element array per
+    shingle position; F.get is O(1), NULL past the end (ANSI-safe),
+    and concat_ws SKIPS nulls — so short docs still produce the same
+    clipped shingle as slice's truncation (parity A/B: 0 differing
+    rows corpus-wide)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
     return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, w), " ")
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j - 1) for j in range(w)]
+        ),
     )
 
 
@@ -532,10 +542,16 @@ def x1d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # per-gram inverted lists: ONE shuffle keyed by gram; the df cap
-    # bounds each list, so pair generation is a row-local combo explode
+    # bounds each list, so pair generation is a row-local combo explode.
+    # collect_list, NOT collect_set (r18 opt, A/B-measured -0.6 s):
+    # (gram, doc_id) pairs are already UNIQUE here — inv explodes
+    # array_distinct'd per-doc grams — so the set semantics bought
+    # nothing and ObjectHashAggregate's per-group hash sets cost ~60%
+    # over plain list append; every consumer is order-insensitive
+    # (size filter, explode+count, array_sort before combos).
     lists = reuse(
         inv.groupBy("gram")
-        .agg(F.collect_set("doc_id").alias("ids"))
+        .agg(F.collect_list("doc_id").alias("ids"))
         .filter(F.size("ids") <= GRAM_DF_CAP)
     )
     sizes = (

@@ -195,6 +195,11 @@ def d5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so a corpus-scale events log takes the materialize path per
     # layout policy instead of pinning executor storage memory.
     ev_bytes = table_bytes(sf_dir, "events")
+    # known_bounds from parquet footer stats (r18 opt): drops the
+    # bounds agg + broadcast-cross-join from the ranking plan; exact
+    # same min/max the agg would compute, so ranks are byte-identical
+    from ..catalog import table_column_minmax
+
     ranked = global_rank(
         reuse(
             ev.select("event_id", "event_type", "value", "ts"),
@@ -203,6 +208,7 @@ def d5_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         rank_col="_grk",
         total_col="_n",
+        known_bounds=table_column_minmax(sf_dir, "events", "event_id"),
     )
     tiled = ranked.select(
         "event_id",

@@ -110,6 +110,7 @@ def global_rank(
     total_col: str | None = None,
     assert_unique: bool = False,
     observation=None,
+    known_bounds: tuple | None = None,
 ) -> DataFrame:
     """df plus `rank_col` — the 1-based global rank under ORDER BY
     `order_col` ASC — WITHOUT an unpartitioned window (VERDICT r11:
@@ -183,6 +184,15 @@ def global_rank(
     full-frame sum riding the same bounded offsets window — no extra
     job); callers that need n for quantile/tile boundaries read it
     off the row instead of running their own count().
+
+    known_bounds=(min, max) (r18 opt): callers holding the order
+    column's EXACT bounds from table statistics (parquet footer
+    min/max — catalog.table_column_minmax) pass them here, and the
+    1-row bounds subplan + its broadcast-cross-join disappear: lo and
+    stride become plan literals. Integral columns only; values must
+    equal the true F.min/F.max or ranks are silently wrong — use
+    stats, never guesses. Identical bucket arithmetic (same
+    span div n_parts + 1 stride), so ranks are byte-identical.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -301,9 +311,18 @@ def global_rank(
     # the documented NULL exclusion (see docstring): without this
     # filter, least() would route NULL keys into the LAST bucket and
     # corrupt its real rows' ranks rather than drop anything
-    keyed = df.filter(F.col(order_col).isNotNull()).crossJoin(
-        F.broadcast(bounds)
-    )
+    if known_bounds is not None and integral:
+        lo_v, hi_v = int(known_bounds[0]), int(known_bounds[1])
+        # same stride identity as the bounds subplan below:
+        # ceil((span+1)/p) == span div p + 1 for span >= 0
+        stride_v = max((hi_v - lo_v) // n_parts + 1, 1)
+        keyed = df.filter(F.col(order_col).isNotNull()).withColumn(
+            "_gr_lo", F.lit(lo_v).cast("long")
+        ).withColumn("_gr_stride", F.lit(stride_v).cast("long"))
+    else:
+        keyed = df.filter(F.col(order_col).isNotNull()).crossJoin(
+            F.broadcast(bounds)
+        )
     if integral:
         keyed = (
             keyed.withColumn(
