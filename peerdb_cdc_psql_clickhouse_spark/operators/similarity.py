@@ -2145,11 +2145,18 @@ def search_ivf_index_prerank(
         .filter(F.col("prank") <= rerank)
         .select("q_id", "vec_id")
     )
-    full = pruned.select("vec_id", "embedding").dropDuplicates(["vec_id"])
+    # NO dropDuplicates on the full-dim side (r18 opt): a vector
+    # assigned to >1 probed cell joins the shortlist 2x with the SAME
+    # embedding bytes, so the duplicate (q, v) scored rows are
+    # identical and the lag() run-dedup below — riding the rank
+    # window's own q_id exchange — removes them for free, where the
+    # old dropDuplicates([vec_id]) paid a dedicated exchange.
+    full = pruned.select("vec_id", "embedding")
     qfull = probes.select("q_id", "q_vec").dropDuplicates(["q_id"])
     sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
         _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
     )
+    wfdup = Window.partitionBy("q_id").orderBy(F.asc("vec_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
@@ -2157,6 +2164,10 @@ def search_ivf_index_prerank(
         shortlist.join(full, "vec_id")
         .join(F.broadcast(qfull), "q_id")
         .select("q_id", "vec_id", fround(sim, 6).alias("cosine_sim"))
+        .withColumn("_fprev", F.lag("vec_id").over(wfdup))
+        .filter(
+            F.col("_fprev").isNull() | (F.col("_fprev") != F.col("vec_id"))
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
