@@ -282,15 +282,22 @@ def global_rank(
         # monotonicity of double rounding — an accident, not a
         # contract). ceil((span+1)/p) == span div p + 1 for span >= 0
         # — the identity avoids the +p term that overflows under ANSI
-        # when the span is already near 2^63. Remaining limit: a key
-        # RANGE wider than 2^63-1 (full-range longs) overflows the
-        # span subtraction itself.
+        # when the span is already near 2^63. The div result is
+        # clamped to Long.Max-1 before the +1: with n_parts == 1 and a
+        # span of 2^63-1 the +1 itself overflows under ANSI (VERDICT
+        # r18), and ANY positive stride yields correct ranks — the
+        # bucket id is min(delta div stride, n_parts-1), monotone in
+        # the key for every stride, so clamping only unbalances
+        # buckets, never reorders them. Remaining limit: a key RANGE
+        # wider than 2^63-1 (full-range longs) overflows the span
+        # subtraction itself.
         bounds = raw.select(
             F.col("_gr_min").cast("long").alias("_gr_lo"),
             F.greatest(
                 F.expr(
-                    "(cast(_gr_max as bigint) - cast(_gr_min as bigint))"
-                    f" div {n_parts}L + 1L"
+                    "least((cast(_gr_max as bigint) -"
+                    " cast(_gr_min as bigint))"
+                    f" div {n_parts}L, 9223372036854775806L) + 1L"
                 ),
                 F.lit(1).cast("long"),
             ).alias("_gr_stride"),
@@ -314,8 +321,12 @@ def global_rank(
     if known_bounds is not None and integral:
         lo_v, hi_v = int(known_bounds[0]), int(known_bounds[1])
         # same stride identity as the bounds subplan below:
-        # ceil((span+1)/p) == span div p + 1 for span >= 0
-        stride_v = max((hi_v - lo_v) // n_parts + 1, 1)
+        # ceil((span+1)/p) == span div p + 1 for span >= 0 — with the
+        # same Long.Max-1 clamp before the +1 (Python ints don't
+        # overflow, but an unclamped 2^63 would overflow the
+        # F.lit(...).cast("long") literal downstream; any positive
+        # stride ranks correctly, see the bounds comment)
+        stride_v = max(min((hi_v - lo_v) // n_parts, (1 << 63) - 2) + 1, 1)
         keyed = df.filter(F.col(order_col).isNotNull()).withColumn(
             "_gr_lo", F.lit(lo_v).cast("long")
         ).withColumn("_gr_stride", F.lit(stride_v).cast("long"))
