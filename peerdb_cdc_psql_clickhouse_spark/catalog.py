@@ -246,6 +246,37 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
     return total
 
 
+def _parquet_part_files(path: str) -> list[str]:
+    """Data part files under a directory dataset, mirroring Spark's
+    pathFilter (ADVICE r18): files/dirs starting with '_' or '.' are
+    metadata (e.g. a stale _temporary from an interrupted write) that
+    load_table's reader ignores, so footer-derived stats must skip
+    them too or the counts disagree with what Spark actually reads."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out += [
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    return out
+
+
+def _dataset_stat_key(path: str) -> tuple[str, int]:
+    """Cache key for footer-derived stats. For directory datasets the
+    top dir's mtime does not change on an in-place part-file rewrite
+    (ADVICE r18), so the key takes the max part-file mtime_ns too.
+    Raises OSError for missing paths (callers return None)."""
+    st = os.stat(path)
+    mt = st.st_mtime_ns
+    if os.path.isdir(path):
+        for p in _parquet_part_files(path):
+            with contextlib.suppress(OSError):
+                mt = max(mt, os.stat(p).st_mtime_ns)
+    return (path, mt)
+
+
 # Exact row-count cache: (path, mtime_ns) -> num_rows from the parquet
 # footer (r18 opt). Several operators size scale knobs off the corpus
 # ROW COUNT (planes_for occupancy, ivf_auto_centroids) and used to run
@@ -262,7 +293,7 @@ def table_rows(sf_dir: str, name: str) -> int | None:
     paths or unreadable footers — callers fall back to a count()."""
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        key = _dataset_stat_key(path)
     except OSError:
         return None
     hit = _TABLE_ROWS_CACHE.get(key)
@@ -275,12 +306,8 @@ def table_rows(sf_dir: str, name: str) -> int | None:
             n = int(pq.read_metadata(path).num_rows)
         elif os.path.isdir(path):
             n = 0
-            for root, _, files in os.walk(path):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        n += int(
-                            pq.read_metadata(os.path.join(root, f)).num_rows
-                        )
+            for f in _parquet_part_files(path):
+                n += int(pq.read_metadata(f).num_rows)
         else:
             return None
     except Exception:  # noqa: BLE001 - metadata is an optimization only
@@ -302,7 +329,7 @@ def table_column_minmax(
     parquet stats cover non-null values only."""
     path = f"{sf_dir}/{name}.parquet"
     try:
-        key = (path, os.stat(path).st_mtime_ns, column)
+        key = _dataset_stat_key(path) + (column,)
     except OSError:
         return None
     if key in _COLUMN_MINMAX_CACHE:
@@ -315,18 +342,26 @@ def table_column_minmax(
         if os.path.isfile(path):
             files = [path]
         elif os.path.isdir(path):
-            for root, _, fs in os.walk(path):
-                files += [
-                    os.path.join(root, f)
-                    for f in fs
-                    if f.endswith(".parquet")
-                ]
+            files = _parquet_part_files(path)
         lo = hi = None
         for f in files:
             md = pq.read_metadata(f)
             idx = md.schema.names.index(column)
             for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
+                col_md = md.row_group(rg).column(idx)
+                # ADVICE r18: parquet writers may TRUNCATE binary/
+                # string statistics (max becomes an upper bound, not a
+                # real value), so the exact-min/max contract only
+                # holds for integral/boolean physical types — refuse
+                # anything else so a future caller on a string column
+                # cannot get truncated bounds.
+                if col_md.physical_type not in (
+                    "INT32",
+                    "INT64",
+                    "BOOLEAN",
+                ):
+                    raise ValueError("non-integral physical type")
+                st = col_md.statistics
                 if st is None or not st.has_min_max:
                     raise ValueError("no stats")
                 if st.num_values == 0:

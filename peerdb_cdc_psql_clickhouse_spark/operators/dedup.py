@@ -629,32 +629,44 @@ def winnow_edges(
     min_shared: int = WINNOW_MIN_SHARED,
 ) -> DataFrame:
     """(src, dst) doc pairs sharing >= min_shared winnowing
-    fingerprints, src < dst. The self-join is keyed on the fingerprint
-    with hot (high-df) fingerprints dropped first, so candidate pairs
-    are bounded by max_df^2 per fingerprint — same df-cap discipline
-    as the n-gram Jaccard join."""
-    from ..plans.layout import reuse
-
-    # fp feeds the df-cap agg AND both sides of the self-join: persist
-    # once instead of recomputing the winnowing three times (the
-    # 100 TB analog is writing the fingerprint table out and joining
-    # against it)
-    fp = reuse(fp)
-    ok = (
+    fingerprints, src < dst. Per-fingerprint inverted lists (the x1d
+    pattern, r19 opt, guide §2.3/§2.4): ONE shuffle keyed by the
+    fingerprint builds the df-capped lists, pair generation is a
+    row-local combo explode — where the old shape paid a df-cap agg,
+    a filtering join AND a fingerprint-keyed self-join (plus a
+    persist of fp to feed all three). Exact-equivalence precondition:
+    (fingerprint, doc_id) rows are UNIQUE — winnow_fp explodes
+    array_distinct'd per-doc minima (pinned by
+    test_winnow_fp_doc_pairs_unique) — so list length == df and the
+    sorted i<j combos are exactly the self-join's src < dst rows,
+    each once per shared fingerprint; the per-pair count is
+    identical. collect_list, not collect_set, for the same uniqueness
+    reason as x1d (r18 A/B: set semantics cost ~60% for nothing)."""
+    lists = (
         fp.groupBy("fingerprint")
-        .count()
-        .filter(F.col("count") <= max_df)
-        .select("fingerprint")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") <= max_df)
     )
-    fpf = fp.join(ok, "fingerprint")
-    a = fpf.select("fingerprint", F.col("doc_id").alias("src"))
-    b = fpf.select("fingerprint", F.col("doc_id").alias("dst"))
+    # STAGE the sorted list as a real column before the combo lambdas
+    # (the measured 64x x3f lesson: inlining array_sort(ids) inside
+    # transform() re-sorts the list once per element)
+    sids = F.col("_sids")
+    combos = F.flatten(
+        F.transform(
+            sids,
+            lambda x, i: F.transform(
+                F.slice(sids, i + 2, F.size(sids)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .count()
-        .filter(F.col("count") >= min_shared)
+        lists.filter(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("_sids"))
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared)
         .select("src", "dst")
     )
 
@@ -1556,6 +1568,7 @@ def line_dedup_apply(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 2,
+    size_hint_bytes: int | None = None,
 ) -> DataFrame:
     """Remove every line occurring >= min_count times corpus-wide from
     all docs except its canonical carrier (lowest (id, line_no)), and
@@ -1572,8 +1585,15 @@ def line_dedup_apply(
     # BOTH the per-line join side and the corpus-wide stats agg —
     # without the persist Catalyst derives _doc_lines twice (two full
     # corpus scans + splits). At 100 TB the lines frame is the
-    # written-out intermediate of a preprocessing pass either way.
-    lines = reuse(_doc_lines(docs, id_col, text_col))
+    # written-out intermediate of a preprocessing pass either way —
+    # size_hint_bytes (ADVICE r18: callers pass the corpus size scaled
+    # for the line explosion) lets reuse() take that materialize path
+    # past MATERIALIZE_THRESHOLD_BYTES instead of memory-persisting a
+    # corpus-scale exploded frame.
+    lines = reuse(
+        _doc_lines(docs, id_col, text_col),
+        size_hint_bytes=size_hint_bytes,
+    )
     stats = line_stats(docs, id_col, text_col, lines=lines)
     keep = (
         lines.join(stats, "line_hash")
@@ -1788,4 +1808,13 @@ def stream_line_dedup_candidates(
     "landed (tests/test_line_dedup.py).",
 )
 def x1h_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return line_dedup_apply(load_table(spark, sf_dir, "documents"))
+    from ..catalog import table_bytes
+
+    # lines frame ~= the corpus re-laid one row per line plus an 8-byte
+    # hash and position per row; x2 on the compressed on-disk figure
+    # covers the envelope overhead (same convention as d5's x3 hint)
+    src_bytes = table_bytes(sf_dir, "documents")
+    return line_dedup_apply(
+        load_table(spark, sf_dir, "documents"),
+        size_hint_bytes=src_bytes * 2 if src_bytes else None,
+    )

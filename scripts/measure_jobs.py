@@ -44,7 +44,11 @@ def main() -> None:
 
     sc = spark.sparkContext
     times: dict[str, list[float]] = {}
-    jobs: dict[str, int] = {}
+    # per-iteration counts (ADVICE r18): plan-build caches warm vs
+    # cold can make the first iteration launch MORE jobs than later
+    # ones; keeping only the last run's count skewed the structural
+    # A/B metric this script exists for. Report the full list plus max.
+    jobs: dict[str, list[int]] = {}
     for it in range(args.iters):
         for name in sorted(queries):
             group = f"mj_{name}_{it}"
@@ -54,10 +58,13 @@ def main() -> None:
             dt = time.perf_counter() - t0
             sc.setJobGroup(None, None)
             times.setdefault(name, []).append(dt)
-            jobs[name] = len(sc.statusTracker().getJobIdsForGroup(group))
+            jobs.setdefault(name, []).append(
+                len(sc.statusTracker().getJobIdsForGroup(group))
+            )
             spark.catalog.clearCache()
     out = {
-        "jobs": jobs,
+        "jobs": {q: max(js) for q, js in jobs.items()},
+        "jobs_per_iter": jobs,
         "time_median": {q: round(statistics.median(ts), 3) for q, ts in times.items()},
         "time_min": {q: round(min(ts), 3) for q, ts in times.items()},
     }
