@@ -41,6 +41,51 @@ def _norm(a: F.Column) -> F.Column:
     )
 
 
+def _no_backtick(*names: str) -> None:
+    for n in names:
+        if "`" in n:
+            raise ValueError(
+                f"column name {n!r} contains a backtick — it is "
+                "embedded in a SQL identifier and cannot be quoted "
+                "safely"
+            )
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """SQL text of _dot over two named columns."""
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> "
+        "cast(x as double) * cast(y as double)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _norm_expr(a: str) -> str:
+    """SQL text of _norm over a named column."""
+    return (
+        f"sqrt(aggregate(`{a}`, 0.0D, (acc, x) -> "
+        "acc + cast(x as double) * cast(x as double)))"
+    )
+
+
+def _cosine(a: str, b: str, guarded: bool = True) -> F.Column:
+    """Cosine similarity of two named float-array columns as ONE
+    parsed SQL expression — the exact _dot/_norm arithmetic (same
+    sequential fold, same double casts; equality pinned by
+    test_cosine_sql_matches_column_form), but a single py4j call
+    where the Column-API form issued four higher-order-function
+    invocations at ~40 ms of JVM analysis each (r19 build-time
+    profile: the x2b legs spent ~0.9 s per build in those calls).
+    guarded=False omits the nullif zero-norm guard for callers whose
+    inputs are provably non-degenerate (they divided unguarded
+    before, too)."""
+    _no_backtick(a, b)
+    denom = f"{_norm_expr(a)} * {_norm_expr(b)}"
+    if guarded:
+        denom = f"nullif({denom}, 0.0D)"
+    return F.expr(f"{_dot_expr(a, b)} / ({denom})")
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -58,9 +103,7 @@ def cosine_topk(
     joined = corpus.crossJoin(F.broadcast(queries)).filter(
         F.col(q_id) != F.col(c_id)
     )
-    sim = _dot(F.col(q_vec), F.col(c_vec)) / (
-        F.nullif(_norm(F.col(q_vec)) * _norm(F.col(c_vec)), F.lit(0.0))
-    )
+    sim = _cosine(q_vec, c_vec)
     scored = joined.select(
         F.col(q_id),
         F.col(c_id),
@@ -228,9 +271,7 @@ def ann_topk_lsh(
     cand = bucketed.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
-        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
-    )
+    sim = _cosine("q_vec", "embedding")
     scored = cand.select(
         "q_id",
         "vec_id",
@@ -310,9 +351,7 @@ def cosine_neardup_pairs(
         F.col("embedding").alias("vec_b"),
         "bucket",
     )
-    sim = _dot(F.col("vec_a"), F.col("vec_b")) / F.nullif(
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b")), F.lit(0.0)
-    )
+    sim = _cosine("vec_a", "vec_b")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -814,9 +853,7 @@ def ann_topk_ivf(
     cand = lists.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
-        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
-    )
+    sim = _cosine("q_vec", "embedding")
     scored = cand.select(
         "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
     )
@@ -907,9 +944,7 @@ def ann_topk_ivf_prerank(
         F.broadcast(probes.select("q_id", "q_proj", "centroid_id")),
         "centroid_id",
     ).filter(F.col("vec_id") != F.col("q_id"))
-    psim = _dot(F.col("q_proj"), F.col("proj")) / F.nullif(
-        _norm(F.col("q_proj")) * _norm(F.col("proj")), F.lit(0.0)
-    )
+    psim = _cosine("q_proj", "proj")
     wpre = Window.partitionBy("q_id").orderBy(
         F.desc("psim"), F.asc("vec_id")
     )
@@ -928,9 +963,7 @@ def ann_topk_ivf_prerank(
         .select("q_id", "vec_id")
     )
     qfull = probes.select("q_id", "q_vec").dropDuplicates(["q_id"])
-    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
-        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
-    )
+    sim = _cosine("q_vec", "embedding")
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
@@ -950,7 +983,7 @@ def ann_topk_ivf_prerank(
 
 
 def x2d_ann_ivf(
-    spark: SparkSession, sf_dir: str, probes_cells=None
+    spark: SparkSession, sf_dir: str, probes_cells=None, scored=None
 ) -> DataFrame:
     """IVF ANN against the PERSISTED index (VERDICT r4 #1):
     build_ivf_index runs once per corpus (k-means centroids +
@@ -965,12 +998,15 @@ def x2d_ann_ivf(
         "vec_id", "embedding"
     )
     return search_ivf_index(
-        ivf_index_for(spark, sf_dir), queries, probes_cells=probes_cells
+        ivf_index_for(spark, sf_dir),
+        queries,
+        probes_cells=probes_cells,
+        scored=scored,
     )
 
 
 def x2b_ann_prerank(
-    spark: SparkSession, sf_dir: str, probes_cells=None
+    spark: SparkSession, sf_dir: str, probes_cells=None, scored=None
 ) -> DataFrame:
     """JL-preranked ANN against the same persisted IVF index
     (VERDICT r4 #2). Candidates in the probed (partition-pruned)
@@ -989,6 +1025,7 @@ def x2b_ann_prerank(
         queries,
         proj_dim=_IVF_PROJ_DIM,
         probes_cells=probes_cells,
+        scored=scored,
     )
 
 
@@ -1123,11 +1160,26 @@ def x2b_ann_searches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localized frame instead of re-running the assignment job.
     index = ivf_index_for(spark, sf_dir)
     shared = declared_query_probes(spark, sf_dir, index)
-    a = x2b_ann_prerank(spark, sf_dir, probes_cells=shared).select(
+    # ONE full-dim scored set for both operating points (r19, VERDICT
+    # r18 #5): the ivf leg ranks it directly; the prerank leg's rerank
+    # side reads its shortlist pairs' cosines from it instead of
+    # re-joining embeddings. Persisted HERE, in the union builder only
+    # — each leg's standalone plan is untouched (scored=None default).
+    # The frame is the decision proxy of guide §8 — (q_id, vec_id,
+    # cosine_sim) rows, never embedding payloads — so the persist is
+    # metadata-sized at any corpus scale.
+    from ..plans.layout import reuse
+
+    scored_all = reuse(_ivf_scored(index, shared[0], shared[1]))
+    a = x2b_ann_prerank(
+        spark, sf_dir, probes_cells=shared, scored=scored_all
+    ).select(
         F.lit("prerank").alias("op"), "q_id", "vec_id",
         "cosine_sim", "rank",
     )
-    b = x2d_ann_ivf(spark, sf_dir, probes_cells=shared).select(
+    b = x2d_ann_ivf(
+        spark, sf_dir, probes_cells=shared, scored=scored_all
+    ).select(
         F.lit("ivf").alias("op"), "q_id", "vec_id",
         "cosine_sim", "rank",
     )
@@ -1499,9 +1551,7 @@ def semantic_neardup_pairs(
             )
         )
         cand = allp.unionByName(star)
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb"))
-    )
+    cos = _cosine("_va", "_vb", guarded=False)
     return (
         # multi-assignment can surface one pair through several shared
         # cells — thin to distinct ids BEFORE the dot products
@@ -1564,9 +1614,7 @@ def semantic_neardup_against(
         F.col(id_col).alias("old_id"),
         F.col(vec_col).alias("_vh"),
     )
-    cos = _dot(F.col("_vn"), F.col("_vh")) / (
-        _norm(F.col("_vn")) * _norm(F.col("_vh"))
-    )
+    cos = _cosine("_vn", "_vh", guarded=False)
     return (
         new_assign.join(hist, "centroid_id")
         .filter(F.col("new_id") != F.col("old_id"))
@@ -1630,9 +1678,7 @@ def stream_semantic_neardup_candidates(
         F.col(id_col).alias("old_id"),
         F.col(vec_col).alias("_vh"),
     )
-    cos = _dot(F.col("_vn"), F.col("_vh")) / (
-        _norm(F.col("_vn")) * _norm(F.col("_vh"))
-    )
+    cos = _cosine("_vn", "_vh", guarded=False)
     return (
         assigned.join(hist, "centroid_id")
         .filter(F.col("new_id") != F.col("old_id"))
@@ -1860,6 +1906,19 @@ def load_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
     )
 
 
+def _in_cells(cells) -> F.Column:
+    """`centroid_id IN (<ids>)` as ONE parsed expression. r19 build
+    profile: Column.isin converts the probed-cell list element by
+    element through py4j (~0.14 s per call at |queries| x nprobe
+    scale, three calls per x2b build); the parsed literal In list is
+    the same predicate, so partition pruning is unchanged. Cell ids
+    are ints by construction (int() below enforces it)."""
+    ids = ",".join(str(int(c)) for c in cells)
+    if not ids:
+        return F.lit(False)
+    return F.expr(f"centroid_id IN ({ids})")
+
+
 def probe_assignment(
     index: IvfIndex, queries: DataFrame, nprobe: int | None = None
 ) -> tuple[DataFrame, list]:
@@ -1938,12 +1997,32 @@ def declared_query_probes(
     return pc
 
 
+def _ivf_scored(
+    index: IvfIndex, probes: DataFrame, cells: list
+) -> DataFrame:
+    """(q_id, vec_id, cosine_sim) full-dim scores of every candidate
+    in the probed cells — the shared subtree of the ivf and prerank
+    operating points (r19, VERDICT r18 #5). Duplicate (q, v) rows (a
+    vector multi-assigned to >1 probed cell) carry identical values;
+    consumers run the lag() run-dedup on their own rank exchange."""
+    cand = (
+        index.lists.filter(_in_cells(cells))
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    sim = _cosine("q_vec", "embedding")
+    return cand.select(
+        "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
+    )
+
+
 def search_ivf_index(
     index: IvfIndex,
     queries: DataFrame,
     k: int = TOP_K,
     nprobe: int | None = None,
     probes_cells: tuple[DataFrame, list] | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine over the persisted lists of the queries' nprobe
     nearest cells. `queries`: (vec_id, embedding). nprobe defaults to
@@ -1956,26 +2035,20 @@ def search_ivf_index(
     candidate join then broadcasts the query set. `probes_cells` (r16)
     lets a caller running SEVERAL searches over the same index +
     query batch share one probe_assignment() instead of re-running
-    the assignment job per search. Same output contract as
-    ann_topk_ivf: (q_id, vec_id, cosine_sim, rank)."""
+    the assignment job per search; `scored` (r19, VERDICT r18 #5)
+    additionally shares the full-dim candidate scores themselves
+    (a frame with _ivf_scored's exact contract — the x2b union
+    persists one and feeds both operating points). Same output
+    contract as ann_topk_ivf: (q_id, vec_id, cosine_sim, rank)."""
     from pyspark.sql import Window
 
-    probes, cells = (
-        probes_cells
-        if probes_cells is not None
-        else probe_assignment(index, queries, nprobe)
-    )
-    cand = (
-        index.lists.filter(F.col("centroid_id").isin(cells))
-        .join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
-    )
-    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
-        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
-    )
-    scored = cand.select(
-        "q_id", "vec_id", fround(sim, 6).alias("cosine_sim")
-    )
+    if scored is None:
+        probes, cells = (
+            probes_cells
+            if probes_cells is not None
+            else probe_assignment(index, queries, nprobe)
+        )
+        scored = _ivf_scored(index, probes, cells)
     # duplicate (q, v) pairs (a vector assigned to >1 probed cell,
     # n_assign > 1) carry IDENTICAL cosine_sim, so keeping the first
     # of each adjacent run under a per-query sort equals
@@ -2083,6 +2156,7 @@ def search_ivf_index_prerank(
     rerank: int = 250,
     dim: int | None = None,
     probes_cells: tuple[DataFrame, list] | None = None,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """JL-preranked search over the persisted lists: the probed cells
     prune at the parquet scan exactly like search_ivf_index, then
@@ -2102,7 +2176,16 @@ def search_ivf_index_prerank(
     `probes_cells` (r16) shares one probe_assignment() across
     several searches of the same index + query batch; the query-side
     JL projection is applied here on top of the shared frame, so the
-    scored plan is identical to the standalone one."""
+    scored plan is identical to the standalone one.
+
+    `scored` (r19, VERDICT r18 #5): a shared full-dim candidate-score
+    frame with _ivf_scored's contract. When given, the rerank side
+    reads the shortlist pairs' cosines from it instead of re-joining
+    embeddings — value-identical because a shortlist (q, v) pair
+    exists iff some cell probed by q contains v, which is exactly
+    scored's pair set, and duplicate rows (different multiplicity,
+    identical values) are removed by the same lag() run-dedup that
+    handled the duplicate embedding joins."""
     from pyspark.sql import Window
 
     proj_dim, dim = _index_geometry(index, proj_dim, dim)
@@ -2118,16 +2201,14 @@ def search_ivf_index_prerank(
         vec_col="q_vec",
         out_col="q_proj",
     )
-    pruned = index.lists.filter(F.col("centroid_id").isin(cells))
+    pruned = index.lists.filter(_in_cells(cells))
     if "proj" not in pruned.columns:
         pruned = project_embeddings(pruned, out_dim=proj_dim, dim=dim)
     cand = pruned.select("vec_id", "proj", "centroid_id").join(
         F.broadcast(probes.select("q_id", "q_proj", "centroid_id")),
         "centroid_id",
     ).filter(F.col("vec_id") != F.col("q_id"))
-    psim = _dot(F.col("q_proj"), F.col("proj")) / F.nullif(
-        _norm(F.col("q_proj")) * _norm(F.col("proj")), F.lit(0.0)
-    )
+    psim = _cosine("q_proj", "proj")
     wpre = Window.partitionBy("q_id").orderBy(
         F.desc("psim"), F.asc("vec_id")
     )
@@ -2151,20 +2232,23 @@ def search_ivf_index_prerank(
     # identical and the lag() run-dedup below — riding the rank
     # window's own q_id exchange — removes them for free, where the
     # old dropDuplicates([vec_id]) paid a dedicated exchange.
-    full = pruned.select("vec_id", "embedding")
-    qfull = probes.select("q_id", "q_vec").dropDuplicates(["q_id"])
-    sim = _dot(F.col("q_vec"), F.col("embedding")) / F.nullif(
-        _norm(F.col("q_vec")) * _norm(F.col("embedding")), F.lit(0.0)
-    )
+    if scored is not None:
+        rescored = shortlist.join(scored, ["q_id", "vec_id"])
+    else:
+        full = pruned.select("vec_id", "embedding")
+        qfull = probes.select("q_id", "q_vec").dropDuplicates(["q_id"])
+        sim = _cosine("q_vec", "embedding")
+        rescored = (
+            shortlist.join(full, "vec_id")
+            .join(F.broadcast(qfull), "q_id")
+            .select("q_id", "vec_id", fround(sim, 6).alias("cosine_sim"))
+        )
     wfdup = Window.partitionBy("q_id").orderBy(F.asc("vec_id"))
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
     return (
-        shortlist.join(full, "vec_id")
-        .join(F.broadcast(qfull), "q_id")
-        .select("q_id", "vec_id", fround(sim, 6).alias("cosine_sim"))
-        .withColumn("_fprev", F.lag("vec_id").over(wfdup))
+        rescored.withColumn("_fprev", F.lag("vec_id").over(wfdup))
         .filter(
             F.col("_fprev").isNull() | (F.col("_fprev") != F.col("vec_id"))
         )
@@ -2851,7 +2935,7 @@ def search_ivfpq_index(
                 yield pd.concat(frames)
 
     cand = (
-        index.lists.filter(F.col("centroid_id").isin(cells))
+        index.lists.filter(_in_cells(cells))
         .mapInPandas(scan, "q_id long, vec_id long, adc_dist double")
         .filter(F.col("q_id") != F.col("vec_id"))
     )

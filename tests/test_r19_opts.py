@@ -54,6 +54,62 @@ def _self_join_edges(fp, max_df, min_shared):
     )
 
 
+def test_cosine_sql_matches_column_form(spark):
+    # the one-string _cosine must equal the Column-API _dot/_norm
+    # arithmetic EXACTLY (pre-rounding doubles): same sequential fold,
+    # same casts — only the number of py4j calls changed
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        _cosine,
+        _dot,
+        _norm,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pairs = (
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        .crossJoin(
+            emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+            )
+        )
+    )
+    old_guarded = _dot(F.col("va"), F.col("vb")) / F.nullif(
+        _norm(F.col("va")) * _norm(F.col("vb")), F.lit(0.0)
+    )
+    old_raw = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    diff = pairs.select(
+        (old_guarded == _cosine("va", "vb")).alias("g"),
+        (old_raw == _cosine("va", "vb", guarded=False)).alias("r"),
+    ).filter(~F.col("g") | ~F.col("r"))
+    assert diff.count() == 0
+
+
+def test_x2b_leg_sharing_matches_standalone(spark):
+    # the shared full-dim scored set must leave both x2b legs'
+    # results byte-identical to their standalone plans
+    from peerdb_cdc_psql_clickhouse_spark.operators import similarity as S
+    from peerdb_cdc_psql_clickhouse_spark.plans.layout import reuse
+
+    index = S.ivf_index_for(spark, SF_SMOKE)
+    shared = S.declared_query_probes(spark, SF_SMOKE, index)
+    scored = reuse(S._ivf_scored(index, shared[0], shared[1]))
+    for fn in (S.x2b_ann_prerank, S.x2d_ann_ivf):
+        alone = sorted(
+            map(tuple, fn(spark, SF_SMOKE, probes_cells=shared).collect())
+        )
+        with_shared = sorted(
+            map(
+                tuple,
+                fn(
+                    spark, SF_SMOKE, probes_cells=shared, scored=scored
+                ).collect(),
+            )
+        )
+        assert alone == with_shared and len(alone) > 0
+
+
 def test_winnow_edges_combos_match_self_join(spark):
     fp = winnow_fp(load_table(spark, SF_SMOKE, "documents"))
     got = sorted(
