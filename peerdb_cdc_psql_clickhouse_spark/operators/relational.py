@@ -440,13 +440,16 @@ def r14_replication_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{work}/changes", available_now=True, max_files_per_trigger=None
         )
         q.awaitTermination(120)
-        # collect() before the temp dirs vanish
-        out = stream_status(spark, [q]).select(
+        # stream_status materializes the query's progress into LOCAL
+        # rows (recentProgress via py4j, then createDataFrame), and
+        # the probe columns below are literals — nothing in this frame
+        # reads the temp dirs, so the old collect + re-createDataFrame
+        # round trip was a pure double materialization (r19; ~0.3 s of
+        # driver time per build).
+        return stream_status(spark, [q]).select(
             "*",
             F.lit("spark").alias("engine"),
             F.lit(spark.version).alias("engine_version"),
         )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
