@@ -1251,11 +1251,22 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
+    # r19 (VERDICT r18 #2): per-query MIN-of-N alongside the medians.
+    # This box's hypervisor steal is LOAD-TRIGGERED by the bench
+    # itself (0.01-0.06% idle -> ~2-4% under our own 32-core load), so
+    # no retry finds a certified window and contaminated medians erase
+    # real deltas; the min is the noise-robust round-over-round
+    # comparator. Additions only: the compact line gains one scalar
+    # (inv_min_total_sec — the 2000-char tail budget cannot fit 50
+    # more entries), the full queries_min dict rides BENCH_DETAIL.
+    mins = {q: round(min(ts), 3) for q, ts in sorted(runs.items())}
+    min_total = round(sum(mins.values()), 3)
     detail = {
         "metric": "declared_query_inventory_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
         "sf": sf_val,
         "iterations": iters,
         "query_rel_spread": spreads,
@@ -1349,6 +1360,9 @@ def main() -> None:
             if spreads
             else None
         ),
+        # r19 (VERDICT r18 #2): sum of per-query min-of-N — the
+        # window-robust headline (full per-query mins in BENCH_DETAIL)
+        "inv_min_total_sec": min_total,
         # r18 (VERDICT r17 #1): the window-quality datum rides the
         # committed record itself; absence of steal_degraded = the
         # inventory number is steal-certified (<= threshold).

@@ -214,7 +214,10 @@ def c1_snapshot_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_cnt = int(obs.get["n"])
         tgt = spark.read.parquet(f"{work}/target")
         tgt_cnt = int(tgt.count())
-        return spark.createDataFrame(
+        from ..functions.values import values_frame
+
+        return values_frame(
+            spark,
             [(src_cnt, tgt_cnt, src_cnt - tgt_cnt)],
             "src_cnt bigint, tgt_cnt bigint, lag int",
         )
@@ -252,8 +255,10 @@ def c3_rename_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("public", t, "target", target_table_name("public", t))
         for t in ("customers", "orders", "products")
     ]
-    return spark.createDataFrame(
-        rows, "src_schema string, src_table string, "
+    from ..functions.values import values_frame
+
+    return values_frame(
+        spark, rows, "src_schema string, src_table string, "
         "tgt_database string, tgt_table string"
     )
 

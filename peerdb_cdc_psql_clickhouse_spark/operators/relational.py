@@ -247,21 +247,15 @@ def seed_frames(spark: SparkSession):
     """The reference's seed data as typed DataFrames (O-R13,
     quickstart_prepare_peers.sh:54-77), schemas from the catalog."""
     from ..catalog import CUSTOMERS_SCHEMA, ORDERS_SCHEMA, PRODUCTS_SCHEMA
-    from datetime import date
-    from decimal import Decimal
+    from ..functions.values import values_frame
 
-    customers = spark.createDataFrame(SEED_CUSTOMERS, CUSTOMERS_SCHEMA)
-    products = spark.createDataFrame(
-        [(i, n, d, Decimal(w)) for i, n, d, w in SEED_PRODUCTS],
-        PRODUCTS_SCHEMA,
-    )
-    orders = spark.createDataFrame(
-        [
-            (i, date.fromisoformat(d), p, q, pid)
-            for i, d, p, q, pid in SEED_ORDERS
-        ],
-        ORDERS_SCHEMA,
-    )
+    # values_frame (r19): createDataFrame over Python rows compiled to
+    # Scan ExistingRDD — r13's exec re-pickled these 18 rows through a
+    # Python worker on every run (~1 s noop exec for 5 output rows);
+    # the VALUES LocalRelation is pure JVM, identical rows and schema.
+    customers = values_frame(spark, SEED_CUSTOMERS, CUSTOMERS_SCHEMA)
+    products = values_frame(spark, SEED_PRODUCTS, PRODUCTS_SCHEMA)
+    orders = values_frame(spark, SEED_ORDERS, ORDERS_SCHEMA)
     return customers, products, orders
 
 
@@ -339,7 +333,9 @@ def r12_ddl_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("fk_table", T.StringType()),
         ]
     )
-    return spark.createDataFrame(_ddl_rows(), schema)
+    from ..functions.values import values_frame
+
+    return values_frame(spark, _ddl_rows(), schema)
 
 
 @declare(

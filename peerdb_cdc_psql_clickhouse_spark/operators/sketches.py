@@ -300,6 +300,15 @@ def kmv_distinct_stats(
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
+    # fan_out before the md5 pass was A/B-measured NET-NEGATIVE here
+    # (r19: 2.0-2.3 s -> 2.6-2.7 s at sf0.1) despite the 1.2M md5s
+    # running on the testdata's single split: a keyless repartition
+    # first pays a serial local sort + shuffle write of the raw keys
+    # on that same single task (guide §2.5 sortBeforeRepartition), and
+    # 32x more per-partition k-min states feed the distinct+top-k. On
+    # real multi-split inputs the hash pass parallelizes naturally —
+    # the single-split penalty is a testdata artifact, not a scale
+    # property.
     state = df.select(
         *[
             _hash48(F.col(key)).alias(f"h{i}")
@@ -396,8 +405,12 @@ def minhash_sample_quantiles(
     # top-n + two windows) once per quantile; joining the tiny literal
     # (stat, q) frame picks every quantile's rank row in a single
     # subtree. Same rank arithmetic (r == ceil(q * n)), same rows.
-    qdf = df.sparkSession.createDataFrame(
-        [(name, float(q)) for name, q in qs.items()], "stat string, q double"
+    from ..functions.values import values_frame
+
+    qdf = values_frame(
+        df.sparkSession,
+        [(name, float(q)) for name, q in qs.items()],
+        "stat string, q double",
     )
     return ranked.join(
         F.broadcast(qdf), F.col("r") == F.ceil(F.col("q") * F.col("n"))

@@ -664,8 +664,10 @@ def bloom_contamination_flags(
     from ..functions.hashing import HASH_PAIR_LIM
     from ..operators.dedup import _shingles_of, _tokens
 
-    words_df = docs.sparkSession.createDataFrame(
-        [(bloom.words,)], "_bloom_w array<bigint>"
+    from ..functions.values import values_frame
+
+    words_df = values_frame(
+        docs.sparkSession, [(bloom.words,)], "_bloom_w array<bigint>"
     )
     m, k = bloom.m_bits, bloom.k
 

@@ -617,7 +617,9 @@ def stream_status(spark: SparkSession, queries=None) -> DataFrame:
                 int(late),
             )
         )
-    return spark.createDataFrame(rows, STATUS_SCHEMA)
+    from ..functions.values import values_frame
+
+    return values_frame(spark, rows, STATUS_SCHEMA)
 
 
 # -- O-C10 watermarked windowed aggregation over the change stream ---------

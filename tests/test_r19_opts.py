@@ -110,6 +110,62 @@ def test_x2b_leg_sharing_matches_standalone(spark):
         assert alone == with_shared and len(alone) > 0
 
 
+def test_values_frame_matches_create_dataframe(spark):
+    # the VALUES LocalRelation must reproduce createDataFrame's rows,
+    # names and types exactly (nullability is documented to tighten)
+    from datetime import date
+    from decimal import Decimal
+
+    from peerdb_cdc_psql_clickhouse_spark.catalog import (
+        CUSTOMERS_SCHEMA,
+        ORDERS_SCHEMA,
+        PRODUCTS_SCHEMA,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.functions.values import (
+        values_frame,
+    )
+    from peerdb_cdc_psql_clickhouse_spark.operators.relational import (
+        SEED_CUSTOMERS,
+        SEED_ORDERS,
+        SEED_PRODUCTS,
+    )
+
+    cases = [
+        (SEED_CUSTOMERS, CUSTOMERS_SCHEMA, SEED_CUSTOMERS),
+        (
+            SEED_PRODUCTS,
+            PRODUCTS_SCHEMA,
+            [(i, n, d, Decimal(w)) for i, n, d, w in SEED_PRODUCTS],
+        ),
+        (
+            SEED_ORDERS,
+            ORDERS_SCHEMA,
+            [
+                (i, date.fromisoformat(d), p, q, pid)
+                for i, d, p, q, pid in SEED_ORDERS
+            ],
+        ),
+        ([("a'b\\c\nd",), (None,)], "s string", None),
+        ([([1, 2, 3],), ([],)], "w array<bigint>", None),
+    ]
+    for rows, schema, legacy in cases:
+        vf = values_frame(spark, rows, schema)
+        cf = spark.createDataFrame(
+            legacy if legacy is not None else rows, schema
+        )
+        assert [(f.name, f.dataType) for f in vf.schema.fields] == [
+            (f.name, f.dataType) for f in cf.schema.fields
+        ]
+        got = sorted(map(tuple, vf.collect()), key=repr)
+        want = sorted(map(tuple, cf.collect()), key=repr)
+        assert got == want
+    # and the plan is a LocalRelation, not a Python RDD scan
+    plan = values_frame(
+        spark, SEED_CUSTOMERS, CUSTOMERS_SCHEMA
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+
+
 def test_winnow_edges_combos_match_self_join(spark):
     fp = winnow_fp(load_table(spark, SF_SMOKE, "documents"))
     got = sorted(
