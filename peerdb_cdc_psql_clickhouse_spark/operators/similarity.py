@@ -1421,11 +1421,24 @@ def semantic_neardup_pairs(
     Pass `centroids` to pin the quantizer (screen/batch parity with
     semantic_neardup_against uses this); default trains k-means on
     the input."""
+    from ..plans.layout import fan_out
+
     cents = (
         centroids
         if centroids is not None
         else kmeans_centroids(emb, n_centroids, iters)
     )
+    # the n x k assignment (crossJoin + _l2 + argmin partial agg) is
+    # the per-row hot loop, and the testdata's sub-MB embeddings scan
+    # yields ONE split — r19 measured it serialized on one core
+    # (assign noop 2.2 s at sf0.1, ~1.0 s fanned out; the capped path
+    # derives it twice, sizes + keyed). Row-trivial shuffle, no-op on
+    # real multi-split inputs; every downstream value is
+    # layout-invariant (row-local argmin, keyed joins). kmeans
+    # deliberately keeps the RAW layout: its one-Arrow-pass-per-
+    # iteration shape is per-partition-overhead-bound and fanning it
+    # out measured 0.8 -> 6.2 s.
+    emb = fan_out(emb)
     two_level = _resolve_two_level(
         two_level, n_assign, centroids, n_centroids
     )
