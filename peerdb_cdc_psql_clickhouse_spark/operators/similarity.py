@@ -97,10 +97,18 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries x corpus, rank per
     query. Scales as one scan of the corpus regardless of |queries|
-    (queries are broadcast; no corpus shuffle until the tiny top-k)."""
+    (queries are broadcast; no corpus shuffle until the tiny top-k).
+
+    fan_out on the corpus side (r19): |queries| cosine folds per
+    corpus row is the per-row hot loop, and the sub-MB testdata scan
+    yields ONE split — the x3b/semdedup single-split discipline.
+    No-op on real multi-split corpora; the scored values are row-local
+    so results are layout-invariant."""
     from pyspark.sql import Window
 
-    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+    from ..plans.layout import fan_out
+
+    joined = fan_out(corpus).crossJoin(F.broadcast(queries)).filter(
         F.col(q_id) != F.col(c_id)
     )
     sim = _cosine(q_vec, c_vec)
@@ -190,35 +198,40 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def _signs_array(plane: int, dim: int) -> F.Column:
-    """The ±1 sign vector as ONE parsed SQL array literal (r16: the
-    F.array(*[F.lit(s) ...]) form issued `dim` py4j calls per plane —
-    n_planes × dim calls per bucket expression, a measurable slice of
-    the LSH queries' plan-build time; the parsed literal is the same
-    array of doubles, so bucket ids are bit-identical)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "1.0D" if s > 0 else "-1.0D" for s in _plane_signs(plane, dim)
+
+
+def _plane_bits_expr(
+    name: str, seed0: int, n_planes: int, dim: int
+) -> F.Column:
+    """n_planes hyperplane sign bits of the named float-array column
+    as ONE parsed SQL expression (r19: the Column-API form issued two
+    higher-order-function py4j calls per plane at ~25 ms of JVM
+    analysis each — ~0.7 s of x2c's plan build). Identical
+    arithmetic: same sequential fold, same double casts, same
+    CASE-for-when bit terms (values pinned by
+    test_plane_bits_sql_matches_column_form)."""
+    _no_backtick(name)
+    terms = []
+    for p in range(n_planes):
+        signs = ",".join(
+            "1.0D" if s > 0 else "-1.0D"
+            for s in _plane_signs(seed0 + p, dim)
         )
-        + ")"
-    )
+        proj = (
+            f"aggregate(zip_with(`{name}`, array({signs}), "
+            "(x, s) -> cast(x as double) * s), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
 
 def hyperplane_bucket(
-    vec: F.Column, n_planes: int = N_PLANES, dim: int = EMB_DIM
+    vec: str, n_planes: int = N_PLANES, dim: int = EMB_DIM
 ) -> F.Column:
-    """LSH bucket id: n_planes sign bits of deterministic hyperplanes."""
-    bits = []
-    for p in range(n_planes):
-        plane = _signs_array(p, dim)
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
-    return sum(bits).cast("long")
+    """LSH bucket id: n_planes sign bits of deterministic hyperplanes
+    over the NAMED float-array column `vec`."""
+    return _plane_bits_expr(vec, 0, n_planes, dim)
 
 
 def ann_topk_lsh(
@@ -248,7 +261,7 @@ def ann_topk_lsh(
 
     if n_planes is None:
         n_planes = planes_for(n_vectors if n_vectors is not None else emb.count())
-    bucketed = emb.withColumn("bucket", hyperplane_bucket(F.col("embedding"), n_planes))
+    bucketed = emb.withColumn("bucket", hyperplane_bucket("embedding", n_planes))
     q = (
         bucketed.join(F.broadcast(query_ids), "vec_id")
         .select(
@@ -339,7 +352,7 @@ def cosine_neardup_pairs(
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        hyperplane_bucket(F.col("embedding"), n_planes).alias("bucket"),
+        hyperplane_bucket("embedding", n_planes).alias("bucket"),
     )
     a = bucketed.select(
         F.col("vec_id").alias("id_a"),
@@ -1355,22 +1368,14 @@ _SUB_PLANES = 12
 
 
 def _sub_bucket(
-    vec: F.Column, n_planes: int = _SUB_PLANES, dim: int = EMB_DIM
+    vec: str, n_planes: int = _SUB_PLANES, dim: int = EMB_DIM
 ) -> F.Column:
     """Hyperplane sign bits for hot-cluster sub-bucketing — same
-    literal-plane discipline as hyperplane_bucket but a disjoint seed
-    family, so sub-buckets are independent of the LSH buckets and the
-    JL projections."""
-    bits = []
-    for p in range(n_planes):
-        plane = _signs_array(_SUB_SEED + p, dim)
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0)))
-    return sum(bits).cast("long")
+    literal-plane discipline as hyperplane_bucket (one parsed
+    expression) but a disjoint seed family, so sub-buckets are
+    independent of the LSH buckets and the JL projections. `vec` is
+    the column NAME."""
+    return _plane_bits_expr(vec, _SUB_SEED, n_planes, dim)
 
 
 def semantic_neardup_pairs(
@@ -1489,7 +1494,7 @@ def semantic_neardup_pairs(
         )
         full = F.when(
             F.col("_csize") <= cap, F.lit(-1).cast("long")
-        ).otherwise(_sub_bucket(F.col("embedding"), dim=dim))
+        ).otherwise(_sub_bucket("embedding", dim=dim))
         keyed = (
             assign.join(F.broadcast(sizes), "centroid_id")
             .withColumn("_full", full)
@@ -1883,6 +1888,13 @@ def build_ivf_index(
     cents = kmeans_centroids(emb, n_centroids, iters=refine_iters)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents_saved = spark.read.parquet(f"{path}/centroids")
+    # fan_out before the multi-assign was A/B-measured NET-NEGATIVE
+    # here (r19: lists write 3.8 -> 7-12.6 s at sf0.1) even though the
+    # per-row assign work is the hot loop: the partitionBy write then
+    # fans every upstream task across every centroid dir (32 x 64
+    # part files + commit overhead instead of 1 x 64). The semdedup /
+    # cosine_topk fan_outs stand because nothing downstream of them
+    # writes a partitioned layout.
     lists = ivf_assign(emb, cents_saved, n_assign)
     cols = ["centroid_id", "vec_id", "embedding"]
     if proj_dim is not None:

@@ -166,6 +166,48 @@ def test_values_frame_matches_create_dataframe(spark):
     assert "LocalTableScan" in plan and "ExistingRDD" not in plan
 
 
+def test_plane_bits_sql_matches_column_form(spark):
+    # the one-string plane-bit expression must equal the old
+    # Column-API per-plane when/aggregate form exactly
+    from peerdb_cdc_psql_clickhouse_spark.operators.similarity import (
+        EMB_DIM,
+        _plane_bits_expr,
+        _plane_signs,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+
+    def old_form(vec, seed0, n_planes, dim):
+        bits = []
+        for p in range(n_planes):
+            plane = F.expr(
+                "array("
+                + ",".join(
+                    "1.0D" if s > 0 else "-1.0D"
+                    for s in _plane_signs(seed0 + p, dim)
+                )
+                + ")"
+            )
+            proj = F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x.cast("double") * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(
+                F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            )
+        return sum(bits).cast("long")
+
+    for seed0, n_planes in ((0, 8), (9100, 12)):
+        diff = emb.select(
+            (
+                old_form(F.col("embedding"), seed0, n_planes, EMB_DIM)
+                == _plane_bits_expr("embedding", seed0, n_planes, EMB_DIM)
+            ).alias("ok")
+        ).filter(~F.col("ok"))
+        assert diff.count() == 0
+
+
 def test_winnow_edges_combos_match_self_join(spark):
     fp = winnow_fp(load_table(spark, SF_SMOKE, "documents"))
     got = sorted(
