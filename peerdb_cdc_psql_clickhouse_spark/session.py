@@ -13,7 +13,7 @@ import os
 from pyspark.sql import SparkSession
 
 
-def _default_shuffle_partitions(cpus: int) -> int:
+def _default_shuffle_partitions(cpus: int, sf_dir: str | None = None) -> int:
     """Shuffle partitions sized by DATA BYTES, not core count, when
     the two disagree (r19, VERDICT r18 #4). Default = cpus, REDUCED
     only when the entire declared input ($SPARK_GRAFT_SF_DIR) is so
@@ -30,7 +30,7 @@ def _default_shuffle_partitions(cpus: int) -> int:
     the map-side bucket count AQE cannot touch)."""
     import contextlib
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR")
     if not sf_dir or not os.path.isdir(sf_dir):
         return cpus
     target = int(
